@@ -1,0 +1,128 @@
+"""Compactor: merge landing subpartitions into staging (LSM compaction).
+
+Port of TableFilesCompactor (ref: compact/TableFilesCompactor.scala:28-199):
+per bucket, pick the ``maxOpIndex`` subpartitions eligible for compaction
+(all-but-the-newest unless forced -- the newest is the one the stream is
+still appending into, ref: :89-96), dedup them with a ``dense_rank`` window
+(preserving tied opIndex rows, ref: :162-167), write the survivors into
+staging, then delete the compacted landing directories after a purge delay
+(S3 eventual-consistency guard, ref: CluesoConfig.scala:43-45).
+
+Tombstone policy: the reference physically drops delete tombstones at
+compaction (ref: :166), relying on interval ordering to keep put+delete pairs
+together; a tombstone whose target already sits in staging would wrongly
+resurface it. We default to the strictly safer variant flagged in SURVEY.md
+§3.3: a tombstone is dropped only if it is *not* the winning row (i.e. it was
+shadowed inside the batch) or nothing it could shadow exists outside the
+batch; concretely we keep winning tombstones unless ``drop_tombstones`` is
+set. Observable query results are identical in the reference's own scenarios
+(query-time merge filters tombstones anyway); storage keeps one extra row per
+deleted key until a full compaction.
+
+Scale: output file count is sized by *bytes*, not a fixed number -- we
+estimate input size from the filesystem and target ``target_file_bytes`` per
+output file, so a 100 TB compaction produces sane file sizes instead of the
+reference's fixed ``coalesce(4)``.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from clueso_spark.operators.merge import latest_rows
+from clueso_spark.sources.store import MetadataStore
+
+
+class Compactor:
+    def __init__(
+        self,
+        store: MetadataStore,
+        *,
+        purge_tolerance_s: float = 0.0,
+        drop_tombstones: bool = False,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        min_output_files: int = 1,
+    ):
+        self.store = store
+        self.purge_tolerance_s = purge_tolerance_s
+        self.drop_tombstones = drop_tombstones
+        self.target_file_bytes = target_file_bytes
+        self.min_output_files = min_output_files
+
+    # -- policy -----------------------------------------------------------
+
+    def sub_partitions_to_compact(self, bucket: str, force: bool) -> list[int]:
+        """All-but-newest unless forced; require >=2 subpartitions
+        (ref: TableFilesCompactor.scala:67-99)."""
+        subs = self.store.sub_partitions("landing", bucket)
+        if force:
+            return subs
+        if len(subs) < 2:
+            return []
+        return subs[:-1]
+
+    def _input_bytes(self, bucket: str, subs: list[int]) -> int:
+        total = 0
+        for sub in subs:
+            path = f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}"
+            if self.store.exists(path):
+                fs, hpath, _ = self.store._fs(path)
+                total += fs.getContentSummary(hpath).getLength()
+        return total
+
+    # -- lock (ref: TableFilesCompactor.scala:195-199) ---------------------
+
+    def _lock_path(self, bucket: str) -> str:
+        return f"{self.store.staging}/_merging_{bucket}"
+
+    def _acquire_lock(self, bucket: str) -> bool:
+        fs, hpath, _ = self.store._fs(self._lock_path(bucket))
+        try:
+            return fs.createNewFile(hpath)
+        except Exception:
+            return False
+
+    def _release_lock(self, bucket: str) -> None:
+        self.store.delete(self._lock_path(bucket))
+
+    # -- compaction ---------------------------------------------------------
+
+    def compact_bucket(self, bucket: str, force: bool = False) -> bool:
+        """Compact one bucket's eligible landing subpartitions into staging
+        (ref: TableFilesCompactor.scala:139-193). Returns True if work done."""
+        subs = self.sub_partitions_to_compact(bucket, force)
+        if not subs:
+            return False
+        if not self._acquire_lock(bucket):
+            return False
+        try:
+            df = self.store.read_landing_sub_partitions(bucket, subs)
+            merged = latest_rows(
+                df, dense=True, keep_tombstones=not self.drop_tombstones
+            )
+            n_files = max(
+                self.min_output_files,
+                self._input_bytes(bucket, subs) // self.target_file_bytes,
+            )
+            self.store.write_staging(
+                merged.drop("bucket").coalesce(int(n_files)), bucket
+            )
+            if self.purge_tolerance_s:
+                time.sleep(self.purge_tolerance_s)
+            for sub in subs:
+                self.store.delete(
+                    f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}"
+                )
+            return True
+        finally:
+            self._release_lock(bucket)
+
+    def compact(self, force: bool = False) -> dict[str, bool]:
+        """Compact every bucket found in landing
+        (ref: TableFilesCompactor.scala:28-49)."""
+        return {
+            bucket: self.compact_bucket(bucket, force)
+            for bucket in self.store.buckets("landing")
+        }

@@ -1,0 +1,93 @@
+"""Compactor tests (model: CompactionSpec invariants)."""
+
+from __future__ import annotations
+
+from clueso_spark.operators.compact import Compactor
+from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
+from clueso_spark.streaming.ingest import parse_events
+from tests.conftest import op, put_doc, raw_df, wire_event
+
+BUCKET = "cbucket"
+
+
+def ingest(spark, store, lines, interval=10):
+    store.write_landing(
+        parse_events(raw_df(spark, lines), compaction_record_interval=interval)
+    )
+
+
+def puts(n, start=1):
+    return [
+        wire_event(op(i), "put", BUCKET, f"key{i:04d}", put_doc(f"key{i:04d}", BUCKET))
+        for i in range(start, start + n)
+    ]
+
+
+def test_force_compaction_moves_landing_to_staging(spark, store):
+    ingest(spark, store, puts(25), interval=10)  # subpartitions 10,20,30
+    assert store.sub_partitions("landing", BUCKET) == [10, 20, 30]
+
+    assert Compactor(store).compact_bucket(BUCKET, force=True)
+    assert store.sub_partitions("landing", BUCKET) == []
+    assert store.sub_partitions("staging", BUCKET) != []
+    assert store.read_staging(BUCKET).count() == 25
+
+
+def test_non_force_skips_newest_subpartition(spark, store):
+    ingest(spark, store, puts(25), interval=10)
+    assert Compactor(store).compact_bucket(BUCKET, force=False)
+    # newest (30) still in landing, 10 and 20 compacted away
+    assert store.sub_partitions("landing", BUCKET) == [30]
+
+
+def test_non_force_requires_two_subpartitions(spark, store):
+    ingest(spark, store, puts(5), interval=10)  # single subpartition
+    assert not Compactor(store).compact_bucket(BUCKET, force=False)
+    assert store.sub_partitions("landing", BUCKET) == [10]
+
+
+def test_query_results_invariant_across_compaction(spark, store):
+    lines = puts(20) + [
+        wire_event(op(21), "delete", BUCKET, "key0003", put_doc("key0003", BUCKET)),
+        wire_event(op(22), "put", BUCKET, "key0007",
+                   put_doc("key0007", BUCKET, user_md={"food": "pizza"})),
+    ]
+    ingest(spark, store, lines, interval=10)
+    ex = MetadataQueryExecutor(spark, store)
+
+    before_all = [r["key"] for r in ex.execute(MetadataQuery(BUCKET)).collect()]
+    q = MetadataQuery(BUCKET, "userMd.`x-amz-meta-food` = 'pizza'")
+    before_pizza = [r["key"] for r in ex.execute(q).collect()]
+
+    Compactor(store).compact_bucket(BUCKET, force=True)
+
+    assert [r["key"] for r in ex.execute(MetadataQuery(BUCKET)).collect()] == before_all
+    assert "key0003" not in before_all
+    assert [r["key"] for r in ex.execute(q).collect()] == before_pizza == ["key0007"]
+
+
+def test_safe_tombstone_policy_keeps_cross_batch_shadow(spark, store):
+    """A tombstone compacted in a *later* batch than its put must keep
+    shadowing the staging put (the reference's drop-all-tombstones policy
+    loses this; SURVEY.md §3.3)."""
+    ingest(spark, store, [wire_event(op(1), "put", BUCKET, "k", put_doc("k", BUCKET))])
+    Compactor(store).compact_bucket(BUCKET, force=True)
+
+    ingest(spark, store, [wire_event(op(11), "delete", BUCKET, "k", put_doc("k", BUCKET))])
+    Compactor(store).compact_bucket(BUCKET, force=True)  # compacts the delete alone
+
+    ex = MetadataQueryExecutor(spark, store)
+    assert ex.execute(MetadataQuery(BUCKET)).count() == 0
+
+
+def test_compact_all_buckets(spark, store):
+    for b in ("alpha", "beta"):
+        lines = [
+            wire_event(op(i), "put", b, f"{b}{i}", put_doc(f"{b}{i}", b))
+            for i in range(1, 15)
+        ]
+        ingest(spark, store, lines, interval=10)
+    result = Compactor(store).compact(force=True)
+    assert result == {"alpha": True, "beta": True}
+    assert store.read_staging("alpha").count() == 14
+    assert store.read_staging("beta").count() == 14

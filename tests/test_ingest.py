@@ -1,0 +1,89 @@
+"""Ingestion-transform tests (model: CluesoIngestionPipelineSpec semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clueso_spark.streaming.ingest import next_max_op_index, parse_events
+from tests.conftest import op, put_doc, raw_df, wire_event
+
+
+def test_user_md_rewrite(spark):
+    """x-amz-meta-* fields collapse into userMd; typed fields survive."""
+    doc = put_doc("k1", "b1", user_md={"color": "blue", "shape": "round"})
+    df = parse_events(raw_df(spark, [wire_event(op(1), "put", "b1", "k1", doc)]))
+    row = df.collect()[0]
+    assert row["bucket"] == "b1"
+    assert row["key"] == "k1"
+    assert row["type"] == "put"
+    md = row["message"]["userMd"]
+    assert md["x-amz-meta-color"] == "blue"
+    assert md["x-amz-meta-shape"] == "round"
+    assert row["message"]["owner-id"] == "owner1"
+    assert row["message"]["content-length"] == 100
+
+
+def test_location_truncated_to_first_element(spark):
+    loc = [
+        {"key": "a", "size": 1, "start": 0, "dataStoreName": "d", "dataStoreETag": "e"},
+        {"key": "b", "size": 2, "start": 1, "dataStoreName": "d", "dataStoreETag": "e"},
+    ]
+    doc = put_doc("k1", "b1", location=loc)
+    df = parse_events(raw_df(spark, [wire_event(op(1), "put", "b1", "k1", doc)]))
+    locations = df.collect()[0]["message"]["location"]
+    assert len(locations) == 1
+    assert locations[0]["key"] == "a"
+
+
+def test_max_op_index_interval_math(spark):
+    """Round up to next multiple; exact multiples map to themselves."""
+    cases = [(1, 10), (9, 10), (10, 10), (11, 20), (100, 100), (0, 0)]
+    df = spark.createDataFrame(
+        [(op(n),) for n, _ in cases], "opIndex string"
+    ).select(next_max_op_index(F.col("opIndex"), 10).alias("m"))
+    assert [r["m"] for r in df.collect()] == [want for _, want in cases]
+
+
+def test_system_buckets_filtered(spark):
+    lines = [
+        wire_event(op(1), "put", "PENSIEVE", "k", put_doc("k", "PENSIEVE")),
+        wire_event(op(2), "put", "users..bucket", "k", put_doc("k", "users..bucket")),
+        wire_event(op(3), "put", "__metastore", "k", put_doc("k", "__metastore")),
+        wire_event(op(4), "put", "mpuShadowBucketx", "k", put_doc("k", "m")),
+        wire_event(op(5), "put", "realbucket", "k", put_doc("k", "realbucket")),
+    ]
+    df = parse_events(raw_df(spark, lines))
+    assert [r["bucket"] for r in df.collect()] == ["realbucket"]
+
+
+def test_malformed_inner_value_rejected(spark):
+    lines = [
+        wire_event(op(1), "put", "b", "k", "1"),  # non-object inner value
+        wire_event(op(2), "put", "b", "k2", put_doc("k2", "b")),
+        "not json at all",
+        "{}",
+    ]
+    df = parse_events(raw_df(spark, lines))
+    assert [r["key"] for r in df.collect()] == ["k2"]
+
+
+def test_null_key_and_bucket_defaults(spark):
+    import json
+
+    line = json.dumps(
+        {"opIndex": op(1), "type": "put", "bucket": None, "key": None, "value": "{}"}
+    )
+    df = parse_events(raw_df(spark, [line]))
+    row = df.collect()[0]
+    assert row["key"] == ""
+    assert row["bucket"] == "NOBUCKET"
+
+
+def test_batch_and_interval_assignment(spark):
+    lines = [
+        wire_event(op(i), "put", "b", f"k{i}", put_doc(f"k{i}", "b"))
+        for i in range(1, 25)
+    ]
+    df = parse_events(raw_df(spark, lines), compaction_record_interval=10)
+    got = {r["key"]: r["maxOpIndex"] for r in df.collect()}
+    assert got["k1"] == 10 and got["k10"] == 10 and got["k11"] == 20 and got["k24"] == 30
