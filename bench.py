@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Benchmark: headline catalog queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect bottleneck, no result-size bias) after a warm-up pass builds the
+session and file-listing caches.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # relational: scan/agg, 3-way join + topk, broadcast 6-way join, window
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_left_order_counts",
+    "window_rolling_spend",
+    # engine semantics: merge-on-read latest state + sessionization
+    "ev_latest_no_tombstone",
+    "ev_sessionize",
+    # training-data pipeline tier
+    "txt_top_bigrams",
+    "dedup_minhash_lsh",
+    "sim_bruteforce_topk",
+]
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from clueso_spark.plans.catalog import all_queries
+    from clueso_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    spark = get_spark("clueso-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    def run(name: str) -> float:
+        df = registry[name].spark(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    # warm-up: JVM, parquet footers, broadcast machinery
+    run(names[0])
+
+    timings = {}
+    for name in names:
+        timings[name] = round(run(name), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,15 +45,25 @@ def register(name: str, description: str, oracle: str | None, *tags: str):
     return wrap
 
 
+#: every module contributing CatalogQuery registrations
+QUERY_MODULES = [
+    "clueso_spark.plans.relational",
+    "clueso_spark.plans.event_queries",
+    "clueso_spark.plans.text_queries",
+    "clueso_spark.plans.dedup_queries",
+    "clueso_spark.plans.similarity_queries",
+    "clueso_spark.plans.multimodal_queries",
+    "clueso_spark.plans.streaming_queries",
+]
+
+
 def all_queries() -> dict[str, CatalogQuery]:
     """Import all query modules and return the full registry."""
-    # imports are deferred so a SparkSession is never needed at import time
-    import clueso_spark.plans.relational  # noqa: F401
-    import clueso_spark.plans.event_queries  # noqa: F401
-    import clueso_spark.plans.text_queries  # noqa: F401
-    import clueso_spark.plans.dedup_queries  # noqa: F401
-    import clueso_spark.plans.similarity_queries  # noqa: F401
+    import importlib
 
+    # imports are deferred so a SparkSession is never needed at import time
+    for mod in QUERY_MODULES:
+        importlib.import_module(mod)
     return REGISTRY
 
 

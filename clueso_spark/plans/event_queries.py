@@ -1,0 +1,284 @@
+"""Engine semantics as driver queries, over the ``events`` table.
+
+Maps clueso's metadata-event model onto the driver's ``events`` table
+(event_id, ts, user_id, event_type, value, props):
+
+  * ``user_id``  = object key (the dedup partition key)
+  * ``event_id`` = opIndex (globally monotone operation index)
+  * ``event_type = 'error'`` plays the delete-tombstone role
+    (ref: MetadataQueryExecutor.scala:180 suppresses type='delete')
+
+This converts the semantics pinned by the repo's own scenario tests
+(W1 row_number dedup, W2 dense_rank, keyset pagination O4, user predicate
+P9, json parse P3) into driver-verified CORRECTNESS rows, per
+CluesoMergingAndQueryingSpec.scala:15-378.
+
+Scale: every latest-state query shuffles once on user_id (near-unique ->
+unskewed); pagination is keyset (key > start LIMIT n) so deep pages never
+re-sort the world; TakeOrderedAndProject keeps top-k heaps per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clueso_spark.operators.merge import latest_rows
+from clueso_spark.plans.catalog import dec, register
+from clueso_spark.sources.tables import load_table
+
+#: full-precision timestamp render, identical in Spark and DuckDB
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+_LATEST_CTE = """
+with latest as (
+  select *, row_number() over (partition by user_id order by event_id desc) as rn
+  from events
+)
+select event_id, user_id, event_type,
+       cast(value as double) as value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') as ts_str
+from latest where rn = 1
+"""
+
+
+def _latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: latest event per user via row_number over opIndex desc."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "ev_latest_state",
+    "W1 flagship: latest-event-per-user via row_number window "
+    "(ref: MetadataQueryExecutor.scala:173-180). One shuffle on user_id.",
+    _LATEST_CTE,
+    "window", "engine", "flagship",
+)
+def ev_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _latest_state(spark, sf_dir)
+
+
+@register(
+    "ev_latest_no_tombstone",
+    "W1 + tombstone suppression: users whose LATEST event is an 'error' "
+    "are hidden entirely, exactly how a winning delete tombstone shadows "
+    "a key (ref: MetadataQueryExecutor.scala:180).",
+    _LATEST_CTE + " and event_type <> 'error'",
+    "window", "engine", "tombstone",
+)
+def ev_latest_no_tombstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _latest_state(spark, sf_dir).where(F.col("event_type") != "error")
+
+
+@register(
+    "ev_latest_dense_rank",
+    "W2: dense_rank variant -- preserves ties on the ordering key, the "
+    "compaction-path dedup (ref: TableFilesCompactor.scala:162-167).",
+    """
+    with ranked as (
+      select *, dense_rank() over (partition by user_id order by event_id desc) as rk
+      from events
+    )
+    select event_id, user_id, event_type, cast(value as double) as value
+    from ranked where rk = 1
+    """,
+    "window", "engine",
+)
+def ev_latest_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        ev.withColumn("rk", F.dense_rank().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "ev_engine_latest",
+    "The actual engine code path: events mapped into the clueso envelope "
+    "(key/opIndex/type) and deduped by operators.merge.latest_rows -- ties "
+    "the driver row to the real merge-on-read operator.",
+    """
+    with latest as (
+      select *, row_number() over (
+        partition by cast(user_id as varchar)
+        order by lpad(cast(event_id as varchar), 12, '0') desc) as rn
+      from events
+    )
+    select cast(user_id as varchar) as key,
+           lpad(cast(event_id as varchar), 12, '0') as opIndex,
+           case when event_type = 'error' then 'delete' else 'put' end as type
+    from latest
+    where rn = 1 and event_type <> 'error'
+    """,
+    "window", "engine",
+)
+def ev_engine_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    envelope = ev.select(
+        F.col("user_id").cast("string").alias("key"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("opIndex"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("type"),
+    )
+    return latest_rows(envelope)  # row_number + tombstone filter
+
+
+@register(
+    "ev_keyset_page",
+    "O4 keyset pagination: page of latest state with key > start_key, "
+    "ordered, limited (ref: MetadataQuery.scala:3, pinned by "
+    "CluesoMergingAndQueryingSpec:174-255). TakeOrderedAndProject, no "
+    "global sort.",
+    _LATEST_CTE + " and user_id > 25 order by user_id limit 10",
+    "pagination", "engine", "topk",
+)
+def ev_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _latest_state(spark, sf_dir)
+        .where(F.col("user_id") > 25)  # P10 keyset predicate
+        .orderBy("user_id")  # O1
+        .limit(10)  # O2
+    )
+
+
+@register(
+    "ev_predicate_search",
+    "P9 user predicate: raw SQL WHERE over the latest-state view, the "
+    "reference's search query language "
+    "(ref: MetadataQueryExecutor.scala:69-72).",
+    _LATEST_CTE + " and value > 50 and event_type like '%ck'",
+    "predicate", "engine",
+)
+def ev_predicate_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the WHERE arrives as a string, exactly like the reference's API
+    return _latest_state(spark, sf_dir).where(
+        "value > 50 and event_type like '%ck'"
+    )
+
+
+@register(
+    "ev_json_props",
+    "P3 analog: parse the props JSON column, bucket by the extracted "
+    "field (get_json_object stays JVM-side; no Python).",
+    """
+    select cast(cast(json_extract_string(props, '$.k') as bigint) // 10 as bigint)
+             as k_bucket,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+    from events
+    group by 1
+    """,
+    "json", "aggregate",
+)
+def ev_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.withColumn("k_bucket", F.floor(k / 10).cast("bigint"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ev_hourly_rollup",
+    "Event-time bucketed aggregation (batch equivalent of the streaming "
+    "windowed agg): per hour x event_type counts and exact sums.",
+    """
+    select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') as hour,
+           event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+    from events
+    group by 1, 2
+    """,
+    "aggregate", "time",
+)
+def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ev_sessionize",
+    "Sessionization: lag() gap detection (>30 min starts a new session), "
+    "cumulative-sum session ids, per-user session stats. Gap math uses "
+    "integer microseconds (unix_micros / epoch_us) for exact parity.",
+    """
+    with gaps as (
+      select user_id, ts, event_id, value,
+             epoch_us(ts) - lag(epoch_us(ts)) over (
+               partition by user_id order by ts, event_id) as gap_us
+      from events
+    ),
+    sessions as (
+      select user_id, value,
+             sum(case when gap_us is null or gap_us > 1800000000 then 1 else 0 end)
+               over (partition by user_id order by ts, event_id
+                     rows between unbounded preceding and current row) as session_id
+      from gaps
+    )
+    select user_id, cast(session_id as bigint) as session_id,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as session_value
+    from sessions
+    group by user_id, session_id
+    """,
+    "window", "sessionize",
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    new_session = (
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1000 * 1000), 1).otherwise(0)
+    )
+    return (
+        ev.withColumn("session_id", F.sum(new_session).over(w_cum).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+    )

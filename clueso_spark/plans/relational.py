@@ -1,0 +1,658 @@
+"""Relational surface: scans, joins, aggregates, windows, sorts, set ops.
+
+SURVEY.md §2.3/§2.4 note the reference implements no joins or groupBy
+aggregates of its own -- they ride Catalyst (ref: MetadataQueryExecutor.scala
+uses only union+window). This module *exercises* that Catalyst-free-ride
+surface over the driver's TPC-H-ish tables so every operator family has a
+driver-verified correctness row.
+
+Determinism rules (hash parity with the DuckDB oracle):
+  * money/qty sums go through ``decimal`` (exact, order-independent) and are
+    cast back to double -- bit-identical across engines;
+  * averages = exact decimal sum cast to double, divided by a bigint count
+    (a single IEEE double division is deterministic);
+  * every top-k ordering carries a unique-key tie-breaker;
+  * integer outputs are cast to bigint on both sides (pandas dtype parity).
+
+Scale notes are inline per query: which side broadcasts, what shuffles,
+what AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clueso_spark.plans.catalog import dec, register
+from clueso_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+select
+  l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(12,2))) as double)      as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as sum_base_price,
+  cast(sum(cast(l_extendedprice as decimal(12,2))
+           * cast(1 - l_discount as decimal(12,2))) as double) as sum_disc_price,
+  cast(sum(cast(l_extendedprice as decimal(12,2))
+           * cast(1 - l_discount as decimal(12,2))
+           * cast(1 + l_tax as decimal(12,2))) as double)      as sum_charge,
+  cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*)      as avg_qty,
+  cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / count(*) as avg_price,
+  cast(sum(cast(l_discount as decimal(12,2))) as double) / count(*)      as avg_disc,
+  cast(count(*) as bigint) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01 00:00:00'
+group by l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "q1_pricing_summary",
+    "TPC-H Q1 pricing summary: filtered scan -> hash aggregate. "
+    "Scale: partial (map-side) agg + 4-group final agg; the shipdate filter "
+    "and 7-column pruning push to the parquet scan.",
+    Q1_ORACLE,
+    "aggregate", "scan", "tpch",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    charge = disc_price * dec(F.lit(1) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").cast("bigint").alias("count_order"),
+        )
+    )
+
+
+Q3_ORACLE = """
+select
+  l_orderkey,
+  cast(sum(cast(l_extendedprice as decimal(12,2))
+           * cast(1 - l_discount as decimal(12,2))) as double) as revenue,
+  strftime(o_orderdate, '%Y-%m-%d') as order_date,
+  o_orderpriority
+from customer join orders on c_custkey = o_custkey
+              join lineitem on l_orderkey = o_orderkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1995-03-15 00:00:00'
+  and l_shipdate > timestamp '1995-03-15 00:00:00'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+@register(
+    "q3_shipping_priority",
+    "TPC-H Q3: 3-way join (customer⋈orders⋈lineitem) + agg + top-k. "
+    "Scale: customer filter prunes the build side; orders⋈lineitem is the "
+    "big shuffle join on orderkey; top-10 compiles to TakeOrderedAndProject.",
+    Q3_ORACLE,
+    "join", "aggregate", "topk", "tpch",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q5_ORACLE = """
+select
+  n_name,
+  cast(sum(cast(l_extendedprice as decimal(12,2))
+           * cast(1 - l_discount as decimal(12,2))) as double) as revenue
+from customer
+  join orders   on c_custkey = o_custkey
+  join lineitem on l_orderkey = o_orderkey
+  join supplier on l_suppkey = s_suppkey and c_nationkey = s_nationkey
+  join nation   on s_nationkey = n_nationkey
+  join region   on n_regionkey = r_regionkey
+where r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate <  timestamp '1997-01-01 00:00:00'
+group by n_name
+"""
+
+
+@register(
+    "q5_local_supplier_volume",
+    "TPC-H Q5: 6-way join with broadcast dims. Scale: nation/region/supplier "
+    "are broadcast (no shuffle); only customer⋈orders⋈lineitem shuffle on "
+    "their keys. Explicit F.broadcast hints pin the strategy.",
+    Q5_ORACLE,
+    "join", "broadcast", "aggregate", "tpch",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join types (inner / left / semi / anti)
+# ---------------------------------------------------------------------------
+
+JOIN_INNER_ORACLE = """
+select c_custkey, c_name, o_orderkey,
+       cast(o_totalprice as double) as total_price
+from customer join orders on c_custkey = o_custkey
+where o_totalprice > 400000
+"""
+
+
+@register(
+    "join_inner_big_orders",
+    "Inner join customer⋈orders with a selective pushed filter. Scale: the "
+    "o_totalprice filter reaches the parquet scan (PushedFilters); AQE picks "
+    "broadcast if the filtered side is small.",
+    JOIN_INNER_ORACLE,
+    "join",
+)
+def join_inner_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return cust.join(orders, cust.c_custkey == orders.o_custkey).select(
+        "c_custkey",
+        "c_name",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+JOIN_LEFT_ORACLE = """
+select c_custkey, c_mktsegment,
+       cast(count(o_orderkey) as bigint) as n_orders,
+       cast(coalesce(sum(cast(o_totalprice as decimal(12,2))), 0) as double)
+         as total_spend
+from customer left join orders on c_custkey = o_custkey
+group by c_custkey, c_mktsegment
+"""
+
+
+@register(
+    "join_left_order_counts",
+    "Left outer join preserving order-less customers (count=0). Scale: "
+    "shuffle join on custkey; partial count pushes map-side.",
+    JOIN_LEFT_ORACLE,
+    "join", "aggregate",
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").cast("bigint").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+JOIN_SEMI_ORACLE = """
+select c_custkey, c_name
+from customer
+where exists (select 1 from orders
+              where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+"""
+
+
+@register(
+    "join_semi_urgent_customers",
+    "Left-semi join (EXISTS): customers having at least one urgent order. "
+    "Scale: semi join never materializes the probe side's payload columns.",
+    JOIN_SEMI_ORACLE,
+    "join",
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+JOIN_ANTI_ORACLE = """
+select c_custkey, c_name, c_mktsegment
+from customer
+where not exists (select 1 from orders
+                  where o_custkey = c_custkey and o_orderpriority = '1-URGENT')
+"""
+
+
+@register(
+    "join_anti_no_urgent_orders",
+    "Left-anti join (NOT EXISTS): customers with no urgent orders.",
+    JOIN_ANTI_ORACLE,
+    "join",
+)
+def join_anti_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# Grouping extensions: rollup / cube / grouping sets / distinct aggregates
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+select o_orderpriority, o_orderstatus,
+       cast(grouping(o_orderpriority) as bigint) as g_priority,
+       cast(grouping(o_orderstatus) as bigint)  as g_status,
+       cast(count(*) as bigint) as n_orders,
+       cast(sum(cast(o_totalprice as decimal(12,2))) as double) as total_price
+from orders
+group by rollup (o_orderpriority, o_orderstatus)
+"""
+
+
+@register(
+    "agg_rollup_priority_status",
+    "ROLLUP over (priority, status) with GROUPING flags disambiguating "
+    "subtotal rows. Scale: Spark expands rollup to a single Expand+agg pass.",
+    ROLLUP_ORACLE,
+    "aggregate", "rollup",
+)
+def agg_rollup_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+    )
+
+
+CUBE_ORACLE = """
+select l_returnflag, l_linestatus,
+       cast(grouping(l_returnflag) as bigint) as g_flag,
+       cast(grouping(l_linestatus) as bigint) as g_status,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) as sum_qty
+from lineitem
+group by cube (l_returnflag, l_linestatus)
+"""
+
+
+@register(
+    "agg_cube_flag_status",
+    "CUBE over (returnflag, linestatus): all 4 grouping combinations in one "
+    "Expand pass.",
+    CUBE_ORACLE,
+    "aggregate", "cube",
+)
+def agg_cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+GROUPING_SETS_ORACLE = """
+select o_orderstatus, o_orderpriority,
+       cast(count(*) as bigint) as n_orders
+from orders
+group by grouping sets ((o_orderstatus), (o_orderpriority))
+"""
+
+
+@register(
+    "agg_grouping_sets",
+    "GROUPING SETS ((status),(priority)) via Spark SQL -- two independent "
+    "group-bys in one Expand+aggregate.",
+    GROUPING_SETS_ORACLE,
+    "aggregate", "grouping-sets", "sql",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        select o_orderstatus, o_orderpriority,
+               cast(count(*) as bigint) as n_orders
+        from _gs_orders
+        group by grouping sets ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+DISTINCT_ORACLE = """
+select
+  cast(count(distinct o_custkey) as bigint)  as n_customers,
+  cast(count(distinct o_orderpriority) as bigint) as n_priorities,
+  cast(count(*) as bigint) as n_orders
+from orders
+"""
+
+
+@register(
+    "agg_distinct_counts",
+    "Multiple COUNT(DISTINCT) in one aggregate -- Spark expands to a "
+    "single multi-distinct Expand plan.",
+    DISTINCT_ORACLE,
+    "aggregate", "distinct",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    "approx_count_distinct (HyperLogLog++) over o_custkey. Sketch values are "
+    "engine-specific, so the oracle is rows-only; at 100 TB the sketch "
+    "replaces an exact distinct's full shuffle with a fixed-size merge.",
+    None,  # HLL estimates differ across engines by design
+    "aggregate", "approx",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.approx_count_distinct("o_custkey", 0.02)
+        .cast("bigint")
+        .alias("approx_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+WINDOW_RANK_ORACLE = """
+select * from (
+  select c_mktsegment, c_custkey, cast(c_acctbal as double) as acctbal,
+         cast(rank() over (partition by c_mktsegment
+                           order by c_acctbal desc, c_custkey) as bigint) as bal_rank
+  from customer
+) where bal_rank <= 5
+"""
+
+
+@register(
+    "window_rank_top_balances",
+    "rank() per market segment, top-5 per group. Scale: one shuffle on the "
+    "partition key; the rank<=5 filter runs inside the window stage.",
+    WINDOW_RANK_ORACLE,
+    "window", "topk",
+)
+def window_rank_top_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.rank().over(w).cast("bigint").alias("bal_rank"),
+        )
+        .where(F.col("bal_rank") <= 5)
+    )
+
+
+WINDOW_ROLLING_ORACLE = """
+select o_custkey, o_orderkey,
+       cast(sum(cast(o_totalprice as decimal(12,2)))
+            over (partition by o_custkey
+                  order by o_orderdate, o_orderkey
+                  rows between 2 preceding and current row) as double)
+         as rolling_spend
+from orders
+"""
+
+
+@register(
+    "window_rolling_spend",
+    "Rolling 3-order spend per customer (ROWS BETWEEN frame). Decimal sum "
+    "inside the frame keeps the value exact and order-independent.",
+    WINDOW_ROLLING_ORACLE,
+    "window", "frame",
+)
+def window_rolling_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("rolling_spend"),
+    )
+
+
+WINDOW_LAG_ORACLE = """
+select o_custkey, o_orderkey,
+       cast(datediff('day',
+              cast(lag(o_orderdate) over (partition by o_custkey
+                                          order by o_orderdate, o_orderkey) as date),
+              cast(o_orderdate as date)) as bigint) as days_since_prev
+from orders
+"""
+
+
+@register(
+    "window_lag_reorder_gap",
+    "lag(): days between consecutive orders per customer (NULL for the "
+    "first order).",
+    WINDOW_LAG_ORACLE,
+    "window", "lag",
+)
+def window_lag_reorder_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag(F.col("o_orderdate")).over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), prev.cast("date"))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops / scalar functions
+# ---------------------------------------------------------------------------
+
+SORT_LIMIT_ORACLE = """
+select o_orderkey, cast(o_totalprice as double) as total_price, o_orderpriority
+from orders
+order by o_totalprice desc, o_orderkey
+limit 20
+"""
+
+
+@register(
+    "sort_limit_top_orders",
+    "Global top-20 by price. Catalyst compiles orderBy+limit to "
+    "TakeOrderedAndProject: per-partition heaps, no global sort materialized "
+    "-- the scale-correct top-k plan.",
+    SORT_LIMIT_ORACLE,
+    "sort", "topk",
+)
+def sort_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+SETOP_ORACLE = """
+select c_custkey from customer where c_mktsegment = 'BUILDING'
+intersect
+select o_custkey as c_custkey from orders where o_totalprice > 300000
+"""
+
+
+@register(
+    "setop_intersect_buyers",
+    "INTERSECT: BUILDING-segment customers who also placed a >300k order. "
+    "Compiles to a semi join after distinct.",
+    SETOP_ORACLE,
+    "setop",
+)
+def setop_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    building = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    big = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return building.intersect(big)
+
+
+SETOP_EXCEPT_ORACLE = """
+select distinct o_custkey from orders where o_orderpriority = '1-URGENT'
+except
+select distinct o_custkey from orders where o_orderpriority = '5-LOW'
+"""
+
+
+@register(
+    "setop_except_urgent_only",
+    "EXCEPT: customers with urgent orders but no low-priority ones.",
+    SETOP_EXCEPT_ORACLE,
+    "setop",
+)
+def setop_except_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    low = orders.where(F.col("o_orderpriority") == "5-LOW").select(
+        "o_custkey"
+    ).distinct()
+    return urgent.exceptAll(low)
+
+
+SCALAR_ORACLE = """
+select
+  p_partkey,
+  upper(p_brand)                         as brand_upper,
+  substr(p_name, 1, 8)                   as name_prefix,
+  cast(length(p_name) as bigint)         as name_len,
+  concat(p_brand, ':', p_type)           as brand_type,
+  cast(abs(p_size - 25) as bigint)       as size_dist,
+  cast(p_size % 7 as bigint)             as size_mod,
+  cast(round(cast(p_retailprice as decimal(12,2)) * 110, 0) as bigint)
+                                         as price_cents_x110,
+  case when p_size > 25 then 'large' when p_size > 10 then 'medium'
+       else 'small' end                  as size_class,
+  md5(p_name)                            as name_md5
+from part
+where p_name like '%a%'
+"""
+
+
+@register(
+    "scalar_function_showcase",
+    "String/math/conditional/hash scalar functions in one projection over "
+    "part (SURVEY §2.8). All JVM-side Column expressions -- whole-stage "
+    "codegen, no Python in the loop.",
+    SCALAR_ORACLE,
+    "scalar", "projection",
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.where(F.col("p_name").like("%a%")).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dist"),
+        (F.col("p_size") % 7).cast("bigint").alias("size_mod"),
+        F.round(dec("p_retailprice") * 110, 0).cast("bigint").alias("price_cents_x110"),
+        F.when(F.col("p_size") > 25, "large")
+        .when(F.col("p_size") > 10, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.md5("p_name").alias("name_md5"),
+    )

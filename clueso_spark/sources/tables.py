@@ -24,7 +24,29 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        # allow Spark to read INT64 TIMESTAMP(NANOS) columns at all
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events":
+        df = _fix_nano_timestamps(df, "ts")
+    return df
+
+
+def _fix_nano_timestamps(df: DataFrame, *cols: str) -> DataFrame:
+    """events.parquet stores ``ts`` as INT64 TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects outright. We read it as a raw long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to microseconds
+    with *integer* division -- double division would lose precision above
+    2^53 ns and round instead of truncating, diverging from how
+    DuckDB/Arrow render the same instants.
+    """
+    from pyspark.sql import functions as F
+
+    for c in cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

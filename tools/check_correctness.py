@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Local correctness gate: run every catalog query against its DuckDB
+oracle at sf0.01, the same comparison the round driver performs.
+
+Usage: python tools/check_correctness.py [--sf-dir DIR] [name ...]
+Exit code 0 iff every checked query matches (rows-only queries must run).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*", help="subset of query names")
+    args = ap.parse_args()
+
+    sys.path.insert(0, "/root/repo")
+    from clueso_spark.plans.parity import run_catalog
+    from clueso_spark.session import get_spark
+
+    spark = get_spark(
+        "check-correctness", **{"spark.sql.shuffle.partitions": "8"}
+    )
+    results = run_catalog(spark, args.sf_dir, args.names or None)
+    n_fail = 0
+    for r in results:
+        status = "OK  " if r.ok else "FAIL"
+        n_fail += 0 if r.ok else 1
+        extra = f" {r.detail}" if (r.detail and not r.ok) else (
+            " (rows-only)" if r.detail == "rows-only" else ""
+        )
+        print(f"{status} {r.name:35s} rows={r.rows_spark}/{r.rows_oracle}{extra}")
+    print(f"\n{len(results) - n_fail}/{len(results)} queries match")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
