@@ -1,0 +1,83 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (what a 100 TB multimodal pipeline needs from the engine):
+  * the payload is an opaque ``binary`` column; metadata travels in typed
+    sibling columns (modality, n_bytes, ...) so filters/pruning never touch
+    the bytes;
+  * decode / feature-extract runs as an Arrow-batched ``mapInPandas`` --
+    whole partitions stream through Python in columnar batches, the only
+    sanctioned Python boundary in the engine;
+  * real codecs (image/audio/video) are STUBS here: the container has no
+    media libraries, so :func:`decode_media` raises NotImplementedError.
+    The batch shape, schema contract, and partition flow around it are
+    real and tested with the deterministic byte-level featurizer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: output contract of the featurizer stage
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("content_md5", StringType(), False),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Turn a text column into the opaque-binary + typed-metadata shape
+    every multimodal row uses (here the 'media' is the utf-8 bytes)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "modality", F.lit("text")
+    )
+
+
+def decode_media(payload: bytes, modality: str):
+    """Real media decode (image/audio/video). STUB: the runtime has no
+    codec libraries; a deployment plugs Pillow/torchaudio/av in here.
+    The engine-side contract (binary in, feature columns out, Arrow
+    batches) does not change when this is filled in."""
+    raise NotImplementedError(
+        f"no codec for modality={modality!r} in this runtime; "
+        "install a decoder and replace decode_media"
+    )
+
+
+def featurize_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: per Arrow batch, compute deterministic
+    byte-level features (length + md5). This is the real partition-parallel
+    shape a decode stage runs in -- swap the body for decode_media calls."""
+    import pandas as pd
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "modality": pdf["modality"],
+                "n_bytes": pdf["payload"].map(len).astype("int64"),
+                "content_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+        )
+
+
+def featurize(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, modality)."""
+    return df.select("doc_id", "payload", "modality").mapInPandas(
+        featurize_batches, FEATURE_SCHEMA
+    )

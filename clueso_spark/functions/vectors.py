@@ -1,0 +1,58 @@
+"""Vector column functions: cosine similarity, norms, LSH sketches.
+
+Embeddings arrive as ``array<float>``; every helper casts to double
+*before* arithmetic so both engines compute the identical IEEE sequence
+(sequential left-to-right fold), making scores reproducible enough to
+oracle-verify after a round().
+
+Scale stance: these are per-row Column expressions -- a cosine against K
+probe vectors is a broadcast nested-loop join (probes broadcast, one pass
+over the big side), and bucketed variants (LSH / IVF) turn the all-pairs
+problem into a shuffle on a small bucket key. No crossJoin of the big side
+against itself anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def to_double_array(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> cast(x as double))")
+
+
+def dot(a: str, b: str) -> Column:
+    """Sequential-fold dot product of two double arrays."""
+    return F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+
+
+def squared_norm(a: str) -> Column:
+    return F.expr(f"aggregate({a}, 0D, (acc, x) -> acc + x * x)")
+
+
+def cosine_similarity(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    """cosine = dot / (sqrt(|a|^2) * sqrt(|b|^2)); the norm columns are
+    precomputed once per row (scale: avoids recomputing the self-norm per
+    candidate pair)."""
+    return dot(a, b) / (F.sqrt(F.col(norm_a)) * F.sqrt(F.col(norm_b)))
+
+
+def lsh_bucket(vec_col: str, n_planes: int = 4, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id as an ``n_planes``-char bit string.
+
+    Hyperplane weights are derived from md5 nibbles of "plane_dim" --
+    deterministic, engine-independent pseudo-randomness (no RNG, no seed
+    state): w[p][d] = nibble(md5(f"{p}_{d}")) - 7.5, nibble in [0, 15].
+    Same-bucket vectors are near in angle with high probability; probing a
+    bucket replaces the all-pairs scan with a 2^n_planes-way partition.
+    """
+    bits = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"(instr('0123456789abcdef', substring(md5('{p}_{d}'), 1, 1)) - 8.5)"
+            f" * element_at({vec_col}, {d + 1})"
+            for d in range(dim)
+        )
+        bits.append(f"case when ({terms}) >= 0 then '1' else '0' end")
+    return F.expr("concat(" + ", ".join(bits) + ")")

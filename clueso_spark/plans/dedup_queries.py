@@ -1,1 +1,288 @@
-"""placeholder -- populated this round"""
+"""Deduplication over ``documents``: exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of these operators at 100 TB):
+  * NO all-pairs crossJoin anywhere. Every candidate-pair step is an
+    equi-join on a *bucket key* -- an LSH band signature, a SimHash
+    sketch, or a blocking key -- so the shuffle is keyed and the pair
+    space is the per-bucket square, not the corpus square.
+  * Hashes are md5 hex strings: uniform, engine-independent, and
+    lexicographically comparable -- which is what lets a DuckDB oracle
+    verify the exact same LSH algorithm end-to-end.
+  * Verification (exact Jaccard) runs only on surviving candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clueso_spark.functions.text import minhash_signature, tokens, word_shingles
+from clueso_spark.plans.catalog import register
+from clueso_spark.sources.tables import load_table
+
+N_BANDS = 8
+
+
+@register(
+    "dedup_exact_summary",
+    "Exact-dup profile in one pass: total docs, distinct raw texts, "
+    "distinct normalized texts, duplicate-group count (md5 hash groupBy; "
+    "the 100 TB shape -- hash once, aggregate, never compare strings).",
+    """
+    with h as (select md5(lower(trim(text))) as fp, text from documents)
+    select cast(count(*) as bigint) as n_docs,
+           cast(count(distinct text) as bigint) as n_distinct_raw,
+           cast(count(distinct fp) as bigint) as n_distinct_norm,
+           cast(count(*) - count(distinct fp) as bigint) as n_dup_rows
+    from h
+    """,
+    "dedup", "exact",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(fp.alias("fp"), "text").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count_distinct("text").cast("bigint").alias("n_distinct_raw"),
+        F.count_distinct("fp").cast("bigint").alias("n_distinct_norm"),
+        (F.count("*") - F.count_distinct("fp")).cast("bigint").alias("n_dup_rows"),
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct word-3-shingles."""
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    return (
+        docs.select("doc_id", F.explode(word_shingles("w", 3)).alias("shingle"))
+        .distinct()
+    )
+
+
+_MINHASH_ORACLE = f"""
+with t as (select doc_id, string_split(text, ' ') w from documents),
+sh as (
+  select distinct doc_id,
+         unnest(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingle
+  from t where len(w) >= 3
+),
+bands as (
+  select doc_id, b.range as band,
+         min(md5(cast(b.range as varchar) || '|' || shingle)) as sig
+  from sh cross join range({N_BANDS}) b
+  group by doc_id, b.range
+),
+cand as (
+  select distinct a.doc_id as doc_a, b.doc_id as doc_b
+  from bands a join bands b on a.band = b.band and a.sig = b.sig
+                           and a.doc_id < b.doc_id
+),
+sets as (select doc_id, list(shingle) ss from sh group by doc_id)
+select doc_a, doc_b,
+       len(list_intersect(x.ss, y.ss))::double
+         / len(list_distinct(x.ss || y.ss)) as jaccard
+from cand join sets x on doc_a = x.doc_id
+          join sets y on doc_b = y.doc_id
+where len(list_intersect(x.ss, y.ss))::double
+        / len(list_distinct(x.ss || y.ss)) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"MinHash+LSH near-dedup: word-3-shingles -> {N_BANDS} banded minhash "
+    "signatures -> equi-join on (band, sig) for candidates -> exact "
+    "Jaccard >= 0.5 verification. The candidate join is keyed (no "
+    "CartesianProduct node); at 100 TB the band shuffle is the only "
+    "corpus-wide movement.",
+    _MINHASH_ORACLE,
+    "dedup", "minhash", "lsh",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    bands = sh.groupBy("doc_id").agg(
+        *[minhash_signature(F.col("shingle"), b).alias(f"sig_{b}") for b in range(N_BANDS)]
+    )
+    stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
+    long = bands.select(
+        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band, sig)")
+    )
+    a, b = long.alias("a"), long.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
+    jac = F.size(F.array_intersect("x.ss", "y.ss")).cast("double") / F.size(
+        F.array_union("x.ss", "y.ss")
+    )
+    return (
+        cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
+        .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_ORACLE = """
+with words as (
+  select distinct doc_id, unnest(string_split(text, ' ')) as word from documents
+),
+sums as (
+  select doc_id, {sums}
+  from words group by doc_id
+),
+sk as (select doc_id, {bits} as simhash from sums)
+select simhash,
+       cast(count(*) as bigint) as n_docs,
+       string_agg(doc_id, ',' order by doc_id) as doc_ids
+from sk group by simhash having count(*) > 1
+""".format(
+    sums=", ".join(
+        "sum(case when strpos('0123456789abcdef', substr(md5(word), {p}, 1)) - 1 >= 8"
+        " then 1 else -1 end) as s{j}".format(p=j + 1, j=j)
+        for j in range(16)
+    ),
+    bits="concat("
+    + ", ".join(f"case when s{j} >= 0 then '1' else '0' end" for j in range(16))
+    + ")",
+)
+
+
+@register(
+    "dedup_simhash",
+    "SimHash near-dedup: 16-bit nibble-level simhash over the distinct "
+    "word set (md5-derived, engine-independent); docs sharing a sketch "
+    "are duplicate candidates. One groupBy on the sketch -- the cheapest "
+    "possible near-dup pass at scale.",
+    _SIMHASH_ORACLE,
+    "dedup", "simhash",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct("w")).alias("word")
+    )
+    sums = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(
+                    f"case when instr('0123456789abcdef', substring(md5(word), {j + 1}, 1))"
+                    " - 1 >= 8 then 1 else -1 end"
+                )
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    bits = F.concat(
+        *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
+    )
+    return (
+        sums.select("doc_id", bits.alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> cast(x as string)), ',')"
+            ).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "Blocked n-gram Jaccard: candidate pairs restricted to a blocking key "
+    "(language), exact word-set Jaccard >= 0.8 inside each block. The "
+    "block key caps the pair space; at 100 TB the block would be an LSH "
+    "band (see dedup_minhash_lsh) -- same plan shape.",
+    """
+    with s as (select doc_id, lang, list_distinct(string_split(text, ' ')) ws
+               from documents)
+    select a.doc_id as doc_a, b.doc_id as doc_b,
+           len(list_intersect(a.ws, b.ws))::double
+             / len(list_distinct(a.ws || b.ws)) as jaccard
+    from s a join s b on a.lang = b.lang and a.doc_id < b.doc_id
+    where len(list_intersect(a.ws, b.ws))::double
+            / len(list_distinct(a.ws || b.ws)) >= 0.8
+    """,
+    "dedup", "jaccard",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id", "lang", F.array_distinct(tokens()).alias("ws")
+    )
+    a, b = s.alias("a"), s.alias("b")
+    jac = F.size(F.array_intersect("a.ws", "b.ws")).cast("double") / F.size(
+        F.array_union("a.ws", "b.ws")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    "Embedding-cosine near-dup: pairs with cosine >= 0.4, blocked on the "
+    "label column (the IVF-cell stand-in). Cosine in double precision "
+    "with sequential fold on both engines; scores rounded to 6 dp.",
+    """
+    with e as (select vec_id, label,
+                      list_transform(embedding, x -> cast(x as double)) v
+               from embeddings),
+    n as (select vec_id, label, v, list_dot_product(v, v) as sq from e)
+    select a.vec_id as vec_a, b.vec_id as vec_b,
+           round(list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)), 6)
+             as cosine
+    from n a join n b on a.label = b.label and a.vec_id < b.vec_id
+    where list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)) >= 0.4
+    """,
+    "dedup", "embedding",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    n = emb.withColumn(
+        "sq", F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, t) -> acc + t)")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    dot_ab = F.expr(
+        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, t) -> acc + t)"
+    )
+    cos = dot_ab / (F.sqrt(F.col("a.sq")) * F.sqrt(F.col("b.sq")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("raw_cos"),
+        )
+        .where(F.col("raw_cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
+    )

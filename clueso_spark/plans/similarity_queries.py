@@ -1,1 +1,227 @@
-"""placeholder -- populated this round"""
+"""Similarity search over ``embeddings``: brute-force top-k baseline,
+LSH-bucketed ANN, IVF-cell ANN.
+
+Scale design:
+  * brute-force = K probe vectors BROADCAST against the corpus: one scan,
+    no shuffle of the big side, per-partition top-k heaps
+    (TakeOrderedAndProject semantics via window rank <= k).
+  * LSH path: deterministic random-hyperplane buckets (md5-derived
+    weights, engine-independent) -> candidate set is one bucket, exact
+    rerank inside. The bucket join is an equi-join on the bucket key.
+  * IVF path: centroids per cell (label), probe -> nearest centroid ->
+    exact rerank within that cell. Float mean is order-dependent across
+    engines, so this one is rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clueso_spark.functions.vectors import lsh_bucket, to_double_array
+from clueso_spark.plans.catalog import register
+from clueso_spark.sources.tables import load_table
+
+N_PROBES = 5  # vec_id < 5 are the probe vectors
+TOP_K = 10
+N_PLANES = 4
+DIM = 64
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, t) -> acc + t)"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", to_double_array("embedding").alias("v"))
+        .withColumn("sq", F.expr(_DOT.format(a="v", b="v")))
+    )
+
+
+BRUTE_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v, list_dot_product(v, v) sq from e),
+probes as (select vec_id as probe_id, v as pv, sq as psq from n
+           where vec_id < {N_PROBES}),
+scored as (
+  select probe_id, vec_id,
+         list_dot_product(pv, v) / (sqrt(psq) * sqrt(sq)) as cos
+  from probes join n on vec_id <> probe_id
+),
+ranked as (
+  select probe_id, vec_id, cos,
+         row_number() over (partition by probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+)
+select probe_id, vec_id, round(cos, 6) as cosine, cast(rk as bigint) as rk
+from ranked where rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_bruteforce_topk",
+    f"Brute-force cosine top-{TOP_K} for {N_PROBES} probe vectors. Probes "
+    "broadcast (BroadcastNestedLoopJoin); corpus scanned once; per-probe "
+    "row_number keeps the heap semantics. The exact baseline every ANN "
+    "variant is measured against.",
+    BRUTE_ORACLE,
+    "similarity", "ann", "broadcast",
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("sq").alias("psq"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        probes.join(emb, F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+def _lsh_plane_sql(p: int, vec: str) -> str:
+    """The oracle-side replica of functions.vectors.lsh_bucket: identical
+    term order, identical md5-nibble weights."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5('{p}_{d}'), 1, 1)) - 8.5)"
+        f" * {vec}[{d + 1}]"
+        for d in range(DIM)
+    )
+    return f"case when ({terms}) >= 0 then '1' else '0' end"
+
+
+LSH_ORACLE = (
+    """
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v, list_dot_product(v, v) sq,
+             concat(%s) as bucket
+      from e),
+probes as (select vec_id probe_id, v pv, sq psq, bucket from n
+           where vec_id < %d),
+scored as (
+  select probe_id, n.vec_id,
+         list_dot_product(pv, n.v) / (sqrt(psq) * sqrt(n.sq)) as cos
+  from probes join n on probes.bucket = n.bucket and n.vec_id <> probe_id
+),
+ranked as (
+  select probe_id, vec_id, cos,
+         row_number() over (partition by probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+)
+select probe_id, vec_id, round(cos, 6) as cosine, cast(rk as bigint) as rk
+from ranked where rk <= %d
+"""
+    % (", ".join(_lsh_plane_sql(p, "v") for p in range(N_PLANES)), N_PROBES, TOP_K)
+)
+
+
+@register(
+    "sim_lsh_ann",
+    f"LSH-bucketed ANN: {N_PLANES} deterministic random-hyperplane signs "
+    "(md5-nibble weights) partition the corpus into 2^4 buckets; each "
+    "probe reranks exactly inside its own bucket. Candidate join is an "
+    "equi-join on the bucket key -- the 100 TB plan (bucket = shuffle "
+    "key), verified cross-engine because the hyperplanes are hash-derived.",
+    LSH_ORACLE,
+    "similarity", "ann", "lsh",
+)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn("bucket", lsh_bucket("v", N_PLANES, DIM))
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("sq").alias("psq"),
+            F.col("bucket").alias("pbucket"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        probes.join(
+            emb,
+            (F.col("pbucket") == F.col("bucket"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "sim_ivf_cells",
+    "IVF-style ANN: per-cell centroids (mean embedding per label), probe "
+    "-> nearest centroid -> exact top-5 rerank within the cell. "
+    "Rows-only oracle: float means are summation-order-dependent across "
+    "engines. Centroid build = one posexplode + groupBy(cell, dim) -- at "
+    "100 TB that is the standard two-pass IVF build.",
+    None,
+    "similarity", "ann", "ivf",
+)
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    # centroid per label: explode to (label, pos, val), average, re-assemble
+    cent = (
+        emb.select("label", F.posexplode("v").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("c"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.expr("transform(pc, x -> x.c)").alias("cv"),
+        )
+        .withColumn("csq", F.expr(_DOT.format(a="cv", b="cv")))
+    )
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("sq").alias("psq"),
+    )
+    pcos = F.expr(_DOT.format(a="pv", b="cv")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("csq"))
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy(
+        F.col("ccos").desc(), F.col("cell")
+    )
+    assign = (
+        probes.join(F.broadcast(cent), F.lit(True))
+        .select("probe_id", "pv", "psq", "cell", pcos.alias("ccos"))
+        .withColumn("crk", F.row_number().over(w_cell))
+        .where(F.col("crk") == 1)
+        .drop("ccos", "crk")
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(assign)
+        .join(
+            emb,
+            (F.col("label") == F.col("cell"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("probe_id", F.col("cell").cast("bigint").alias("cell"), "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("probe_id", "cell", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
+    )

@@ -1,1 +1,233 @@
-"""placeholder -- populated this round"""
+"""Text analysis over the ``documents`` table: token stats, n-grams,
+quality scoring, language-ID heuristic, fingerprinting.
+
+All built-in Column functions (split/explode/transform/md5) -- zero Python
+in the hot path -- with exact ANSI-SQL oracles. Scale: per-doc projections
+are embarrassingly parallel; the only shuffles are the groupBys on small
+keys (lang, bigram), which partial-aggregate map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clueso_spark.functions.text import (
+    STOPWORDS,
+    bigrams,
+    doc_fingerprint,
+    stopword_count,
+    tokens,
+    winnow_fingerprint,
+)
+from clueso_spark.plans.catalog import register
+from clueso_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "txt_token_stats",
+    "Per-document token statistics: token count, distinct-token ratio, "
+    "mean token length -- the core text-quality signals.",
+    f"""
+    with t as (select doc_id, lang, string_split(text, ' ') w, text from documents)
+    select doc_id, lang,
+           cast(len(w) as bigint) as n_tokens,
+           cast(len(list_distinct(w)) as bigint) as n_distinct,
+           len(list_distinct(w))::double / len(w) as uniq_ratio,
+           (length(text) - len(w) + 1)::double / len(w) as mean_token_len
+    from t
+    """,
+    "text", "projection",
+)
+def txt_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    n_tok = F.size("w")
+    n_dis = F.size(F.array_distinct("w"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_dis.cast("bigint").alias("n_distinct"),
+        (n_dis.cast("double") / n_tok).alias("uniq_ratio"),
+        # total chars minus the (n-1) separators, per token
+        ((F.length("text") - n_tok + 1).cast("double") / n_tok).alias(
+            "mean_token_len"
+        ),
+    )
+
+
+@register(
+    "txt_lang_stats",
+    "Corpus profile per language: doc count, exact char sum, mean doc "
+    "length, distinct sources.",
+    """
+    select lang,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(n_chars) as bigint) as total_chars,
+           cast(sum(n_chars) as double) / count(*) as mean_chars,
+           cast(count(distinct source) as bigint) as n_sources
+    from documents
+    group by lang
+    """,
+    "text", "aggregate",
+)
+def txt_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("mean_chars"),
+        F.count_distinct("source").cast("bigint").alias("n_sources"),
+    )
+
+
+@register(
+    "txt_top_bigrams",
+    "Top-20 word bigrams: explode adjacent pairs, count, total-ordered "
+    "top-k. Scale: map-side partial counts collapse the explosion before "
+    "the shuffle; top-k is TakeOrderedAndProject.",
+    """
+    with t as (select doc_id, string_split(text, ' ') w from documents),
+    b as (select unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) as bigram
+          from t where len(w) >= 2)
+    select bigram, cast(count(*) as bigint) as n
+    from b group by bigram
+    order by n desc, bigram
+    limit 20
+    """,
+    "text", "ngram", "topk",
+)
+def txt_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    return (
+        docs.select(F.explode(bigrams("w")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "txt_quality_score",
+    "Quality scoring: stopword ratio, uniqueness, length band -- the "
+    "standard cheap filters applied before LLM training ingestion.",
+    f"""
+    with t as (select doc_id, n_chars, string_split(text, ' ') w from documents)
+    select doc_id,
+           cast(len(w) as bigint) as n_tokens,
+           cast(len(list_filter(w, x -> x in ({_SW}))) as bigint) as n_stopwords,
+           len(list_filter(w, x -> x in ({_SW})))::double / len(w) as stopword_ratio,
+           len(list_distinct(w))::double / len(w) as uniq_ratio,
+           case when n_chars between 200 and 400 then 'good'
+                when n_chars < 200 then 'short' else 'long' end as length_band,
+           cast(case when len(list_filter(w, x -> x in ({_SW})))::double / len(w) > 0.05
+                 and len(list_distinct(w))::double / len(w) > 0.2
+                then 1 else 0 end as bigint) as keep
+    from t
+    """,
+    "text", "quality",
+)
+def txt_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    n_tok = F.size("w")
+    n_stop = stopword_count("w")
+    stop_ratio = n_stop.cast("double") / n_tok
+    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_tok
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        F.when(F.col("n_chars").between(200, 400), "good")
+        .when(F.col("n_chars") < 200, "short")
+        .otherwise("long")
+        .alias("length_band"),
+        F.when((stop_ratio > 0.05) & (uniq_ratio > 0.2), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("keep"),
+    )
+
+
+@register(
+    "txt_langid_heuristic",
+    "n-gram/stopword language-ID heuristic: score = stopword hits per "
+    "token, guess 'en' above threshold else 'und'; reports agreement with "
+    "the labeled lang column.",
+    f"""
+    with t as (select doc_id, lang, string_split(text, ' ') w from documents),
+    s as (select doc_id, lang,
+                 len(list_filter(w, x -> x in ({_SW})))::double / len(w) as sw_ratio
+          from t)
+    select case when sw_ratio >= 0.08 then 'en' else 'und' end as guessed,
+           lang as labeled,
+           cast(count(*) as bigint) as n_docs
+    from s group by 1, 2
+    """,
+    "text", "langid", "aggregate",
+)
+def txt_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    sw_ratio = stopword_count("w").cast("double") / F.size("w")
+    return (
+        docs.select(
+            F.when(sw_ratio >= 0.08, "en").otherwise("und").alias("guessed"),
+            F.col("lang").alias("labeled"),
+        )
+        .groupBy("guessed", "labeled")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+@register(
+    "txt_fingerprints",
+    "Document fingerprinting: exact md5 fingerprint + rolling-hash "
+    "winnowing fingerprint (min md5 over 5-gram windows) per doc.",
+    """
+    with t as (select doc_id, text, string_split(text, ' ') w from documents)
+    select doc_id,
+           md5(lower(text)) as exact_fp,
+           case when len(w) < 5 then md5(array_to_string(w, ' '))
+                else list_aggregate(
+                  list_transform(range(1, len(w) - 3),
+                    i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                             || w[i+3] || ' ' || w[i+4])), 'min') end as winnow_fp
+    from t
+    """,
+    "text", "fingerprint",
+)
+def txt_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    return docs.select(
+        "doc_id",
+        doc_fingerprint().alias("exact_fp"),
+        winnow_fingerprint("w", 5).alias("winnow_fp"),
+    )
+
+
+@register(
+    "txt_regex_token_count",
+    "BPE-ish regex token counting: alpha runs, digit runs, and residual "
+    "non-space symbols counted separately (regexp stays JVM-side).",
+    r"""
+    select doc_id,
+           cast(len(regexp_extract_all(text, '[a-z]+')) as bigint) as n_alpha,
+           cast(len(regexp_extract_all(text, '[0-9]+')) as bigint) as n_digit,
+           cast(len(regexp_extract_all(text, '[^a-z0-9 ]')) as bigint) as n_symbol
+    from documents
+    """,
+    "text", "regex",
+)
+def txt_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("bigint").alias("n_alpha"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("bigint").alias("n_digit"),
+        F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("bigint").alias("n_symbol"),
+    )
