@@ -69,7 +69,16 @@ class BucketCacheManager:
         if entry is not None:
             return entry.df
         with lock:
-            return self._entries[bucket].df
+            # re-check under the lock: the winning builder may have failed
+            # (or invalidate() raced us) and left no entry -- rebuild here
+            # rather than raising KeyError
+            current = self._entries.get(bucket)
+            if current is not None:
+                return current.df
+            new_df = builder().persist()
+            new_df.count()
+            self._entries[bucket] = _Entry(new_df, time.monotonic())
+            return new_df
 
     def _schedule_unpersist(self, df: DataFrame) -> None:
         """Delayed async unpersist so in-flight queries finish

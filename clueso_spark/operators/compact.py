@@ -27,9 +27,7 @@ reference's fixed ``coalesce(4)``.
 
 from __future__ import annotations
 
-import time
-
-from pyspark.sql import functions as F
+import threading
 
 from clueso_spark.operators.merge import latest_rows
 from clueso_spark.sources.store import MetadataStore
@@ -50,6 +48,7 @@ class Compactor:
         self.drop_tombstones = drop_tombstones
         self.target_file_bytes = target_file_bytes
         self.min_output_files = min_output_files
+        self._purge_timers: list[threading.Timer] = []
 
     # -- policy -----------------------------------------------------------
 
@@ -109,15 +108,42 @@ class Compactor:
             self.store.write_staging(
                 merged.drop("bucket").coalesce(int(n_files)), bucket
             )
-            if self.purge_tolerance_s:
-                time.sleep(self.purge_tolerance_s)
-            for sub in subs:
-                self.store.delete(
-                    f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}"
-                )
-            return True
+            purge_paths = [
+                f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}"
+                for sub in subs
+            ]
         finally:
             self._release_lock(bucket)
+        # purge OUTSIDE the lock: the tolerance wait (1 h in the reference's
+        # prod config) must not serialize other buckets' compactions behind
+        # this one. The data is already safe in staging; deleting the source
+        # dirs late only costs duplicate rows, which the query-time
+        # row_number dedup makes idempotent.
+        self._purge(purge_paths)
+        return True
+
+    def _purge(self, paths: list[str]) -> None:
+        """Delete compacted landing dirs after the eventual-consistency
+        tolerance (ref: TableFilesCompactor.scala:175-178). Async when a
+        tolerance is set; ``flush_purges()`` joins outstanding work."""
+
+        def do_delete() -> None:
+            for path in paths:
+                self.store.delete(path)
+
+        if not self.purge_tolerance_s:
+            do_delete()
+            return
+        timer = threading.Timer(self.purge_tolerance_s, do_delete)
+        timer.daemon = True
+        timer.start()
+        self._purge_timers.append(timer)
+
+    def flush_purges(self) -> None:
+        """Block until every scheduled purge has run (tests / shutdown)."""
+        timers, self._purge_timers = self._purge_timers, []
+        for t in timers:
+            t.join()
 
     def compact(self, force: bool = False) -> dict[str, bool]:
         """Compact every bucket found in landing

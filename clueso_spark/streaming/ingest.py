@@ -53,12 +53,20 @@ def next_max_op_index(op_index: Column, interval: int) -> Column:
     return ((recno + F.lit(interval - 1)) / interval).cast("long") * interval
 
 
-def is_system_bucket(bucket: Column) -> Column:
+def is_system_bucket(
+    bucket: Column, excluded_buckets: tuple[str, ...] = ()
+) -> Column:
     """Blacklist predicate for internal buckets
     (ref: MetadataIngestionPipeline.scala:132-138; pinned by
-    CluesoIngestionPipelineSpec:56-76)."""
+    CluesoIngestionPipelineSpec:56-76).
+
+    ``excluded_buckets`` mirrors the reference's configurable
+    ``bucketNameToFilterOut`` (the metadata store's own bucket, filtered to
+    avoid self-ingestion loops, ref: MetadataIngestionPipeline.scala:133 +
+    CluesoConfig.scala bucketName).
+    """
     cond = F.lit(False)
-    for name in SYSTEM_BUCKETS:
+    for name in (*SYSTEM_BUCKETS, *excluded_buckets):
         cond = cond | bucket.eqNullSafe(F.lit(name))
     for prefix in SYSTEM_BUCKET_PREFIXES:
         cond = cond | bucket.startswith(prefix)
@@ -68,6 +76,7 @@ def is_system_bucket(bucket: Column) -> Column:
 def parse_events(
     raw: DataFrame,
     compaction_record_interval: int = 100_000,
+    excluded_buckets: tuple[str, ...] = (),
 ) -> DataFrame:
     """Parse raw Kafka-wire records into stored-event rows.
 
@@ -86,6 +95,11 @@ def parse_events(
         .filter(F.col("content").isNotNull() & (F.length("content") > 3))
         .select(F.from_json("content", EVENT_SCHEMA, _JSON_OPTIONS).alias("event"))
         .filter(F.col("event").isNotNull())
+        # a well-formed envelope missing `type` must be discarded at ingest,
+        # not carried as type=NULL -- a NULL-typed winning row would make the
+        # merge's `type != 'delete'` evaluate NULL and wrongly hide the key
+        # (ref: MetadataIngestionPipeline.scala:116 event.type filter)
+        .filter(F.col("event.type").isNotNull())
         # two-pass inner parse of the double-encoded document:
         #   map pass -> dynamic x-amz-meta-* capture; struct pass -> typed cols
         .withColumn(
@@ -136,7 +150,7 @@ def parse_events(
             "maxOpIndex",
             next_max_op_index(F.col("opIndex"), compaction_record_interval),
         )
-        .filter(~is_system_bucket(F.col("bucket")))
+        .filter(~is_system_bucket(F.col("bucket"), excluded_buckets))
         .select("bucket", "key", "opIndex", "maxOpIndex", "type", "message")
     )
     return out

@@ -56,11 +56,15 @@ def start_ingestion(
     compaction_record_interval: int = 100_000,
     trigger_processing_time: str | None = "10 seconds",
     available_now: bool = False,
+    excluded_buckets: tuple[str, ...] = (),
 ) -> StreamingQuery:
     """Attach the parse transform and start the partitioned parquet sink
-    (ref: MetadataIngestionPipeline.scala:173-184)."""
+    (ref: MetadataIngestionPipeline.scala:173-184). ``excluded_buckets``
+    blacklists the store's own bucket against self-ingestion loops."""
     parsed = parse_events(
-        events, compaction_record_interval=compaction_record_interval
+        events,
+        compaction_record_interval=compaction_record_interval,
+        excluded_buckets=excluded_buckets,
     )
     writer = (
         parsed.writeStream.format("parquet")

@@ -47,3 +47,26 @@ def test_invalidate_forces_rebuild(spark, store):
     ingest(spark, store, [wire_event(op(2), "put", BUCKET, "k2", put_doc("k2", BUCKET))])
     cache.invalidate(BUCKET)
     assert ex.execute(MetadataQuery(BUCKET)).count() == 2
+
+
+def test_failed_builder_leaves_no_entry_and_next_get_rebuilds(spark, store):
+    """The lock-loser fallback must re-check and rebuild instead of
+    raising KeyError when the winning builder failed (VERDICT r1 #3)."""
+    ingest(spark, store, [wire_event(op(1), "put", BUCKET, "k1", put_doc("k1", BUCKET))])
+    mgr = BucketCacheManager(expiry_s=60)
+    ex = MetadataQueryExecutor(spark, store, mgr)
+
+    boom = {"n": 0}
+
+    def failing_builder():
+        boom["n"] += 1
+        raise RuntimeError("builder exploded")
+
+    try:
+        mgr.get(BUCKET, failing_builder)
+    except RuntimeError:
+        pass
+    # no entry was cached; a subsequent get with a good builder succeeds
+    df = ex.bucket_dataframe(BUCKET)
+    assert df.count() == 1
+    assert boom["n"] == 1

@@ -87,3 +87,32 @@ def test_batch_and_interval_assignment(spark):
     df = parse_events(raw_df(spark, lines), compaction_record_interval=10)
     got = {r["key"]: r["maxOpIndex"] for r in df.collect()}
     assert got["k1"] == 10 and got["k10"] == 10 and got["k11"] == 20 and got["k24"] == 30
+
+
+def test_null_type_discarded_at_ingest(spark):
+    """An envelope missing `type` is dropped (ref:
+    MetadataIngestionPipeline.scala:116) -- a NULL-typed winning row would
+    make the merge's `type != 'delete'` evaluate NULL and hide the key."""
+    import json
+
+    good = wire_event(op(1), "put", "b1", "k1", put_doc("k1", "b1"))
+    no_type = json.dumps(
+        {"opIndex": op(2), "bucket": "b1", "key": "k1",
+         "value": json.dumps(put_doc("k1", "b1"))}
+    )
+    rows = parse_events(raw_df(spark, [good, no_type])).collect()
+    assert len(rows) == 1
+    assert rows[0]["opIndex"] == op(1)
+
+
+def test_excluded_buckets_filtered(spark):
+    """excluded_buckets mirrors the reference's bucketNameToFilterOut
+    (self-ingestion guard, ref: MetadataIngestionPipeline.scala:133)."""
+    lines = [
+        wire_event(op(1), "put", "selfbucket", "k1", put_doc("k1", "selfbucket")),
+        wire_event(op(2), "put", "normal", "k2", put_doc("k2", "normal")),
+    ]
+    rows = parse_events(
+        raw_df(spark, lines), excluded_buckets=("selfbucket",)
+    ).collect()
+    assert [r["bucket"] for r in rows] == ["normal"]
