@@ -46,10 +46,24 @@ class MetadataQueryExecutor:
         spark: SparkSession,
         store: MetadataStore,
         cache: BucketCacheManager | None = None,
+        print_explain: bool = False,
     ):
         self.spark = spark
         self.store = store
         self.cache = cache
+        #: mirror of spark_sql_print_explain
+        #: (ref: MetadataQueryExecutor.scala:88-92): when set, each
+        #: execute() captures the extended plan into ``last_explain``
+        #: and prints it.
+        self.print_explain = print_explain
+        self.last_explain: str | None = None
+
+    # Note on S7 (temp view + refreshTable): the reference registers staging
+    # as a temp view and calls spark.catalog.refreshTable to force file
+    # re-listing because it re-reads one long-lived view as files churn
+    # (ref: MetadataQueryExecutor.scala:125-130). We re-plan from paths on
+    # every execute() -- each spark.read.parquet lists afresh -- so there is
+    # no stale file-listing to refresh and no refreshTable call is needed.
 
     def bucket_dataframe(self, bucket: str) -> DataFrame:
         """Merged latest-state view of one bucket, optionally cached
@@ -76,7 +90,17 @@ class MetadataQueryExecutor:
         # (ref: MetadataQueryExecutor.scala:82-84)
         df = df.filter(~F.col("key").contains(VERSION_KEY_CHAR))
         df = df.select([F.col(f"`{c}`") for c in RESULT_COLS])
-        return df.orderBy("key").limit(query.limit)
+        df = df.orderBy("key").limit(query.limit)
+        if self.print_explain:
+            import contextlib
+            import io
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(extended=True)
+            self.last_explain = buf.getvalue()
+            print(self.last_explain)
+        return df
 
     def execute_json(self, query: MetadataQuery) -> str:
         """Materialize a page as a JSON array string -- the reference's

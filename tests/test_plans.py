@@ -1,0 +1,68 @@
+"""Physical-plan shape checks for the catalog queries at sf0.001.
+
+These pin the *scale* properties the 100 TB design depends on, not just
+row values: dimension joins broadcast, candidate generation is keyed (no
+CartesianProduct), filters reach the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def registry():
+    from clueso_spark.plans.catalog import all_queries
+
+    return all_queries()
+
+
+def test_q5_broadcasts_dimensions(spark, registry):
+    plan = plan_of(registry["q5_local_supplier_volume"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    # the big fact join must NOT be a nested-loop product
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_has_no_cartesian_product(spark, registry):
+    plan = plan_of(registry["dedup_minhash_lsh"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_jaccard_join_is_keyed(spark, registry):
+    plan = plan_of(registry["dedup_ngram_jaccard"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bruteforce_topk_broadcasts_probes(spark, registry):
+    # probes x corpus is the one sanctioned nested-loop: probes broadcast
+    plan = plan_of(registry["sim_bruteforce_topk"].spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark, registry):
+    plan = plan_of(registry["q1_pricing_summary"].spark(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan, plan
+    # only the 7 needed columns are read, not the full 11-column schema
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_sort_limit_is_top_k(spark, registry):
+    plan = plan_of(registry["sort_limit_top_orders"].spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_latest_state_single_shuffle(spark, registry):
+    plan = plan_of(registry["ev_latest_state"].spark(spark, SF_DIR))
+    # one exchange for the window partitioning, nothing else
+    assert plan.count("Exchange") <= 2, plan
