@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clueso_spark.functions.text import minhash_signature, tokens, word_shingles
+from clueso_spark.functions.text import tokens, word_shingles
 from clueso_spark.plans.catalog import register
 from clueso_spark.sources.tables import load_table
 
@@ -50,15 +50,6 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct word-3-shingles."""
-    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
-    return (
-        docs.select("doc_id", F.explode(word_shingles("w", 3)).alias("shingle"))
-        .distinct()
-    )
-
-
 _MINHASH_ORACLE = f"""
 with t as (select doc_id, string_split(text, ' ') w from documents),
 sh as (
@@ -69,7 +60,7 @@ sh as (
 ),
 bands as (
   select doc_id, b.range as band,
-         min(md5(cast(b.range as varchar) || '|' || shingle)) as sig
+         min(substr(md5(shingle), cast(b.range * 4 + 1 as int), 4)) as sig
   from sh cross join range({N_BANDS}) b
   group by doc_id, b.range
 ),
@@ -100,26 +91,62 @@ where len(list_intersect(x.ss, y.ss))::double
     "dedup", "minhash", "lsh",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _shingled(spark, sf_dir)
-    bands = sh.groupBy("doc_id").agg(
-        *[minhash_signature(F.col("shingle"), b).alias(f"sig_{b}") for b in range(N_BANDS)]
+    # per-row signature computation: shingle set + 8 band minhashes are
+    # pure Column algebra (array_distinct / transform / array_min) -- NO
+    # shuffle happens until the candidate equi-join itself. At 100 TB this
+    # is one narrow scan followed by one keyed shuffle on (band, sig).
+    # single-file local scans get 1 task; spread the (interpreted,
+    # HOF-heavy) shingle+hash projection across all cores. On a real
+    # cluster the scan already has one split per 128 MB and this
+    # repartition coalesces away under AQE.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+        .where(F.size("w") >= 3)  # cheap pre-filter, not size(ss) > 0
     )
+    sets = docs.select(
+        "doc_id", F.array_distinct(word_shingles("w", 3)).alias("ss")
+    )
+    # hash every shingle ONCE; each band's minhash is the min over a
+    # disjoint 4-hex-char slice of that md5 (one md5 + 8 substrings per
+    # shingle, not 8 md5s). Catalyst re-evaluates this projection on both
+    # join branches, so per-row cost is the constant that matters.
+    sets = sets.withColumn("hs", F.expr("transform(ss, s -> md5(s))"))
+    band_sig = [
+        F.expr(
+            f"array_min(transform(hs, h -> substring(h, {4 * b + 1}, 4)))"
+        ).alias(f"sig_{b}")
+        for b in range(N_BANDS)
+    ]
     stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
-    long = bands.select(
+    # band rows stay (doc_id, band, sig) -- the 8x stack must NOT carry the
+    # shingle arrays, or the band shuffle payload multiplies by 8
+    long = sets.select("doc_id", *band_sig).select(
         "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band, sig)")
     )
-    a, b = long.alias("a"), long.alias("b")
+    # candidate pairs via ONE shuffle: group each (band, sig) bucket,
+    # emit the per-bucket pair combinations. A self-join would re-evaluate
+    # the whole shingle+hash projection on both branches; this evaluates
+    # it once. Per-bucket pair fan-out is the LSH contract (buckets are
+    # tiny for honest thresholds).
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        long.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(sequence(1, size(ds) - 1),
+                         i -> transform(sequence(i + 1, size(ds)),
+                           j -> struct(element_at(ds, i) as doc_a,
+                                       element_at(ds, j) as doc_b))))"""
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(F.collect_set("shingle").alias("ss"))
     jac = F.size(F.array_intersect("x.ss", "y.ss")).cast("double") / F.size(
         F.array_union("x.ss", "y.ss")
     )
