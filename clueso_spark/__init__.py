@@ -18,8 +18,12 @@ Layout:
     streaming/     -- ingestion transform + streaming pipeline wiring
     operators/     -- merge-on-read, compaction, search, pagination, joins,
                       dedup, similarity
-    functions/     -- scalar/column function libraries (text, vectors, events)
-    plans/         -- query descriptors and plan inspection helpers
+    functions/     -- column function libraries (text, vectors, multimodal)
+    plans/         -- named query catalog (Spark plan + DuckDB oracle per
+                      operator) and the local parity checker
+    tools/         -- populator / compactor / storage-info CLIs
+    config         -- deployment configuration + engine composition root
+    metrics        -- per-bucket search counters/timings
 """
 
 __version__ = "0.1.0"

@@ -1,0 +1,99 @@
+"""Deployment configuration: one place to configure an installation.
+
+Stand-in for the reference's HOCON CluesoConfig
+(ref: CluesoConfig.scala:1-84): every operational knob the engine reads,
+as a dataclass loadable from a JSON file and/or ``CLUESO_*`` environment
+variables (layered: defaults < file < env). Engine modules keep taking
+plain constructor kwargs -- this object is the composition root that
+feeds them, not a hidden global.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field, fields
+
+
+@dataclass
+class CluesoSparkConfig:
+    # storage layout (ref: CluesoConfig.scala:38-40 landing/staging URIs)
+    store_root: str = "/tmp/clueso-store"
+    checkpoint_path: str = "/tmp/clueso-checkpoint"
+
+    # streaming source (ref: CluesoConfig.scala:25-31)
+    kafka_bootstrap_servers: str = "localhost:9092"
+    kafka_topic: str = "backbeat"
+    trigger_processing_time: str = "10 seconds"
+
+    # ingestion (ref: CluesoConfig.scala compaction_record_interval)
+    compaction_record_interval: int = 100_000
+    excluded_buckets: tuple[str, ...] = field(default_factory=tuple)
+
+    # query cache (ref: CluesoConfig.scala cache_dataframes/cache_expiry)
+    cache_dataframes: bool = True
+    cache_expiry_s: float = 60.0
+    cache_cleanup_delay_s: float = 120.0
+
+    # compaction (ref: CluesoConfig.scala landing_purge_tolerance)
+    landing_purge_tolerance_s: float = 0.0
+    target_file_bytes: int = 128 * 1024 * 1024
+
+    # diagnostics (ref: spark_sql_print_explain, MetadataQueryExecutor:88-92)
+    print_explain: bool = False
+
+    @classmethod
+    def load(
+        cls, path: str | None = None, env: dict[str, str] | None = None
+    ) -> "CluesoSparkConfig":
+        """defaults < json file < CLUESO_* env vars."""
+        values: dict = {}
+        if path:
+            with open(path) as f:
+                values.update(json.load(f))
+        env = os.environ if env is None else env
+        for f_ in fields(cls):
+            key = f"CLUESO_{f_.name.upper()}"
+            if key in env:
+                raw = env[key]
+                if f_.type in ("int",):
+                    values[f_.name] = int(raw)
+                elif f_.type in ("float",):
+                    values[f_.name] = float(raw)
+                elif f_.type in ("bool",):
+                    values[f_.name] = raw.lower() in ("1", "true", "yes")
+                elif "tuple" in str(f_.type):
+                    values[f_.name] = tuple(x for x in raw.split(",") if x)
+                else:
+                    values[f_.name] = raw
+        if "excluded_buckets" in values:
+            values["excluded_buckets"] = tuple(values["excluded_buckets"])
+        return cls(**values)
+
+
+def build_engine(spark, config: CluesoSparkConfig):
+    """Composition root: wire a (store, executor, compactor) triple from
+    one config -- the deployment entry point a Livy-style service uses."""
+    from clueso_spark.operators.cache import BucketCacheManager
+    from clueso_spark.operators.compact import Compactor
+    from clueso_spark.operators.query import MetadataQueryExecutor
+    from clueso_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, config.store_root)
+    cache = (
+        BucketCacheManager(
+            expiry_s=config.cache_expiry_s,
+            cleanup_delay_s=config.cache_cleanup_delay_s,
+        )
+        if config.cache_dataframes
+        else None
+    )
+    executor = MetadataQueryExecutor(
+        spark, store, cache, print_explain=config.print_explain
+    )
+    compactor = Compactor(
+        store,
+        purge_tolerance_s=config.landing_purge_tolerance_s,
+        target_file_bytes=config.target_file_bytes,
+    )
+    return store, executor, compactor

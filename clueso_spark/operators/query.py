@@ -47,10 +47,15 @@ class MetadataQueryExecutor:
         store: MetadataStore,
         cache: BucketCacheManager | None = None,
         print_explain: bool = False,
+        metrics=None,
     ):
         self.spark = spark
         self.store = store
         self.cache = cache
+        #: optional clueso_spark.metrics.SearchMetrics
+        #: (ref: SearchMetricsSource.scala registers the same per-bucket
+        #: search timings)
+        self.metrics = metrics
         #: mirror of spark_sql_print_explain
         #: (ref: MetadataQueryExecutor.scala:88-92): when set, each
         #: execute() captures the extended plan into ``last_explain``
@@ -105,7 +110,11 @@ class MetadataQueryExecutor:
     def execute_json(self, query: MetadataQuery) -> str:
         """Materialize a page as a JSON array string -- the reference's
         stdout/Livy contract (ref: SparkUtils.scala:79-97)."""
-        rows = self.execute(query).toJSON().take(query.limit)
+        if self.metrics is not None:
+            with self.metrics.search_timed(query.bucket_name):
+                rows = self.execute(query).toJSON().take(query.limit)
+        else:
+            rows = self.execute(query).toJSON().take(query.limit)
         return "[" + ",".join(rows) + "]"
 
     def pages(self, query: MetadataQuery):

@@ -612,6 +612,50 @@ def setop_except_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.exceptAll(low)
 
 
+UNION_ALIGN_ORACLE = """
+select o_orderkey as entity_key, 'order' as kind,
+       cast(o_totalprice as double) as amount,
+       o_orderpriority as priority
+from orders where o_totalprice > 450000
+union all by name
+select c_custkey as entity_key, 'customer' as kind,
+       cast(c_acctbal as double) as amount
+from customer where c_acctbal > 9000
+"""
+
+
+@register(
+    "setop_union_schema_aligned",
+    "U1: union with schema alignment -- the side missing `priority` is "
+    "null-padded via unionByName(allowMissingColumns=True), the Spark-3 "
+    "replacement for the reference's hand-rolled fillNonExistingColumns "
+    "(ref: SparkUtils.scala:104-109, MetadataQueryExecutor.scala:168-178).",
+    UNION_ALIGN_ORACLE,
+    "setop", "union", "engine",
+)
+def setop_union_schema_aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 450000)
+        .select(
+            F.col("o_orderkey").alias("entity_key"),
+            F.lit("order").alias("kind"),
+            F.col("o_totalprice").cast("double").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    rich_customers = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(
+            F.col("c_custkey").alias("entity_key"),
+            F.lit("customer").alias("kind"),
+            F.col("c_acctbal").cast("double").alias("amount"),
+        )
+    )
+    return big_orders.unionByName(rich_customers, allowMissingColumns=True)
+
+
 SCALAR_ORACLE = """
 select
   p_partkey,

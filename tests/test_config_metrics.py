@@ -1,0 +1,57 @@
+"""Config layering + metrics + explain capture + full engine wiring."""
+
+from __future__ import annotations
+
+import json
+
+from clueso_spark.config import CluesoSparkConfig, build_engine
+from clueso_spark.metrics import SearchMetrics
+from clueso_spark.operators.query import MetadataQuery
+from clueso_spark.streaming.ingest import parse_events
+from tests.conftest import op, put_doc, raw_df, wire_event
+
+
+def test_config_layering(tmp_path):
+    cfg_file = tmp_path / "clueso.json"
+    cfg_file.write_text(json.dumps({"cache_expiry_s": 30, "kafka_topic": "t1"}))
+    cfg = CluesoSparkConfig.load(
+        str(cfg_file),
+        env={
+            "CLUESO_KAFKA_TOPIC": "t2",  # env beats file
+            "CLUESO_COMPACTION_RECORD_INTERVAL": "500",
+            "CLUESO_CACHE_DATAFRAMES": "false",
+            "CLUESO_EXCLUDED_BUCKETS": "selfbucket,other",
+        },
+    )
+    assert cfg.cache_expiry_s == 30
+    assert cfg.kafka_topic == "t2"
+    assert cfg.compaction_record_interval == 500
+    assert cfg.cache_dataframes is False
+    assert cfg.excluded_buckets == ("selfbucket", "other")
+
+
+def test_build_engine_and_metrics(spark, tmp_path):
+    cfg = CluesoSparkConfig(
+        store_root=str(tmp_path / "store"),
+        cache_dataframes=False,
+        print_explain=True,
+    )
+    store, executor, compactor = build_engine(spark, cfg)
+    executor.metrics = SearchMetrics()
+    store.write_landing(
+        parse_events(
+            raw_df(
+                spark,
+                [wire_event(op(1), "put", "mb", "k1", put_doc("k1", "mb"))],
+            ),
+            compaction_record_interval=10,
+        )
+    )
+    out = executor.execute_json(MetadataQuery("mb", "", None, 10))
+    assert '"key":"k1"' in out
+    snap = executor.metrics.snapshot()
+    assert snap["search_count.mb"] == 1
+    assert snap["search_time.mb.milli.last"] > 0
+    assert executor.metrics.graphite_lines()[0].startswith("search_metadata.")
+    # explain capture (ref: MetadataQueryExecutor.scala:88-92)
+    assert executor.last_explain and "Physical Plan" in executor.last_explain
