@@ -235,6 +235,41 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_asof_last_purchase",
+    "As-of join: attach to every event the user's most recent 'purchase' "
+    "at-or-before it. Expressed as a conditional running last_value over "
+    "the per-user time order -- ONE shuffle on user_id, no range-join "
+    "explosion; the scale-correct as-of plan when the two sides share a "
+    "partition key.",
+    """
+    select event_id, user_id, event_type,
+           strftime(max(case when event_type = 'purchase' then ts end)
+                      over (partition by user_id order by ts, event_id
+                            rows between unbounded preceding and current row),
+                    '%Y-%m-%d %H:%M:%S.%f') as last_purchase_ts
+    from events
+    """,
+    "window", "asof",
+)
+def ev_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    last_purchase = F.max(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format(last_purchase, TS_FMT_SPARK).alias("last_purchase_ts"),
+    )
+
+
+@register(
     "ev_sessionize",
     "Sessionization: lag() gap detection (>30 min starts a new session), "
     "cumulative-sum session ids, per-user session stats. Gap math uses "

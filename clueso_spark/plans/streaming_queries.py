@@ -38,6 +38,83 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
+def _latest_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState worker: running last-writer-wins state per
+    user (the engine's merge-on-read semantics as TRUE streaming state).
+    State = (best event_id, type, value); each micro-batch folds its rows
+    in, so the stored state stays O(1) per key regardless of stream length.
+    """
+    import pandas as pd
+
+    best = state.get if state.exists else None
+    best_id, best_type, best_value = best if best else (-1, "", 0.0)
+    for pdf in pdf_iter:
+        idx = pdf["event_id"].idxmax()
+        if int(pdf["event_id"][idx]) > best_id:
+            best_id = int(pdf["event_id"][idx])
+            best_type = str(pdf["event_type"][idx])
+            best_value = float(pdf["value"][idx])
+    state.update((best_id, best_type, best_value))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_id": [best_id],
+            "event_type": [best_type],
+            "value": [best_value],
+        }
+    )
+
+
+@register(
+    "st_stateful_latest",
+    "Custom stateful streaming operator (applyInPandasWithState): "
+    "last-writer-wins latest state per user, maintained as O(1) per-key "
+    "state across micro-batches instead of a query-time window over all "
+    "history -- the streaming form of the engine's merge-on-read. Oracle: "
+    "after draining the full stream, state == batch row_number dedup.",
+    """
+    with latest as (
+      select *, row_number() over (partition by user_id order by event_id desc) as rn
+      from events
+    )
+    select user_id, event_id, event_type, cast(value as double) as value
+    from latest where rn = 1
+    """,
+    "streaming", "stateful", "engine",
+)
+def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructType as _St
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    out_schema = (
+        "user_id bigint, event_id bigint, event_type string, value double"
+    )
+    state_schema = "best_id bigint, best_type string, best_value double"
+    latest = stream.groupBy("user_id").applyInPandasWithState(
+        _latest_state_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_name = "st_stateful_latest_sink"
+    query = (
+        latest.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
 @register(
     "st_windowed_counts",
     "Structured Streaming windowed aggregation: readStream(parquet) -> "
