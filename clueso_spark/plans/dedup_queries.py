@@ -147,15 +147,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    jac = F.size(F.array_intersect("x.ss", "y.ss")).cast("double") / F.size(
-        F.array_union("x.ss", "y.ss")
+    # verification: melt each pair into (pair, doc_id) rows and join the
+    # shingle sets back ONCE (a second join branch would re-evaluate the
+    # whole shingle projection); min_by/max_by reassemble the pair's two
+    # sets (doc_a < doc_b by construction).
+    melted = cand.select(F.struct("doc_a", "doc_b").alias("pair")).select(
+        "pair",
+        F.explode(F.array("pair.doc_a", "pair.doc_b")).alias("doc_id"),
     )
-    return (
-        cand.join(sets.alias("x"), F.col("doc_a") == F.col("x.doc_id"))
-        .join(sets.alias("y"), F.col("doc_b") == F.col("y.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.5)
+    joined = melted.join(sets, "doc_id").groupBy("pair").agg(
+        F.min_by("ss", "doc_id").alias("ss_a"),
+        F.max_by("ss", "doc_id").alias("ss_b"),
     )
+    jac = F.size(F.array_intersect("ss_a", "ss_b")).cast("double") / F.size(
+        F.array_union("ss_a", "ss_b")
+    )
+    return joined.select(
+        F.col("pair.doc_a").alias("doc_a"),
+        F.col("pair.doc_b").alias("doc_b"),
+        jac.alias("jaccard"),
+    ).where(F.col("jaccard") >= 0.5)
 
 
 _SIMHASH_ORACLE = """
