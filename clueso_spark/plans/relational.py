@@ -612,6 +612,109 @@ def setop_except_urgent_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.exceptAll(low)
 
 
+SUBQUERY_ORACLE = """
+select o_orderkey, o_custkey, cast(o_totalprice as double) as total_price
+from orders
+where o_totalprice > (select avg(o_totalprice) * 1.5 from orders)
+  and o_custkey in (select c_custkey from customer where c_mktsegment = 'MACHINERY')
+"""
+
+
+@register(
+    "subquery_above_avg",
+    "Scalar subquery (uncorrelated avg threshold) + IN-subquery -- "
+    "Catalyst decorrelates to a one-row broadcast + a semi join. The avg "
+    "comparison is threshold-only (never output), so float-sum ordering "
+    "cannot flip rows unless a value sits within ~1e-10 of the cut.",
+    SUBQUERY_ORACLE,
+    "subquery", "join", "sql",
+)
+def subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_sq_customer")
+    return spark.sql(
+        """
+        select o_orderkey, o_custkey,
+               cast(o_totalprice as double) as total_price
+        from _sq_orders
+        where o_totalprice > (select avg(o_totalprice) * 1.5 from _sq_orders)
+          and o_custkey in (select c_custkey from _sq_customer
+                            where c_mktsegment = 'MACHINERY')
+        """
+    )
+
+
+NTILE_ORACLE = """
+select c_custkey, c_mktsegment,
+       cast(ntile(4) over (partition by c_mktsegment
+                           order by c_acctbal desc, c_custkey) as bigint)
+         as balance_quartile,
+       cast(round(percent_rank() over (partition by c_mktsegment
+                           order by c_acctbal desc, c_custkey), 6) as double)
+         as pct_rank
+from customer
+"""
+
+
+@register(
+    "window_ntile_quartiles",
+    "ntile(4) + percent_rank per market segment: analytic ranking "
+    "functions over one shuffle on the partition key.",
+    NTILE_ORACLE,
+    "window", "rank",
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+    )
+
+
+DATE_FUNCS_ORACLE = """
+select o_orderkey,
+       cast(year(o_orderdate) as bigint)     as order_year,
+       cast(month(o_orderdate) as bigint)    as order_month,
+       cast(quarter(o_orderdate) as bigint)  as order_quarter,
+       strftime(cast(o_orderdate as date) + interval 30 day, '%Y-%m-%d')
+         as due_date,
+       cast(datediff('day', cast(o_orderdate as date), date '2000-01-01')
+            as bigint)                        as days_to_y2k
+from orders
+where o_orderdate < timestamp '1996-01-01 00:00:00'
+"""
+
+
+@register(
+    "scalar_date_functions",
+    "Date/time function coverage: extract year/month/quarter, date "
+    "arithmetic, day differences (SURVEY §2.8 -- the reference stores "
+    "timestamps but never manipulates them; the relational surface must).",
+    DATE_FUNCS_ORACLE,
+    "scalar", "date",
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d)
+        .cast("bigint")
+        .alias("days_to_y2k"),
+    )
+
+
 UNION_ALIGN_ORACLE = """
 select o_orderkey as entity_key, 'order' as kind,
        cast(o_totalprice as double) as amount,

@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the engine's core invariants.
+
+The reference pins semantics with hand-written scenarios only (SURVEY §5);
+these properties pin the *laws* those scenarios sample:
+  * interval math: next_max_op_index rounds up, exact multiples fixed
+  * merge: latest_rows is insensitive to input row order and duplication
+  * tombstones: a winning delete hides the key, a shadowed one doesn't
+
+Pure-Python / driver-side where possible; Spark properties use small
+example budgets (Spark jobs per example are expensive).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from clueso_spark.streaming.ingest import next_max_op_index
+
+
+# -- interval math (ref: MetadataIngestionPipeline.scala:77-86) -----------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    recno=st.integers(min_value=1, max_value=999_999_999_999),
+    interval=st.sampled_from([10, 100, 1_000, 100_000]),
+)
+def test_next_max_op_index_rounds_up_to_interval(spark, recno, interval):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1).select(
+        F.lit(f"{recno:012d}_0").alias("opIndex")
+    ).select(next_max_op_index(F.col("opIndex"), interval).alias("m"))
+    m = df.collect()[0]["m"]
+    assert m % interval == 0
+    assert m >= recno
+    assert m - recno < interval  # tightest multiple
+    if recno % interval == 0:
+        assert m == recno  # exact multiples map to themselves
+
+
+# -- merge laws (ref: MetadataQueryExecutor.scala:173-180) ----------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["k1", "k2", "k3"]),  # key
+        st.integers(min_value=1, max_value=50),  # opIndex record number
+        st.sampled_from(["put", "delete"]),  # type
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _latest(spark, rows):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from clueso_spark.operators.merge import latest_rows
+
+    df = spark.createDataFrame(
+        [(k, f"{n:012d}_0", t) for k, n, t in rows],
+        "key string, opIndex string, type string",
+    )
+    return {
+        (r["key"], r["opIndex"], r["type"])
+        for r in latest_rows(df).collect()
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_latest_rows_order_insensitive(spark, rows):
+    assert _latest(spark, rows) == _latest(spark, list(reversed(rows)))
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_latest_rows_matches_python_oracle(spark, rows):
+    # python model: per key keep max opIndex (ties: any single row, same
+    # (key, opIndex) tuple either way); drop keys whose winner is a delete
+    best: dict[str, tuple[int, str]] = {}
+    for k, n, t in rows:
+        if k not in best or n > best[k][0]:
+            best[k] = (n, t)
+        elif n == best[k][0]:
+            best[k] = (n, best[k][1])  # row_number picks one arbitrarily
+    expected_keys = {k for k, (n, t) in best.items() if t != "delete"}
+    got = _latest(spark, rows)
+    assert {k for k, _, _ in got} <= expected_keys | {
+        k for k, (n, t) in best.items()
+    }
+    # winner opIndex is the max for every surviving key
+    for k, op_idx, _ in got:
+        assert int(op_idx[:12]) == best[k][0]
+    # tombstoned keys never survive when the tombstone wins uncontested
+    for k, (n, t) in best.items():
+        tied = [tt for kk, nn, tt in rows if kk == k and nn == n]
+        if t == "delete" and all(x == "delete" for x in tied):
+            assert k not in {kk for kk, _, _ in got}
