@@ -159,3 +159,26 @@ def test_result_projection_is_fixed_8_columns(spark, store):
 def test_empty_bucket_returns_empty(spark, store):
     df = executor(spark, store).execute(MetadataQuery("nosuchbucket"))
     assert df.count() == 0
+
+
+def test_schema_drift_between_tiers_is_null_padded(spark):
+    """Landing/staging schema drift tolerated via unionByName
+    (ref: SparkUtils.scala:104-109 fillNonExistingColumns; our
+    merge.py:77 allowMissingColumns)."""
+    from clueso_spark.operators.merge import latest_rows
+
+    landing = spark.createDataFrame(
+        [("k1", "000000000002_0", "put", "new-field")],
+        "key string, opIndex string, type string, extra string",
+    )
+    staging = spark.createDataFrame(
+        [("k1", "000000000001_0", "put"), ("k2", "000000000001_0", "put")],
+        "key string, opIndex string, type string",
+    )
+    merged = latest_rows(
+        landing.unionByName(staging, allowMissingColumns=True)
+    )
+    rows = {r["key"]: r for r in merged.collect()}
+    assert set(rows) == {"k1", "k2"}
+    assert rows["k1"]["extra"] == "new-field"  # landing's newer row wins
+    assert rows["k2"]["extra"] is None  # staging row null-padded
