@@ -66,3 +66,20 @@ def test_latest_state_single_shuffle(spark, registry):
     plan = plan_of(registry["ev_latest_state"].spark(spark, SF_DIR))
     # one exchange for the window partitioning, nothing else
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
+    """Catalog-wide safety net: no query may contain a CartesianProduct,
+    and nested-loop joins are allowed only where a small probe/dim side is
+    broadcast by design (ANN probes, IVF centroid assignment)."""
+    sanctioned_bnlj = {"sim_bruteforce_topk", "sim_lsh_ann", "sim_ivf_cells"}
+    offenders = {}
+    for name, cq in registry.items():
+        if name.startswith("st_"):
+            continue  # streaming queries execute on build; shape pinned elsewhere
+        plan = plan_of(cq.spark(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in sanctioned_bnlj:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
