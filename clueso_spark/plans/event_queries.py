@@ -235,6 +235,41 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_skew_salted_agg",
+    "Skew-safe aggregation: events group on 5 hot event_type keys, so the "
+    "plain plan funnels everything into 5 reducers. Salt the key with "
+    "pmod(event_id, 16), partial-aggregate the 80 salted groups, then "
+    "merge -- identical results, 16x the reduce parallelism on hot keys. "
+    "The manual form of what AQE skew-join does for joins.",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as sum_value,
+           cast(max(event_id) as bigint) as max_event_id
+    from events
+    group by event_type
+    """,
+    "aggregate", "skew", "salting",
+)
+def ev_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    salted = (
+        ev.withColumn("_salt", F.pmod("event_id", F.lit(16)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(dec("value")).alias("_sum"),
+            F.max("event_id").alias("_max"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("_n").cast("bigint").alias("n_events"),
+        F.sum("_sum").cast("double").alias("sum_value"),
+        F.max("_max").cast("bigint").alias("max_event_id"),
+    )
+
+
+@register(
     "ev_asof_last_purchase",
     "As-of join: attach to every event the user's most recent 'purchase' "
     "at-or-before it. Expressed as a conditional running last_value over "

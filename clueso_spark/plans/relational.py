@@ -186,6 +186,123 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q18_ORACLE = """
+select c_custkey, c_name, o_orderkey,
+       cast(o_totalprice as double) as total_price,
+       cast(sum(cast(l_quantity as decimal(12,2))) as double) as total_qty
+from customer join orders on c_custkey = o_custkey
+              join lineitem on o_orderkey = l_orderkey
+where o_orderkey in (
+  select l_orderkey from lineitem
+  group by l_orderkey having sum(cast(l_quantity as decimal(12,2))) > 150
+)
+group by c_custkey, c_name, o_orderkey, o_totalprice
+order by total_qty desc, o_orderkey
+limit 100
+"""
+
+
+@register(
+    "q18_large_volume_orders",
+    "TPC-H Q18: HAVING-subquery (orders whose lineitems sum past a "
+    "quantity threshold) semi-joined back through customer. The IN-"
+    "subquery becomes an aggregate + semi join; one lineitem scan feeds "
+    "both sides.",
+    Q18_ORACLE,
+    "join", "aggregate", "subquery", "tpch",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "_bk"),
+              F.col("o_orderkey") == F.col("_bk"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q7_ORACLE = """
+select n1.n_name as supp_nation, n2.n_name as cust_nation,
+       cast(year(l_shipdate) as bigint) as l_year,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * cast(1 - l_discount as decimal(12,2))) as double) as revenue
+from supplier
+  join lineitem on s_suppkey = l_suppkey
+  join orders   on o_orderkey = l_orderkey
+  join customer on c_custkey = o_custkey
+  join nation n1 on s_nationkey = n1.n_nationkey
+  join nation n2 on c_nationkey = n2.n_nationkey
+where n1.n_name in ('NATION_1', 'NATION_2')
+  and n2.n_name in ('NATION_1', 'NATION_2')
+  and n1.n_name <> n2.n_name
+group by n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@register(
+    "q7_nation_volume_shipping",
+    "TPC-H Q7: cross-nation shipping volume -- the same dimension table "
+    "(nation) broadcast-joined twice under different roles, revenue by "
+    "year. Pins multi-role dimension reuse.",
+    Q7_ORACLE,
+    "join", "broadcast", "aggregate", "tpch",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nations = ("NATION_1", "NATION_2")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name").isin(*nations))
+        .select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey)
+        .join(orders, F.col("o_orderkey") == li.l_orderkey)
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, supp.s_nationkey == F.col("n1_key"))
+        .join(n2, cust.c_nationkey == F.col("n2_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Join types (inner / left / semi / anti)
 # ---------------------------------------------------------------------------
