@@ -145,10 +145,19 @@ class Compactor:
         for t in timers:
             t.join()
 
-    def compact(self, force: bool = False) -> dict[str, bool]:
+    def compact(self, force: bool = False, parallelism: int = 1) -> dict[str, bool]:
         """Compact every bucket found in landing
-        (ref: TableFilesCompactor.scala:28-49)."""
-        return {
-            bucket: self.compact_bucket(bucket, force)
-            for bucket in self.store.buckets("landing")
-        }
+        (ref: TableFilesCompactor.scala:28-49 runs buckets serially).
+
+        ``parallelism > 1`` submits buckets concurrently: per-bucket Spark
+        jobs interleave on the shared scheduler, so small buckets don't
+        wait behind big ones. Safe because locking, staging paths, and
+        purge work are all per-bucket."""
+        buckets = self.store.buckets("landing")
+        if parallelism <= 1:
+            return {b: self.compact_bucket(b, force) for b in buckets}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            results = pool.map(lambda b: self.compact_bucket(b, force), buckets)
+        return dict(zip(buckets, results))

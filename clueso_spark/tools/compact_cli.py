@@ -20,6 +20,7 @@ def main() -> int:
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument("--purge-tolerance-s", type=float, default=0.0)
+    ap.add_argument("--parallelism", type=int, default=1)
     args = ap.parse_args()
 
     from clueso_spark.operators.compact import Compactor
@@ -36,7 +37,7 @@ def main() -> int:
     if args.bucket:
         results = {args.bucket: compactor.compact_bucket(args.bucket, args.force)}
     else:
-        results = compactor.compact(args.force)
+        results = compactor.compact(args.force, parallelism=args.parallelism)
     compactor.flush_purges()
     for bucket, did in results.items():
         print(f"{bucket}: {'compacted' if did else 'skipped'}")

@@ -112,3 +112,27 @@ def test_purge_tolerance_runs_outside_lock(spark, store):
     c._release_lock(BUCKET)
     c.flush_purges()
     assert store.sub_partitions("landing", BUCKET) == []
+
+
+def test_parallel_compaction_all_buckets(spark, store):
+    """compact(parallelism=4): concurrent per-bucket compaction is safe
+    (per-bucket locks/paths) and equivalent to the serial run."""
+    for b in ("pb1", "pb2", "pb3"):
+        store.write_landing(
+            parse_events(
+                raw_df(
+                    spark,
+                    [
+                        wire_event(op(i), "put", b, f"k{i:03d}", put_doc(f"k{i:03d}", b))
+                        for i in range(1, 9)
+                    ],
+                ),
+                compaction_record_interval=10,
+            )
+        )
+    c = Compactor(store)
+    results = c.compact(force=True, parallelism=4)
+    assert results == {"pb1": True, "pb2": True, "pb3": True}
+    for b in ("pb1", "pb2", "pb3"):
+        assert store.sub_partitions("landing", b) == []
+        assert store.read_staging(b).count() == 8
