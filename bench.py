@@ -39,7 +39,13 @@ def main() -> int:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    spark = get_spark("clueso-bench")
+    # Size file splits to the data, not the 128 MB cluster default: the
+    # sf0.1 tables are single ~1-10 MB files, which would otherwise scan
+    # as ONE task and serialize every downstream stage on local[32].
+    # (At 100 TB the default is right; the rule is split ~ input/cores.)
+    spark = get_spark(
+        "clueso-bench", **{"spark.sql.files.maxPartitionBytes": "1m"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
