@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from clueso_spark.functions.text import tokens, word_shingles
+from clueso_spark.functions.text import STOPWORDS, tokens, word_shingles
 from clueso_spark.plans.catalog import register
 from clueso_spark.sources.tables import load_table
 
@@ -275,6 +275,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.8)
+    )
+
+
+CURATION_ORACLE = f"""
+with pairs as ({_MINHASH_ORACLE}),
+losers as (select distinct doc_b as doc_id from pairs),
+t as (select doc_id, lang, n_chars, string_split(text, ' ') w
+      from documents),
+q as (
+  select doc_id, lang, n_chars
+  from t
+  where len(list_filter(w, x -> x in ({{sw}})))::double / len(w) > 0.05
+    and len(list_distinct(w))::double / len(w) > 0.2
+    and n_chars >= 100
+)
+select lang,
+       cast(count(*) as bigint) as n_kept,
+       cast(sum(n_chars) as bigint) as kept_chars
+from q
+where doc_id not in (select doc_id from losers)
+group by lang
+"""
+
+
+@register(
+    "pipeline_curated_corpus",
+    "End-to-end curation pipeline: quality gate (stopword/uniqueness/"
+    "length) -> near-dup removal (drop the higher doc_id of each >=0.5 "
+    "Jaccard LSH pair) -> per-language kept-volume report. The "
+    "composition a training-data pipeline actually runs; every stage is "
+    "one of this engine's verified operators chained lazily into a "
+    "single plan (quality filter + anti join + aggregate).",
+    CURATION_ORACLE.format(sw=", ".join(f"'{w}'" for w in STOPWORDS)),
+    "dedup", "pipeline", "quality",
+)
+def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.text import stopword_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    n_tok = F.size("w")
+    quality = docs.where(
+        (stopword_count("w").cast("double") / n_tok > 0.05)
+        & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
+        & (F.col("n_chars") >= 100)
+    )
+    losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.join(losers, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("kept_chars"),
+        )
     )
 
 

@@ -42,6 +42,21 @@ def test_next_max_op_index_rounds_up_to_interval(spark, recno, interval):
 
 # -- merge laws (ref: MetadataQueryExecutor.scala:173-180) ----------------
 
+def _canonicalize(rows):
+    """Real streams never carry the same (key, opIndex) with two different
+    types -- opIndex is a unique op counter; duplicates only arise from
+    at-least-once replay of the SAME event. (On a mixed-type tie the
+    row_number pick is genuinely input-order-dependent -- the reference's
+    arbitrary tie-break, MetadataQueryExecutor.scala:177-180 -- which
+    hypothesis correctly flagged when we generated impossible inputs.)"""
+    seen: dict[tuple[str, int], str] = {}
+    out = []
+    for k, n, t in rows:
+        t = seen.setdefault((k, n), t)
+        out.append((k, n, t))
+    return out
+
+
 events_strategy = st.lists(
     st.tuples(
         st.sampled_from(["k1", "k2", "k3"]),  # key
@@ -50,7 +65,7 @@ events_strategy = st.lists(
     ),
     min_size=1,
     max_size=12,
-)
+).map(_canonicalize)
 
 
 def _latest(spark, rows):
