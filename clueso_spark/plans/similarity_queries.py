@@ -166,6 +166,41 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _center_by_label(pdf):
+    """applyInPandas grouped-map worker: center each label-cell's vectors
+    on the cell mean (the preprocessing step before residual quantization
+    in an IVF-PQ index). Rows sorted by vec_id first so the float math is
+    order-deterministic regardless of upstream partitioning."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    mat = np.vstack(pdf["v"].to_numpy())
+    centered = mat - mat.mean(axis=0)
+    return pdf.assign(
+        residual_norm=np.sqrt((centered * centered).sum(axis=1))
+    )[["vec_id", "label", "residual_norm"]]
+
+
+@register(
+    "sim_residual_norms",
+    "applyInPandas (grouped map): per-label mean-centering of embedding "
+    "cells and residual norms -- the IVF-PQ preprocessing shape. One "
+    "shuffle on the cell key; each cell processed as one Arrow batch in "
+    "Python. Rows-only oracle (numpy pairwise float sums are not "
+    "replicable in SQL).",
+    None,
+    "similarity", "applyinpandas", "ivf",
+)
+def sim_residual_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", to_double_array("embedding").alias("v")
+    )
+    return emb.groupBy("label").applyInPandas(
+        _center_by_label,
+        "vec_id bigint, label int, residual_norm double",
+    )
+
+
 @register(
     "sim_ivf_cells",
     "IVF-style ANN: per-cell centroids (mean embedding per label), probe "

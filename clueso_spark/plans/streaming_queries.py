@@ -116,6 +116,46 @@ def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "st_dedup_replay",
+    "Streaming exactly-once dedup: dropDuplicates on event_id with an "
+    "event-time watermark bounding the dedup state (late replays beyond "
+    "the watermark age out of state instead of growing it forever). "
+    "Drained with availableNow; result equals batch DISTINCT.",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n_unique_events
+    from (select distinct event_id, event_type from events)
+    group by event_type
+    """,
+    "streaming", "dedup",
+)
+def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_unique_events"))
+    )
+    sink_name = "st_dedup_replay_sink"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+
+
+@register(
     "st_windowed_counts",
     "Structured Streaming windowed aggregation: readStream(parquet) -> "
     "1-hour event-time tumbling window x event_type -> complete-mode "
