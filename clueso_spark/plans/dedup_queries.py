@@ -60,7 +60,8 @@ sh as (
 ),
 bands as (
   select doc_id, b.range as band,
-         min(substr(md5(shingle), cast(b.range * 4 + 1 as int), 4)) as sig
+         min(substr(md5(shingle) || md5('~' || shingle),
+                    cast(b.range * 8 + 1 as int), 8)) as sig
   from sh cross join range({N_BANDS}) b
   group by doc_id, b.range
 ),
@@ -108,14 +109,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = docs.select(
         "doc_id", F.array_distinct(word_shingles("w", 3)).alias("ss")
     )
-    # hash every shingle ONCE; each band's minhash is the min over a
-    # disjoint 4-hex-char slice of that md5 (one md5 + 8 substrings per
-    # shingle, not 8 md5s). Catalyst re-evaluates this projection on both
-    # join branches, so per-row cost is the constant that matters.
-    sets = sets.withColumn("hs", F.expr("transform(ss, s -> md5(s))"))
+    # hash every shingle TWICE (64 hex chars); each band's minhash is the
+    # min over a disjoint 8-hex slice -- 2 md5 + 8 substrings per shingle,
+    # not 8 md5s. Band width matters: a 4-hex band (16-bit space) makes
+    # min-of-N concentrate near zero and floods verification with false
+    # candidates (measured 117k pairs at sf0.1); 8 hex (2^32) makes false
+    # band collisions ~N^2/2^32 ~ 0.
+    sets = sets.withColumn(
+        "hs", F.expr("transform(ss, s -> concat(md5(s), md5(concat('~', s))))")
+    )
     band_sig = [
         F.expr(
-            f"array_min(transform(hs, h -> substring(h, {4 * b + 1}, 4)))"
+            f"array_min(transform(hs, h -> substring(h, {8 * b + 1}, 8)))"
         ).alias(f"sig_{b}")
         for b in range(N_BANDS)
     ]
