@@ -52,14 +52,6 @@ def doc_fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.col(text_col)))
 
 
-def minhash_signature(shingle_col: Column, band: int) -> Column:
-    """One MinHash value (band seed ``band``): the minimum md5 over the
-    doc's shingles, seeded by prefixing the band id. Aggregate -- apply
-    under groupBy(doc). min() over ASCII hex strings is a valid uniform
-    minhash because md5 is uniform on its hex alphabet."""
-    return F.min(F.md5(F.concat(F.lit(f"{band}|"), shingle_col)))
-
-
 def winnow_fingerprint(words_col: str = "words", window: int = 5) -> Column:
     """Rolling-hash document fingerprint (winnowing-lite): the minimum
     md5 over all ``window``-gram windows of the doc."""

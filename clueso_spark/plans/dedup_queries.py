@@ -359,19 +359,18 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup", "embedding",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.functions.vectors import to_double_array
+    from clueso_spark.functions.vectors import (
+        cosine_similarity,
+        squared_norm,
+        to_double_array,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
-    n = emb.withColumn(
-        "sq", F.expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, t) -> acc + t)")
-    )
+    n = emb.withColumn("sq", squared_norm("v"))
     a, b = n.alias("a"), n.alias("b")
-    dot_ab = F.expr(
-        "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D, (acc, t) -> acc + t)"
-    )
-    cos = dot_ab / (F.sqrt(F.col("a.sq")) * F.sqrt(F.col("b.sq")))
+    cos = cosine_similarity("a.v", "b.v", "a.sq", "b.sq")
     return (
         a.join(
             b,

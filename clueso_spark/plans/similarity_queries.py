@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clueso_spark.functions.vectors import lsh_bucket, to_double_array
+from clueso_spark.functions.vectors import (
+    lsh_bucket,
+    squared_norm,
+    to_double_array,
+)
 from clueso_spark.plans.catalog import register
 from clueso_spark.sources.tables import load_table
 
@@ -34,7 +38,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", "label", to_double_array("embedding").alias("v"))
-        .withColumn("sq", F.expr(_DOT.format(a="v", b="v")))
+        .withColumn("sq", squared_norm("v"))
     )
 
 
