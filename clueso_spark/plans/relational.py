@@ -415,6 +415,124 @@ def join_anti_no_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "c_name", "c_mktsegment")
 
 
+Q12_ORACLE = """
+select l_linestatus,
+       cast(sum(case when o_orderpriority in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as high_line_count,
+       cast(sum(case when o_orderpriority not in ('1-URGENT', '2-HIGH')
+                     then 1 else 0 end) as bigint) as low_line_count
+from orders join lineitem on o_orderkey = l_orderkey
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate <  timestamp '1997-01-01 00:00:00'
+group by l_linestatus
+"""
+
+
+@register(
+    "q12_priority_shipmode",
+    "TPC-H Q12 shape: conditional counting (SUM of CASE) after a fact "
+    "join -- pivot-style aggregation in one pass.",
+    Q12_ORACLE,
+    "join", "aggregate", "conditional", "tpch",
+)
+def q12_priority_shipmode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q14_ORACLE = """
+select
+  cast(100.0 * sum(case when p_type like 'TYPE_1%'
+        then cast(l_extendedprice as decimal(12,2))
+             * cast(1 - l_discount as decimal(12,2)) else 0 end) as double)
+  / cast(sum(cast(l_extendedprice as decimal(12,2))
+             * cast(1 - l_discount as decimal(12,2))) as double)
+  as promo_revenue_pct
+from lineitem join part on l_partkey = p_partkey
+where l_shipdate >= timestamp '1996-09-01 00:00:00'
+  and l_shipdate <  timestamp '1996-10-01 00:00:00'
+"""
+
+
+@register(
+    "q14_promo_revenue",
+    "TPC-H Q14 shape: ratio of two exact decimal sums (cast to double "
+    "only for the final division) -- deterministic cross-engine because "
+    "both operands are exact before the single float op.",
+    Q14_ORACLE,
+    "join", "aggregate", "ratio", "tpch",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("TYPE_1%"), revenue).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
+        (
+            (F.lit(100.0) * F.sum(promo).cast("double"))
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+PROFILE_ORACLE = """
+select
+  cast(count(*) as bigint) as n_rows,
+  cast(count(l_orderkey) as bigint) as orderkey_nonnull,
+  cast(count(distinct l_orderkey) as bigint) as orderkey_distinct,
+  cast(min(l_quantity) as double) as qty_min,
+  cast(max(l_quantity) as double) as qty_max,
+  cast(sum(cast(l_quantity as decimal(12,2))) as double) / count(*) as qty_mean,
+  cast(quantile_cont(l_quantity, 0.5) as double) as qty_median,
+  strftime(min(l_shipdate), '%Y-%m-%d') as first_ship,
+  strftime(max(l_shipdate), '%Y-%m-%d') as last_ship,
+  cast(count(distinct l_returnflag) as bigint) as returnflag_card
+from lineitem
+"""
+
+
+@register(
+    "profile_lineitem",
+    "Data-profiling operator: one-pass column statistics (null counts, "
+    "cardinalities, min/max/mean/median, date range) -- the first query "
+    "every pipeline runs on a new 100 TB table. Exact median via "
+    "percentile (interpolating, matches quantile_cont).",
+    PROFILE_ORACLE,
+    "aggregate", "profiling",
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("l_orderkey").cast("bigint").alias("orderkey_nonnull"),
+        F.count_distinct("l_orderkey").cast("bigint").alias("orderkey_distinct"),
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+        (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("qty_mean"),
+        F.expr("percentile(l_quantity, 0.5)").cast("double").alias("qty_median"),
+        F.date_format(F.min("l_shipdate"), "yyyy-MM-dd").alias("first_ship"),
+        F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias("last_ship"),
+        F.count_distinct("l_returnflag").cast("bigint").alias("returnflag_card"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Grouping extensions: rollup / cube / grouping sets / distinct aggregates
 # ---------------------------------------------------------------------------
