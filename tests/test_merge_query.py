@@ -182,3 +182,28 @@ def test_schema_drift_between_tiers_is_null_padded(spark):
     assert set(rows) == {"k1", "k2"}
     assert rows["k1"]["extra"] == "new-field"  # landing's newer row wins
     assert rows["k2"]["extra"] is None  # staging row null-padded
+
+
+def test_search_scan_prunes_nested_message_fields(spark, store):
+    """At 100 TB the scan must read only the result columns' message
+    subfields (nested-schema pruning), not the whole 22-field struct."""
+    from tests.conftest import op, put_doc, raw_df, wire_event
+    from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
+    from clueso_spark.streaming.ingest import parse_events
+
+    store.write_landing(
+        parse_events(
+            raw_df(spark, [wire_event(op(1), "put", "prune", "k1", put_doc("k1", "prune"))]),
+            compaction_record_interval=10,
+        )
+    )
+    ex = MetadataQueryExecutor(spark, store)
+    df = ex.execute(MetadataQuery("prune", "", None, 10))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas
+    for line in read_schemas:
+        assert "acl" not in line and "location" not in line and "userMd" not in line, line
+        assert "content-md5" in line  # result column subfields survive
