@@ -235,6 +235,37 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_pivot_user_activity",
+    "Pivot: per-user event counts spread into one column per event_type "
+    "(groupBy().pivot() with explicit values -- at scale always pass the "
+    "pivot values so Spark skips the distinct-collect pre-pass).",
+    """
+    select user_id,
+           cast(sum(case when event_type = 'click' then 1 else 0 end) as bigint) as click,
+           cast(sum(case when event_type = 'error' then 1 else 0 end) as bigint) as error,
+           cast(sum(case when event_type = 'purchase' then 1 else 0 end) as bigint) as purchase,
+           cast(sum(case when event_type = 'signup' then 1 else 0 end) as bigint) as signup,
+           cast(sum(case when event_type = 'view' then 1 else 0 end) as bigint) as view
+    from events
+    group by user_id
+    """,
+    "aggregate", "pivot",
+)
+def ev_pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t) for t in types],
+    )
+
+
+@register(
     "ev_skew_salted_agg",
     "Skew-safe aggregation: events group on 5 hot event_type keys, so the "
     "plain plan funnels everything into 5 reducers. Salt the key with "

@@ -23,6 +23,30 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def s3a_conf(
+    endpoint: str,
+    access_key: str,
+    secret_key: str,
+    *,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """S3/S3A connector configuration for an object-store deployment
+    (ref: SparkUtils.scala:40-55 -- endpoint, credentials, fast upload,
+    path-style access). Config, not code: pass the result into
+    ``get_spark(**s3a_conf(...))`` or spark-submit --conf. The Spark-2-era
+    knobs the reference also sets (parquet.cacheMetadata, DNS ttl hack)
+    are obsolete on Spark 3/4 and intentionally absent."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(path_style).lower(),
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.connection.ssl.enabled": "false",
+        "spark.hadoop.fs.s3a.impl": "org.apache.hadoop.fs.s3a.S3AFileSystem",
+    }
+
+
 def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
