@@ -235,6 +235,70 @@ def ev_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_range_join_attribution",
+    "Range join via time-binning: for each purchase, count the same "
+    "user's clicks in the preceding hour. The purchase side explodes "
+    "into its two candidate hour-bins and equi-joins (user_id, bin) "
+    "before the exact range refine -- a KEYED join, not the "
+    "nested-loop plan a raw inequality join degenerates into. The "
+    "standard scale pattern for range/interval joins.",
+    """
+    select p.event_id as purchase_id, p.user_id,
+           cast(count(c.event_id) as bigint) as clicks_before
+    from (select * from events where event_type = 'purchase') p
+    left join (select * from events where event_type = 'click') c
+      on p.user_id = c.user_id
+     and c.ts > p.ts - interval 1 hour
+     and c.ts <= p.ts
+    group by p.event_id, p.user_id
+    """,
+    "join", "range", "binning",
+)
+def ev_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1000 * 1000
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.unix_micros("ts").alias("p_us"),
+        )
+        # candidate bins: the purchase's hour and the previous hour cover
+        # every click in (p_ts - 1h, p_ts]
+        .withColumn(
+            "bin",
+            F.explode(
+                F.array(
+                    F.expr(f"p_us div {hour_us}") - 1,
+                    F.expr(f"p_us div {hour_us}"),
+                )
+            ),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_us"),
+        F.expr(f"unix_micros(ts) div {hour_us}").alias("bin"),
+    )
+    joined = purchases.join(
+        clicks,
+        (purchases.user_id == clicks.c_user)
+        & (purchases.bin == clicks.bin)
+        & (clicks.c_us > purchases.p_us - hour_us)  # exact range refine
+        & (clicks.c_us <= purchases.p_us),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        # count distinct click ids: the bin explosion can pair one click
+        # with the same purchase at most once per bin, dedup before count
+        .agg(F.count_distinct("click_id").cast("bigint").alias("clicks_before"))
+    )
+
+
+@register(
     "ev_pivot_user_activity",
     "Pivot: per-user event counts spread into one column per event_type "
     "(groupBy().pivot() with explicit values -- at scale always pass the "
