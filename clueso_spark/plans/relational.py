@@ -1038,3 +1038,303 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_class"),
         F.md5("p_name").alias("name_md5"),
     )
+
+
+Q6_ORACLE = """
+select cast(sum(cast(l_extendedprice as decimal(12,2))
+               * cast(l_discount as decimal(12,2))) as double) as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01 00:00:00'
+  and l_shipdate <  timestamp '1997-01-01 00:00:00'
+  and l_discount between 0.05 and 0.07
+  and l_quantity < 24
+"""
+
+
+@register(
+    "q6_forecast_revenue",
+    "TPC-H Q6 shape: pure scan-filter-aggregate, no join. The whole WHERE "
+    "(two timestamp bounds, a double range, a numeric cut) must reach the "
+    "parquet scan as PushedFilters -- at 100 TB this query is I/O-bound "
+    "row-group skipping, nothing else.",
+    Q6_ORACLE,
+    "aggregate", "pushdown", "tpch",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q10_ORACLE = """
+select c_custkey, c_name, n_name,
+       cast(c_acctbal as double) as acctbal,
+       cast(sum(cast(l_extendedprice as decimal(12,2))
+                * cast(1 - l_discount as decimal(12,2))) as double) as revenue
+from customer
+join orders   on c_custkey = o_custkey
+join lineitem on l_orderkey = o_orderkey
+join nation   on c_nationkey = n_nationkey
+where o_orderdate >= timestamp '1996-10-01 00:00:00'
+  and o_orderdate <  timestamp '1997-01-01 00:00:00'
+  and l_returnflag = 'R'
+group by c_custkey, c_name, n_name, c_acctbal
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
+@register(
+    "q10_returned_items",
+    "TPC-H Q10 shape: 3-way fact join + broadcast dim (nation), group by "
+    "customer, top-20 by lost revenue. orders date-filter and lineitem "
+    "returnflag filter both push below their joins; nation broadcasts; "
+    "the only big shuffle is the customer-key aggregation.",
+    Q10_ORACLE,
+    "join", "aggregate", "topk", "tpch",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q13_ORACLE = """
+with c_orders as (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer left outer join orders
+    on c_custkey = o_custkey and o_orderpriority <> '1-URGENT'
+  group by c_custkey
+)
+select cast(c_count as bigint) as c_count,
+       cast(count(*) as bigint) as custdist
+from c_orders
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+@register(
+    "q13_order_count_distribution",
+    "TPC-H Q13 shape: left outer join with an ON-clause filter (customers "
+    "with zero qualifying orders survive as count 0), then a second "
+    "aggregation over the first's result -- two chained shuffles, the "
+    "second tiny. The ON-filter must NOT become a WHERE (that would turn "
+    "the join inner and drop zero-order customers).",
+    Q13_ORACLE,
+    "join", "outer", "aggregate", "tpch",
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    c_orders = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q17_ORACLE = """
+select cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / 7.0
+         as avg_yearly
+from lineitem join part on p_partkey = l_partkey
+where p_brand = 'Brand#23'
+  and l_quantity < (select 0.5 * avg(l2.l_quantity)
+                    from lineitem l2 where l2.l_partkey = p_partkey)
+"""
+
+
+@register(
+    "q17_small_quantity_revenue",
+    "TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity "
+    "threshold). Catalyst decorrelates it into an aggregate on l_partkey "
+    "joined back to the filtered fact -- one extra keyed shuffle, never a "
+    "per-row subquery execution. Threshold-only float avg (quantities are "
+    "integer-valued doubles, so the avg is exact cross-engine).",
+    Q17_ORACLE,
+    "subquery", "correlated", "aggregate", "tpch",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    return spark.sql(
+        """
+        select cast(sum(cast(l_extendedprice as decimal(12,2))) as double) / 7.0
+                 as avg_yearly
+        from _q17_lineitem join _q17_part on p_partkey = l_partkey
+        where p_brand = 'Brand#23'
+          and l_quantity < (select 0.5 * avg(l2.l_quantity)
+                            from _q17_lineitem l2
+                            where l2.l_partkey = p_partkey)
+        """
+    )
+
+
+Q19_ORACLE = """
+select cast(sum(cast(l_extendedprice as decimal(12,2))
+               * cast(1 - l_discount as decimal(12,2))) as double) as revenue
+from lineitem join part on p_partkey = l_partkey
+where (p_brand = 'Brand#12' and p_size between 1 and 5
+       and l_quantity between 1 and 11)
+   or (p_brand = 'Brand#23' and p_size between 1 and 10
+       and l_quantity between 10 and 20)
+   or (p_brand = 'Brand#34' and p_size between 1 and 15
+       and l_quantity between 20 and 30)
+"""
+
+
+@register(
+    "q19_disjunctive_revenue",
+    "TPC-H Q19 shape: disjunction of conjunctive predicate groups "
+    "spanning both join sides. Catalyst extracts the common join key, "
+    "pushes the per-side OR residuals (brand/size to part, quantity "
+    "stays post-join), and broadcasts part. The anti-pattern at 100 TB "
+    "is evaluating the OR as a nested-loop filter -- the equi-key "
+    "extraction is what this query pins.",
+    Q19_ORACLE,
+    "join", "predicate", "tpch",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    cond = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    revenue = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(cond)
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+FULL_OUTER_ORACLE = """
+with c as (select c_nationkey as nk, count(*) as n_customers from customer
+           group by c_nationkey),
+     s as (select s_nationkey as nk, count(*) as n_suppliers from supplier
+           group by s_nationkey)
+select cast(coalesce(c.nk, s.nk) as bigint) as nationkey,
+       cast(coalesce(n_customers, 0) as bigint) as n_customers,
+       cast(coalesce(n_suppliers, 0) as bigint) as n_suppliers
+from c full outer join s on c.nk = s.nk
+"""
+
+
+@register(
+    "join_full_outer_nation_profile",
+    "FULL OUTER join of two pre-aggregated sides (customer count vs "
+    "supplier count per nation) with coalesce on both key and measures. "
+    "Aggregating BEFORE the outer join keeps the join input at "
+    "|nations| rows instead of |customers| -- the pre-agg pushup that "
+    "matters at 100 TB.",
+    FULL_OUTER_ORACLE,
+    "join", "outer", "aggregate",
+)
+def join_full_outer_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.nk == s.snk, "full_outer").select(
+        F.coalesce("nk", "snk").cast("bigint").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).cast("bigint").alias("n_suppliers"),
+    )
+
+
+EXISTS_ORACLE = """
+select c_custkey, c_mktsegment
+from customer
+where exists (select 1 from orders
+              where o_custkey = c_custkey
+                and o_orderdate >= timestamp '1997-01-01 00:00:00')
+  and not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderpriority = '1-URGENT')
+"""
+
+
+@register(
+    "subquery_exists_not_exists",
+    "Correlated EXISTS + NOT EXISTS in one WHERE: Catalyst rewrites them "
+    "to a left-semi and a left-anti join on o_custkey (ExistenceJoin "
+    "decorrelation) -- two keyed shuffles against the same orders scan, "
+    "no per-row subquery execution. The SQL-string twin of the "
+    "DataFrame-API semi/anti queries.",
+    EXISTS_ORACLE,
+    "subquery", "correlated", "join", "sql",
+)
+def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_ex_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_ex_orders")
+    return spark.sql(
+        """
+        select c_custkey, c_mktsegment
+        from _ex_customer
+        where exists (select 1 from _ex_orders
+                      where o_custkey = c_custkey
+                        and o_orderdate >= timestamp '1997-01-01 00:00:00')
+          and not exists (select 1 from _ex_orders
+                          where o_custkey = c_custkey
+                            and o_orderpriority = '1-URGENT')
+        """
+    )
