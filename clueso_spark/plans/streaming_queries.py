@@ -205,3 +205,69 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register(
+    "st_session_windows",
+    "Structured Streaming SESSION windows (session_window, 30-min gap): "
+    "dynamic-length windows that merge while events arrive within the gap "
+    "and close when it lapses -- state is one open session per user, "
+    "bounded by the watermark. Oracle is batch gaps-and-islands with the "
+    "exact session_window boundary rule (a gap of exactly 30 min starts a "
+    "new session: windows [t, t+gap) that merely touch do not merge).",
+    """
+    with gaps as (
+      select user_id, ts, event_id, value,
+             epoch_us(ts) - lag(epoch_us(ts)) over (
+               partition by user_id order by ts, event_id) as gap_us
+      from events
+    ),
+    sessions as (
+      select user_id, ts, value,
+             sum(case when gap_us is null or gap_us >= 1800000000 then 1 else 0 end)
+               over (partition by user_id order by ts, event_id
+                     rows between unbounded preceding and current row) as session_id
+      from gaps
+    )
+    select strftime(min(ts), '%Y-%m-%d %H:%M:%S') as session_start,
+           user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as session_value
+    from sessions
+    group by user_id, session_id
+    """,
+    "streaming", "window", "sessionize",
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("session_value"),
+        )
+    )
+    sink_name = "st_session_windows_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        "user_id",
+        "n_events",
+        "session_value",
+    )
