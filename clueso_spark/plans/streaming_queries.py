@@ -271,3 +271,73 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+@register(
+    "st_stream_stream_join",
+    "Stream-stream INNER join: a click stream and a purchase stream "
+    "(independent readStream sources), equi-joined on user_id with an "
+    "event-time range (purchase within 1 h after the click). Both sides "
+    "carry watermarks and the range rides the event-time columns, so "
+    "Spark evicts join state older than watermark+range instead of "
+    "buffering both streams forever -- the property that makes this run "
+    "indefinitely at scale. Oracle: the equivalent batch range join in "
+    "exact integer microseconds.",
+    """
+    select c.event_id as click_id, p.event_id as purchase_id, c.user_id
+    from (select * from events where event_type = 'click') c
+    join (select * from events where event_type = 'purchase') p
+      on c.user_id = p.user_id
+     and epoch_us(p.ts) >= epoch_us(c.ts)
+     and epoch_us(p.ts) <  epoch_us(c.ts) + 3600000000
+    """,
+    "streaming", "join", "range",
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def source():
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+
+    clicks = (
+        source()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        source()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("interval 1 hour")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    sink_name = "st_stream_stream_join_sink"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
