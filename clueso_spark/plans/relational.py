@@ -1338,3 +1338,26 @@ def subquery_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                             and o_orderpriority = '1-URGENT')
         """
     )
+
+
+INTERSECT_ALL_ORACLE = """
+select o_custkey from orders where o_orderpriority = '1-URGENT'
+intersect all
+select o_custkey from orders where o_orderpriority = '2-HIGH'
+"""
+
+
+@register(
+    "setop_intersect_all_multiset",
+    "INTERSECT ALL with true multiset semantics (no pre-distinct): each "
+    "customer key survives min(#urgent, #high) times. Physically a "
+    "count-bearing aggregate join, not the row-dedup the DISTINCT set "
+    "ops compile to -- one keyed shuffle either way.",
+    INTERSECT_ALL_ORACLE,
+    "setop", "multiset",
+)
+def setop_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersectAll(high)
