@@ -264,3 +264,126 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 5)
         .select("probe_id", "cell", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
     )
+
+
+K_CLUSTERS = 4
+
+_KMEANS_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v, list_dot_product(v, v) sq from e),
+c0 as (select vec_id as cid, v as c, sq as csq from n
+       where vec_id < {K_CLUSTERS}),
+a1 as (
+  select vec_id, v, sq, cid, dist from (
+    select n.vec_id, n.v, n.sq, c0.cid,
+           n.sq - 2 * list_dot_product(n.v, c0.c) + c0.csq as dist,
+           row_number() over (
+             partition by n.vec_id
+             order by n.sq - 2 * list_dot_product(n.v, c0.c) + c0.csq, c0.cid
+           ) as rk
+    from n cross join c0) where rk = 1
+),
+comp1 as (
+  select cid, i as pos, v[i] as x
+  from a1 cross join generate_series(1, {{dim}}) as t(i)
+),
+m1 as (
+  select cid, pos,
+         cast(sum(cast(x as decimal(28,14))) as double) / count(*) as m
+  from comp1 group by cid, pos
+),
+c1 as (
+  select cid, list(m order by pos) as c from m1 group by cid
+),
+c1n as (select cid, c, list_dot_product(c, c) as csq from c1),
+a2 as (
+  select vec_id, cid, dist from (
+    select n.vec_id, c1n.cid,
+           n.sq - 2 * list_dot_product(n.v, c1n.c) + c1n.csq as dist,
+           row_number() over (
+             partition by n.vec_id
+             order by n.sq - 2 * list_dot_product(n.v, c1n.c) + c1n.csq,
+                      c1n.cid
+           ) as rk
+    from n cross join c1n) where rk = 1
+)
+select cast(cid as bigint) as cluster_id,
+       cast(count(*) as bigint) as n_members,
+       round(cast(sum(cast(dist as decimal(28,14))) as double)
+             / count(*), 6) as avg_sq_dist
+from a2
+group by cid
+""".format(dim=DIM)
+
+
+def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2 via the
+    dot-product identity ||v-c||^2 = v.v - 2 v.c + c.c; the fold order
+    matches DuckDB's list_dot_product for exact parity)."""
+    scored = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.col("sq")
+        - 2 * F.expr(_DOT.format(a="v", b="c"))
+        + F.col("csq"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "c", "csq")
+    )
+
+
+@register(
+    "sim_kmeans_lloyd",
+    f"Iterative algorithm: two Lloyd k-means rounds (K={K_CLUSTERS}, "
+    "deterministic init = lowest vec_ids). Each round is assign "
+    "(broadcast K centroids, argmin squared L2) + update (posexplode to "
+    "(cluster, dim) cells, decimal-exact component means, rebuild "
+    "arrays). The driver loop iterates PLANS, not data -- per round one "
+    "broadcast join and one keyed shuffle on (cid, pos); no collect of "
+    "the corpus. Component means go through decimal so both engines sum "
+    "order-independently.",
+    _KMEANS_ORACLE,
+    "similarity", "iterative", "kmeans",
+)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    cents = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("c"),
+        F.col("sq").alias("csq"),
+    )
+    # round 1: assign + centroid update
+    a1 = _nearest(emb, cents)
+    comp = a1.select("cid", F.posexplode("v").alias("pos", "x"))
+    means = comp.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    c1 = means.groupBy("cid").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+        .alias("c")
+    )
+    c1 = c1.withColumn("csq", F.expr(_DOT.format(a="c", b="c")))
+    # round 2: reassign against the updated centroids, report clusters
+    a2 = _nearest(emb, c1)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            "n_members",
+            "avg_sq_dist",
+        )
+    )

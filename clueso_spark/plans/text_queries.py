@@ -231,3 +231,56 @@ def txt_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit("[0-9]+")).cast("bigint").alias("n_digit"),
         F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("bigint").alias("n_symbol"),
     )
+
+
+SPLIT_ORACLE = """
+with h as (
+  select doc_id, lang, n_chars,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+           % 100 as pct
+  from documents
+),
+s as (
+  select case when pct < 80 then 'train'
+              when pct < 90 then 'valid'
+              else 'test' end as split,
+         lang, n_chars
+  from h
+)
+select split, lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars
+from s
+group by split, lang
+"""
+
+
+@register(
+    "pipeline_train_test_split",
+    "Deterministic hash-based train/valid/test split (80/10/10): "
+    "md5(doc_id) -> 32-bit int -> percentile bucket. Content-addressed "
+    "splitting is THE reproducible pattern at 100 TB -- no sampling "
+    "state, no seed coordination across executors; any engine recomputes "
+    "the same assignment per document. Output: per-split per-language "
+    "doc and char volumes.",
+    SPLIT_ORACLE,
+    "pipeline", "split", "text",
+)
+def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "valid").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

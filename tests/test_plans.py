@@ -72,7 +72,15 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
     """Catalog-wide safety net: no query may contain a CartesianProduct,
     and nested-loop joins are allowed only where a small probe/dim side is
     broadcast by design (ANN probes, IVF centroid assignment)."""
-    sanctioned_bnlj = {"sim_bruteforce_topk", "sim_lsh_ann", "sim_ivf_cells"}
+    # sanctioned: K probes / K centroids broadcast against the corpus in
+    # one pass (the NLJ is K x corpus with a tiny broadcast side, not an
+    # all-pairs corpus square)
+    sanctioned_bnlj = {
+        "sim_bruteforce_topk",
+        "sim_lsh_ann",
+        "sim_ivf_cells",
+        "sim_kmeans_lloyd",
+    }
     offenders = {}
     for name, cq in registry.items():
         if name.startswith("st_"):
