@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -80,4 +81,47 @@ def featurize(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, modality)."""
     return df.select("doc_id", "payload", "modality").mapInPandas(
         featurize_batches, FEATURE_SCHEMA
+    )
+
+
+#: fixed-shape feature contract: D evenly-spaced byte samples + their mean
+N_SAMPLE_DIMS = 8
+
+SAMPLE_SCHEMA = StructType(
+    [StructField("doc_id", LongType(), False)]
+    + [StructField(f"b{d}", LongType(), False) for d in range(N_SAMPLE_DIMS)]
+    # mean of 8 ints / 8.0 divides by a power of two -> exact double,
+    # bit-identical cross-engine
+    + [StructField("mean_byte", DoubleType(), False)]
+)
+
+
+def sample_bytes_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: sample N_SAMPLE_DIMS evenly-spaced bytes from
+    each payload into a FIXED-shape feature row -- the tensor-extraction
+    shape (resize / mel-bin / frame-grid) every media featurizer emits.
+    Payloads shorter than the grid are dropped (a real decoder would pad)."""
+    import pandas as pd
+
+    D = N_SAMPLE_DIMS
+    for pdf in batches:
+        keep = pdf["payload"].map(len) >= D
+        pdf = pdf[keep]
+        if pdf.empty:
+            continue
+        payloads = pdf["payload"].map(bytes)
+        cols = {"doc_id": pdf["doc_id"].astype("int64")}
+        samples = []
+        for d in range(D):
+            vals = payloads.map(lambda b, d=d: b[(d * len(b)) // D])
+            cols[f"b{d}"] = vals.astype("int64")
+            samples.append(vals.astype("int64"))
+        cols["mean_byte"] = (sum(samples) / float(D)).astype("float64")
+        yield pd.DataFrame(cols)
+
+
+def sample_bytes(df: DataFrame) -> DataFrame:
+    """Fixed-shape byte sampling over (doc_id, payload) in Arrow batches."""
+    return df.select("doc_id", "payload").mapInPandas(
+        sample_bytes_batches, SAMPLE_SCHEMA
     )

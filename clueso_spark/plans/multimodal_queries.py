@@ -95,3 +95,36 @@ def mm_modality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         F.sum(F.octet_length("payload")).cast("bigint").alias("total_bytes"),
     )
+
+
+_B_COLS = ",\n           ".join(
+    f"cast(ascii(substr(text, ({d} * strlen(text)) // 8 + 1, 1)) as bigint) as b{d}"
+    for d in range(8)
+)
+
+SAMPLE_ORACLE = f"""
+select doc_id,
+           {_B_COLS},
+       cast(({" + ".join(f"ascii(substr(text, ({d} * strlen(text)) // 8 + 1, 1))" for d in range(8))})
+            as double) / 8 as mean_byte
+from documents
+where strlen(text) >= 8
+"""
+
+
+@register(
+    "mm_fixed_shape_features",
+    "Fixed-shape tensor extraction through the Arrow boundary: 8 evenly "
+    "spaced byte samples + mean per payload via mapInPandas -- the "
+    "resize/mel-bin/frame-grid shape every media featurizer emits. The "
+    "corpus is ASCII so the oracle reproduces each sampled byte with "
+    "ascii(substr(...)) at the same grid positions; the mean divides by "
+    "a power of two (exact double cross-engine).",
+    SAMPLE_ORACLE,
+    "multimodal", "mapinpandas", "tensor",
+)
+def mm_fixed_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.multimodal import sample_bytes
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    return sample_bytes(docs)
