@@ -400,3 +400,85 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("raw_cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
     )
+
+
+_CC_ORACLE = f"""
+with recursive pairs as ({_MINHASH_ORACLE}),
+edges as (
+  select doc_a as u, doc_b as v from pairs
+  union
+  select doc_b as u, doc_a as v from pairs
+),
+verts as (select distinct u from edges),
+reach as (
+  select u, u as v from verts
+  union
+  select r.u, e.v from reach r join edges e on r.v = e.u
+),
+comp as (select u as doc_id, min(v) as component from reach group by u)
+select cast(component as bigint) as component,
+       cast(count(*) as bigint) as n_docs,
+       string_agg(cast(doc_id as varchar), ',' order by doc_id) as doc_ids
+from comp
+group by component
+"""
+
+
+@register(
+    "dedup_connected_components",
+    "Duplicate GROUPS, not just pairs: connected components over the "
+    "MinHash-LSH pair graph via min-label propagation iterated to "
+    "fixpoint (the GraphX/GraphFrames pattern). Each round is one keyed "
+    "join + aggregate; lineage is cut per round with localCheckpoint -- "
+    "without it, iteration N replays all N-1 predecessors and the plan "
+    "grows unboundedly (the classic iterative-Spark failure at scale). "
+    "Oracle: DuckDB recursive-CTE transitive closure.",
+    _CC_ORACLE,
+    "dedup", "graph", "iterative",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("u", "v")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    # propagate the min label until no vertex improves; components in an
+    # LSH pair graph are near-cliques, so this converges in O(log
+    # diameter) rounds (2-4 in practice)
+    while True:
+        nbr = (
+            labels.join(edges, labels.doc_id == edges.u)
+            .groupBy("v")
+            .agg(F.min("label").alias("nmin"))
+        )
+        merged = labels.join(nbr, labels.doc_id == nbr.v, "left").select(
+            "doc_id",
+            F.col("label"),
+            F.least("label", F.coalesce("nmin", F.col("label"))).alias(
+                "new_label"
+            ),
+        )
+        changed = merged.where(F.col("new_label") < F.col("label")).count()
+        labels = merged.select(
+            "doc_id", F.col("new_label").alias("label")
+        ).localCheckpoint()
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(doc_id)),"
+            " x -> cast(x as string)), ',')"
+        ).alias("doc_ids"),
+    ).select(
+        F.col("label").cast("bigint").alias("component"), "n_docs", "doc_ids"
+    )

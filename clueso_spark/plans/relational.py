@@ -1361,3 +1361,69 @@ def setop_intersect_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     high = orders.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
     return urgent.intersectAll(high)
+
+
+AUDIT_ORACLE = """
+select 'orphan_lineitems' as metric,
+       cast((select count(*) from lineitem l left join orders o
+             on l.l_orderkey = o.o_orderkey
+             where o.o_orderkey is null) as bigint) as value
+union all
+select 'dup_orderkeys',
+       cast((select count(*) from (select o_orderkey from orders
+             group by o_orderkey having count(*) > 1)) as bigint)
+union all
+select 'empty_orders',
+       cast((select count(*) from orders o left join lineitem l
+             on o.o_orderkey = l.l_orderkey
+             where l.l_orderkey is null) as bigint)
+union all
+select 'null_custkeys',
+       cast((select count(*) from orders where o_custkey is null) as bigint)
+union all
+select 'range_violations',
+       cast((select count(*) from lineitem
+             where l_quantity <= 0 or l_discount < 0 or l_discount > 1)
+            as bigint)
+"""
+
+
+@register(
+    "pipeline_quality_audit",
+    "Data-quality audit suite in long (metric, value) form: referential "
+    "orphans both directions (anti joins), duplicate keys, null keys, "
+    "domain-range violations. The validation pass a 100 TB pipeline runs "
+    "before training -- each check is a keyed anti join or single-pass "
+    "aggregate, unioned into one small report.",
+    AUDIT_ORACLE,
+    "pipeline", "quality", "audit",
+)
+def pipeline_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("value")).select(
+            F.lit(name).alias("metric"), "value"
+        )
+
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+    )
+    empty = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+    nulls = orders.where(F.col("o_custkey").isNull())
+    ranges = li.where(
+        (F.col("l_quantity") <= 0)
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    )
+    return (
+        metric("orphan_lineitems", orphans)
+        .union(metric("dup_orderkeys", dups))
+        .union(metric("empty_orders", empty))
+        .union(metric("null_custkeys", nulls))
+        .union(metric("range_violations", ranges))
+    )
