@@ -447,3 +447,44 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("value")).cast("double").alias("session_value"),
         )
     )
+
+
+RANGE_FRAME_ORACLE = """
+select event_id, user_id,
+       cast(sum(cast(value as decimal(12,2))) over (
+         partition by user_id order by epoch_us(ts)
+         range between 3600000000 preceding and current row
+       ) as double) as trailing_hour_value,
+       cast(count(*) over (
+         partition by user_id order by epoch_us(ts)
+         range between 3600000000 preceding and current row
+       ) as bigint) as trailing_hour_events
+from events
+"""
+
+
+@register(
+    "window_time_range_frame",
+    "RANGE window frame over event time: per user, the trailing-1-hour "
+    "sum and count at every event -- a VALUE-based frame (all rows whose "
+    "ts falls in the interval), not a row-count frame. Ordered by integer "
+    "epoch micros so the frame bound is exact on both engines. One "
+    "shuffle on user_id; the frame scan is a per-partition sliding "
+    "two-pointer, O(n) not O(n^2).",
+    RANGE_FRAME_ORACLE,
+    "window", "frame", "range",
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3600 * 1000 * 1000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(dec("value")).over(w).cast("double").alias("trailing_hour_value"),
+        F.count("*").over(w).cast("bigint").alias("trailing_hour_events"),
+    )

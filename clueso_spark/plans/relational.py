@@ -1427,3 +1427,98 @@ def pipeline_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(metric("null_custkeys", nulls))
         .union(metric("range_violations", ranges))
     )
+
+
+UNPIVOT_ORACLE = """
+with m as (
+  select 'quantity' as measure, cast(l_quantity as decimal(12,2)) as amount
+  from lineitem
+  union all
+  select 'extendedprice', cast(l_extendedprice as decimal(12,2)) from lineitem
+  union all
+  select 'discount', cast(l_discount as decimal(12,2)) from lineitem
+  union all
+  select 'tax', cast(l_tax as decimal(12,2)) from lineitem
+)
+select measure,
+       cast(count(*) as bigint) as n,
+       cast(sum(amount) as double) as total,
+       cast(min(amount) as double) as min_amount,
+       cast(max(amount) as double) as max_amount
+from m
+group by measure
+"""
+
+
+@register(
+    "unpivot_lineitem_measures",
+    "UNPIVOT (wide -> long): melt four lineitem measure columns into "
+    "(measure, amount) rows, then profile each measure in one aggregate. "
+    "Compiles to a single Expand pass over one scan -- 4x rows out of "
+    "one read, NOT four scans (the same Expand machinery as rollup/"
+    "cube). The inverse of the pivot query.",
+    UNPIVOT_ORACLE,
+    "unpivot", "aggregate",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        dec("l_quantity").alias("quantity"),
+        dec("l_extendedprice").alias("extendedprice"),
+        dec("l_discount").alias("discount"),
+        dec("l_tax").alias("tax"),
+    )
+    melted = li.unpivot(
+        [], ["quantity", "extendedprice", "discount", "tax"], "measure", "amount"
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("amount").cast("double").alias("total"),
+        F.min("amount").cast("double").alias("min_amount"),
+        F.max("amount").cast("double").alias("max_amount"),
+    )
+
+
+NULLSAFE_ORACLE = """
+with x as (
+  select nullif(o_orderpriority, '5-LOW') as p,
+         nullif(o_orderstatus, 'P') as s
+  from orders
+)
+select cast(count(*) as bigint) as n_rows,
+       cast(count(p) as bigint) as n_p_nonnull,
+       cast(sum(case when p is not distinct from s then 1 else 0 end)
+            as bigint) as n_nullsafe_eq,
+       cast(sum(case when p = s then 1 else 0 end) as bigint) as n_plain_eq,
+       cast(count(coalesce(p, s)) as bigint) as n_either_nonnull
+from x
+"""
+
+
+@register(
+    "scalar_null_semantics",
+    "SQL null semantics pinned: nullif to synthesize nulls, then "
+    "null-safe equality (<=> / IS NOT DISTINCT FROM -- counts the "
+    "both-null rows) vs plain = (three-valued: NULL comparisons never "
+    "match), count(col) vs count(*), coalesce. The engine's ingest path "
+    "relies on eqNullSafe for system-bucket filtering; this pins the "
+    "cross-engine contract.",
+    NULLSAFE_ORACLE,
+    "scalar", "null",
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    x = orders.select(
+        F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("p"),
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("s"),
+    )
+    return x.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("p").cast("bigint").alias("n_p_nonnull"),
+        F.sum(F.when(F.col("p").eqNullSafe(F.col("s")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe_eq"),
+        F.sum(F.when(F.col("p") == F.col("s"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_plain_eq"),
+        F.count(F.coalesce("p", "s")).cast("bigint").alias("n_either_nonnull"),
+    )
