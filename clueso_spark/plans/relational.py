@@ -1522,3 +1522,50 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_plain_eq"),
         F.count(F.coalesce("p", "s")).cast("bigint").alias("n_either_nonnull"),
     )
+
+
+HISTOGRAM_ORACLE = """
+with b as (
+  select cast(floor(o_totalprice / 50000) as bigint) as bucket,
+         o_totalprice
+  from orders
+)
+select bucket,
+       cast(bucket * 50000 as double) as bucket_low,
+       cast(count(*) as bigint) as n_orders,
+       cast(min(o_totalprice) as double) as bucket_min,
+       cast(max(o_totalprice) as double) as bucket_max
+from b
+group by bucket
+"""
+
+
+@register(
+    "agg_price_histogram",
+    "Histogram via arithmetic binning (floor-div bucket key -- "
+    "width_bucket semantics expressed portably): one map-side-combining "
+    "aggregation, 10 output rows regardless of input size. The "
+    "distribution-profiling shape every 100 TB dataset audit starts "
+    "with.",
+    HISTOGRAM_ORACLE,
+    "aggregate", "histogram",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("bigint")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("bucket_min"),
+            F.max("o_totalprice").cast("double").alias("bucket_max"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000).cast("double").alias("bucket_low"),
+            "n_orders",
+            "bucket_min",
+            "bucket_max",
+        )
+    )

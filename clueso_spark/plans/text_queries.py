@@ -284,3 +284,62 @@ def pipeline_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+TFDF_ORACLE = """
+with words as (
+  select doc_id, unnest(string_split(text, ' ')) as term from documents
+),
+tf as (select doc_id, term, count(*) as tf from words group by doc_id, term),
+df as (select term, count(*) as df from tf group by term),
+ranked as (
+  select t.doc_id, t.term, t.tf, d.df,
+         cast(t.tf as double) / d.df as score,
+         row_number() over (partition by t.doc_id
+                            order by cast(t.tf as double) / d.df desc, t.term)
+           as rk
+  from tf t join df d on t.term = d.term
+)
+select doc_id, term,
+       cast(tf as bigint) as tf,
+       cast(df as bigint) as df,
+       score
+from ranked where rk <= 3
+"""
+
+
+@register(
+    "txt_tf_df_top_terms",
+    "TF/DF term salience (tf-idf plan shape with a division-only score "
+    "so both engines agree bit-for-bit; ln(idf) would differ in the last "
+    "ulp across libm implementations): per-doc term frequencies joined "
+    "to corpus document frequencies, top-3 salient terms per doc. Two "
+    "keyed aggregations + one term-keyed join + per-doc top-k window -- "
+    "the inverted-index build plan.",
+    TFDF_ORACLE,
+    "text", "tfidf", "topk",
+)
+def txt_tf_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(df, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score",
+        )
+    )
