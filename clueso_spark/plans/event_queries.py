@@ -488,3 +488,73 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).over(w).cast("double").alias("trailing_hour_value"),
         F.count("*").over(w).cast("bigint").alias("trailing_hour_events"),
     )
+
+
+GAP_FILL_ORACLE = """
+with e as (
+  select user_id, epoch_us(ts) // 3600000000 as hour,
+         cast(value as decimal(12,2)) as value
+  from events
+),
+bounds as (
+  select user_id, min(hour) as h0, max(hour) as h1 from e group by user_id
+),
+grid as (
+  select user_id, unnest(range(h0, h1 + 1)) as hour from bounds
+),
+actual as (
+  select user_id, hour, sum(value) as v from e group by user_id, hour
+),
+j as (
+  select g.user_id, g.hour, a.v
+  from grid g left join actual a on g.user_id = a.user_id and g.hour = a.hour
+)
+select user_id,
+       cast(hour as bigint) as hour,
+       cast(last_value(v ignore nulls) over (
+              partition by user_id order by hour
+              rows between unbounded preceding and current row)
+            as double) as filled_value,
+       cast(case when v is null then 1 else 0 end as bigint) as is_gap
+from j
+"""
+
+
+@register(
+    "ev_gap_fill_forward",
+    "Time-series gap filling: per user, a dense hourly grid between "
+    "first and last activity (sequence + explode -- rows generated "
+    "JVM-side, no driver loop), hourly sums left-joined on, gaps "
+    "forward-filled with last_value(ignorenulls) over an ordered frame. "
+    "The resample/interpolate shape of a hypertable rollup; grid "
+    "generation is embarrassingly parallel per user and the fill is one "
+    "keyed window shuffle.",
+    GAP_FILL_ORACLE,
+    "timeseries", "window", "gapfill",
+)
+def ev_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 1000 * 1000
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / hour_us).alias("hour"),
+        dec("value").alias("value"),
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    )
+    actual = ev.groupBy("user_id", "hour").agg(F.sum("value").alias("v"))
+    j = grid.join(actual, ["user_id", "hour"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.col("hour").cast("bigint").alias("hour"),
+        F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+    )
