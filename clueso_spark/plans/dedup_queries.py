@@ -437,42 +437,12 @@ group by component
     "dedup", "graph", "iterative",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.graph import connected_components
+
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
-        .toDF("u", "v")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    labels = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("label")
     )
-    labels = (
-        edges.select(F.col("u").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    # propagate the min label until no vertex improves; components in an
-    # LSH pair graph are near-cliques, so this converges in O(log
-    # diameter) rounds (2-4 in practice)
-    while True:
-        nbr = (
-            labels.join(edges, labels.doc_id == edges.u)
-            .groupBy("v")
-            .agg(F.min("label").alias("nmin"))
-        )
-        merged = labels.join(nbr, labels.doc_id == nbr.v, "left").select(
-            "doc_id",
-            F.col("label"),
-            F.least("label", F.coalesce("nmin", F.col("label"))).alias(
-                "new_label"
-            ),
-        )
-        changed = merged.where(F.col("new_label") < F.col("label")).count()
-        labels = merged.select(
-            "doc_id", F.col("new_label").alias("label")
-        ).localCheckpoint()
-        if changed == 0:
-            break
-    edges.unpersist()
     return labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.expr(

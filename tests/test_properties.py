@@ -113,3 +113,56 @@ def test_latest_rows_matches_python_oracle(spark, rows):
         tied = [tt for kk, nn, tt in rows if kk == k and nn == n]
         if t == "delete" and all(x == "delete" for x in tied):
             assert k not in {kk for kk, _, _ in got}
+
+
+# -- connected components (functions/graph.py) ----------------------------
+
+edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=20),
+        st.integers(min_value=0, max_value=20),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _union_find_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # component id = min vertex in component
+    comp: dict[int, int] = {}
+    for v in parent:
+        root = find(v)
+        comp[v] = min(comp.get(root, root), v)
+    # second pass so every member maps to the component minimum
+    roots: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    return {v: roots[find(v)] for v in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=edges_strategy)
+def test_connected_components_matches_union_find(spark, edges):
+    from clueso_spark.functions.graph import connected_components
+
+    df = spark.createDataFrame(edges, "a int, b int")
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, "a", "b").collect()
+    }
+    assert got == _union_find_oracle(edges)
