@@ -40,3 +40,20 @@ def test_info_stats(spark, store):
     assert stats.total_bytes > 0
     empty = parquet_stats(store, spark, "staging", "infob")
     assert empty.file_count == 0 and empty.record_count == 0
+
+
+def test_dedup_cli_prints_report(spark, capsys, monkeypatch):
+    import json
+    import sys
+
+    from clueso_spark.tools import dedup_cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["dedup_cli", "/root/testdata/sf0.001", "--max-pairs", "2"],
+    )
+    assert dedup_cli.main() == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["n_docs"] > 0
+    assert report["n_dup_groups"] <= report["n_near_dup_pairs"] * 2
+    assert len(report["top_pairs"]) <= 2
