@@ -16,18 +16,73 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, src: str, dst: str, max_rounds: int = 50
+    pairs: DataFrame,
+    src: str,
+    dst: str,
+    max_rounds: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Return ``(vertex, component)`` for every vertex appearing in
     ``pairs``; ``component`` is the minimum vertex id reachable from the
-    vertex. Iterates to fixpoint (bounded by ``max_rounds`` as a runaway
-    guard -- hitting it raises rather than returning wrong labels)."""
+    vertex.
+
+    Hybrid execution: an edge list under ``driver_threshold`` is solved
+    with driver-side union-find (one collect; converging a few hundred
+    edges through multi-round Spark jobs is pure scheduling overhead --
+    measured 7.7 s -> ~0 for the LSH pair graph at sf0.1). Larger graphs
+    run the distributed min-label propagation loop to fixpoint (bounded
+    by ``max_rounds`` as a runaway guard -- hitting it raises rather
+    than returning wrong labels). Dedup pair graphs are sparse by
+    construction (LSH emits near-clique clusters), so the driver path
+    covers most real corpora; the distributed path is the 100 TB
+    guarantee.
+    """
+    # materialize the pair list ONCE before any branching: the symmetric
+    # union's two branches are separate lineage evaluations, so an
+    # expensive upstream (the full MinHash pipeline) would otherwise run
+    # twice (measured 2x the minhash cost at sf0.1)
+    pair_list = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    n_pairs = pair_list.count()
+    if n_pairs <= driver_threshold:
+        # driver path: collect the directed pairs and symmetrize in
+        # python -- no union/distinct jobs at all
+        rows = pair_list.collect()
+        pair_list.unpersist()
+        rows = [(r["u"], r["v"]) for r in rows] + [
+            (r["v"], r["u"]) for r in rows
+        ]
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots: dict = {}
+        for vtx in parent:
+            root = find(vtx)
+            roots[root] = min(roots.get(root, vtx), vtx)
+        out = [(vtx, roots[find(vtx)]) for vtx in parent]
+        schema = pairs.select(
+            F.col(src).alias("vertex"), F.col(src).alias("component")
+        ).schema
+        return pairs.sparkSession.createDataFrame(out, schema)
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst), F.col(src)))
+        pair_list.union(pair_list.select(F.col("v"), F.col("u")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    edges.count()
+    pair_list.unpersist()
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()

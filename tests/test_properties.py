@@ -158,11 +158,21 @@ def _union_find_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
 @settings(max_examples=6, deadline=None)
 @given(edges=edges_strategy)
 def test_connected_components_matches_union_find(spark, edges):
+    """Both execution paths (driver union-find and distributed label
+    propagation) must agree with the python oracle."""
     from clueso_spark.functions.graph import connected_components
 
     df = spark.createDataFrame(edges, "a int, b int")
-    got = {
+    expected = _union_find_oracle(edges)
+    driver = {
         r["vertex"]: r["component"]
         for r in connected_components(df, "a", "b").collect()
     }
-    assert got == _union_find_oracle(edges)
+    assert driver == expected
+    distributed = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            df, "a", "b", driver_threshold=0
+        ).collect()
+    }
+    assert distributed == expected
