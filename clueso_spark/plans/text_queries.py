@@ -343,3 +343,106 @@ def txt_tf_df_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+CHUNK_ORACLE = """
+with t as (select doc_id, string_split(text, ' ') as w from documents),
+c as (
+  select doc_id, w, s as start
+  from t cross join unnest(range(1, greatest(len(w) - 99, 1) + 1, 80)) as u(s)
+)
+select doc_id,
+       cast((start - 1) // 80 as bigint) as chunk_idx,
+       cast(start as bigint) as start_word,
+       cast(len(w[start:start+99]) as bigint) as n_chunk_words,
+       md5(array_to_string(w[start:start+99], ' ')) as chunk_md5
+from c
+"""
+
+
+@register(
+    "pipeline_doc_chunking",
+    "Document chunking for training windows: 100-word chunks with "
+    "20-word overlap (stride 80) via sequence+explode+slice -- pure JVM "
+    "row generation, one narrow pass, no Python. Chunks are emitted as "
+    "md5 fingerprints so the verification payload stays small; a real "
+    "pipeline would carry the chunk text column to the tokenizer. Short "
+    "docs yield one partial chunk (a real tokenizer pads).",
+    CHUNK_ORACLE,
+    "pipeline", "text", "chunking",
+)
+def pipeline_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("w") - 99, F.lit(1)), F.lit(80)
+    )
+    chunk = F.slice("w", F.col("start"), 100)
+    return (
+        docs.withColumn("start", F.explode(starts))
+        .select(
+            "doc_id",
+            F.expr("(start - 1) div 80").cast("bigint").alias("chunk_idx"),
+            F.col("start").cast("bigint").alias("start_word"),
+            F.size(chunk).cast("bigint").alias("n_chunk_words"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+PACKING_ORACLE = """
+with t as (
+  select doc_id, len(string_split(text, ' ')) as n_tokens from documents
+),
+c as (
+  select doc_id, n_tokens,
+         sum(n_tokens) over (order by doc_id
+                             rows between unbounded preceding and current row)
+           as cum
+  from t
+),
+assigned as (
+  select doc_id, n_tokens, (cum - n_tokens) // 4096 as pack_id from c
+)
+select cast(pack_id as bigint) as pack_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_tokens) as bigint) as total_tokens,
+       cast(min(doc_id) as bigint) as first_doc,
+       cast(max(doc_id) as bigint) as last_doc
+from assigned
+group by pack_id
+"""
+
+
+@register(
+    "pipeline_sequence_packing",
+    "Sequence packing into 4096-token context windows: deterministic "
+    "contiguous packing by doc_id order -- each doc joins the pack its "
+    "cumulative start offset falls in (one window cumsum + one "
+    "aggregate; integer math end to end). The packing layout step before "
+    "training-shard writes; at 100 TB the cumsum runs per shard/"
+    "partition, not globally.",
+    PACKING_ORACLE,
+    "pipeline", "text", "packing",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "pack_id", F.expr("(cum - n_tokens) div 4096").cast("bigint")
+        )
+        .groupBy("pack_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+    )
