@@ -91,3 +91,32 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         elif "BroadcastNestedLoopJoin" in plan and name not in sanctioned_bnlj:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_q6_pushes_all_filters_to_scan(spark, registry):
+    """Q6 is the pushdown flagship: every predicate (timestamp bounds,
+    discount range, quantity cut) must reach the parquet scan so 100 TB
+    execution is row-group skipping, not post-scan filtering."""
+    plan = plan_of(registry["q6_forecast_revenue"].spark(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: ")[1].split("]")[0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05",
+        "LessThanOrEqual(l_discount,0.07",
+        "LessThan(l_quantity,24",
+    ):
+        assert frag in pushed, f"{frag} missing from {pushed}"
+
+
+def test_unpivot_is_single_expand_pass(spark, registry):
+    """UNPIVOT must compile to one Expand over one scan -- 4x rows from
+    one read, not four scans of lineitem."""
+    import re
+
+    plan = plan_of(registry["unpivot_lineitem_measures"].spark(spark, SF_DIR))
+    assert plan.count("Expand") >= 1, plan
+    # formatted explain prints each node twice (tree + detail); count the
+    # numbered detail headers, one per distinct scan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, plan
