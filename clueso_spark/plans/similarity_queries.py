@@ -387,3 +387,47 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sq_dist",
         )
     )
+
+
+RECALL_ORACLE = f"""
+with b as ({BRUTE_ORACLE}),
+l as ({LSH_ORACLE}),
+hits as (
+  select b.probe_id, count(*) as n_hits
+  from b join l on b.probe_id = l.probe_id and b.vec_id = l.vec_id
+  group by b.probe_id
+),
+t as (select probe_id, count(*) as n_true from b group by probe_id)
+select t.probe_id,
+       cast(n_true as bigint) as n_true,
+       cast(coalesce(n_hits, 0) as bigint) as n_hits,
+       cast(coalesce(n_hits, 0) as double) / n_true as recall_at_k
+from t left join hits on t.probe_id = hits.probe_id
+"""
+
+
+@register(
+    "sim_ann_recall_at_k",
+    f"ANN self-evaluation: recall@{TOP_K} of the LSH-bucketed index "
+    "against the exact brute-force top-k, per probe. The quality gate "
+    "every ANN deployment runs before trusting the approximate path -- "
+    "and the composition pattern (two catalog queries joined into a "
+    "metric) costs one semi-join over the two result sets.",
+    RECALL_ORACLE,
+    "similarity", "ann", "evaluation",
+)
+def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    brute = sim_bruteforce_topk(spark, sf_dir).select("probe_id", "vec_id")
+    lsh = sim_lsh_ann(spark, sf_dir).select("probe_id", "vec_id")
+    hits = brute.join(lsh, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    t = brute.groupBy("probe_id").agg(F.count("*").alias("n_true"))
+    return t.join(hits, "probe_id", "left").select(
+        "probe_id",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        (
+            F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_true")
+        ).alias("recall_at_k"),
+    )

@@ -80,6 +80,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "sim_lsh_ann",
         "sim_ivf_cells",
         "sim_kmeans_lloyd",
+        "sim_ann_recall_at_k",  # composes the two sanctioned ANN queries
     }
     offenders = {}
     for name, cq in registry.items():
