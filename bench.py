@@ -22,16 +22,30 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "join_left_order_counts",
     "window_rolling_spend",
-    # engine semantics: merge-on-read latest state + sessionization
+    # engine semantics: merge-on-read latest state, sessionization, the
+    # full search-result path (dedup + flatten + projection + topk)
     "ev_latest_no_tombstone",
     "ev_sessionize",
-    # training-data pipeline tier
+    "ev_result_projection",
+    # text tier
     "txt_top_bigrams",
     "txt_tf_df_top_terms",
+    # dedup tier (all four blocking strategies)
     "dedup_minhash_lsh",
     "dedup_connected_components",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    # similarity tier (exact baseline + both ANN paths + iterative)
     "sim_bruteforce_topk",
+    "sim_lsh_ann",
+    "sim_ivf_cells",
     "sim_kmeans_lloyd",
+    # multimodal tier (Arrow mapInPandas + metadata-only agg)
+    "mm_binary_featurize",
+    "mm_modality_stats",
+    # streaming tier (stateful + windowed)
+    "st_stateful_latest",
+    "st_windowed_counts",
     # time-series
     "ev_gap_fill_forward",
 ]
@@ -42,6 +56,7 @@ def main() -> int:
     from clueso_spark.plans.catalog import all_queries
     from clueso_spark.session import get_spark
 
+    run_all = "--all" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     # Size file splits to the data, not the 128 MB cluster default: the
@@ -54,7 +69,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    names = (
+        list(registry) if run_all else [n for n in HEADLINE if n in registry]
+    )
 
     def run(name: str) -> float:
         # time construction + materialization: for lazy queries the build

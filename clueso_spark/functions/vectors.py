@@ -38,7 +38,9 @@ def cosine_similarity(a: str, b: str, norm_a: str, norm_b: str) -> Column:
     return dot(a, b) / (F.sqrt(F.col(norm_a)) * F.sqrt(F.col(norm_b)))
 
 
-def lsh_bucket(vec_col: str, n_planes: int = 4, dim: int = 64) -> Column:
+def lsh_bucket(
+    vec_col: str, n_planes: int = 4, dim: int = 64, first_plane: int = 0
+) -> Column:
     """Random-hyperplane LSH bucket id as an ``n_planes``-char bit string.
 
     Hyperplane weights are derived from md5 nibbles of "plane_dim" --
@@ -46,9 +48,13 @@ def lsh_bucket(vec_col: str, n_planes: int = 4, dim: int = 64) -> Column:
     state): w[p][d] = nibble(md5(f"{p}_{d}")) - 7.5, nibble in [0, 15].
     Same-bucket vectors are near in angle with high probability; probing a
     bucket replaces the all-pairs scan with a 2^n_planes-way partition.
+
+    ``first_plane`` selects a disjoint plane family, letting callers build
+    banded (OR-amplified) indexes: band k uses planes
+    [k * n_planes, (k+1) * n_planes).
     """
     bits = []
-    for p in range(n_planes):
+    for p in range(first_plane, first_plane + n_planes):
         terms = " + ".join(
             f"(instr('0123456789abcdef', substring(md5('{p}_{d}'), 1, 1)) - 8.5)"
             f" * element_at({vec_col}, {d + 1})"

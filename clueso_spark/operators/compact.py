@@ -52,10 +52,33 @@ class Compactor:
 
     # -- policy -----------------------------------------------------------
 
+    #: marker dropped into a compacted-but-not-yet-purged landing subdir;
+    #: parquet readers ignore underscore-prefixed files
+    PENDING_PURGE_MARKER = "_pending_purge"
+
+    def _pending_purge_path(self, bucket: str, sub: int) -> str:
+        return (
+            f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}/"
+            f"{self.PENDING_PURGE_MARKER}"
+        )
+
     def sub_partitions_to_compact(self, bucket: str, force: bool) -> list[int]:
         """All-but-newest unless forced; require >=2 subpartitions
-        (ref: TableFilesCompactor.scala:67-99)."""
-        subs = self.store.sub_partitions("landing", bucket)
+        (ref: TableFilesCompactor.scala:67-99).
+
+        Subpartitions already compacted but still inside their purge
+        tolerance window carry a ``_pending_purge`` marker and are
+        excluded: without this, a compaction starting during the window
+        re-reads them and appends their winning rows to staging AGAIN --
+        queries stay correct through row_number dedup, but staging
+        accumulates duplicates monotonically. The marker is written under
+        the bucket lock, so any later compaction (same process or not)
+        observes it."""
+        subs = [
+            s
+            for s in self.store.sub_partitions("landing", bucket)
+            if not self.store.exists(self._pending_purge_path(bucket, s))
+        ]
         if force:
             return subs
         if len(subs) < 2:
@@ -108,6 +131,12 @@ class Compactor:
             self.store.write_staging(
                 merged.drop("bucket").coalesce(int(n_files)), bucket
             )
+            # mark the compacted subdirs pending-purge BEFORE releasing the
+            # lock: a compaction racing into the tolerance window must see
+            # the markers and skip these inputs (no duplicate re-append)
+            if self.purge_tolerance_s:
+                for sub in subs:
+                    self.store.touch(self._pending_purge_path(bucket, sub))
             purge_paths = [
                 f"{self.store.landing}/bucket={bucket}/maxOpIndex={sub}"
                 for sub in subs
@@ -116,9 +145,9 @@ class Compactor:
             self._release_lock(bucket)
         # purge OUTSIDE the lock: the tolerance wait (1 h in the reference's
         # prod config) must not serialize other buckets' compactions behind
-        # this one. The data is already safe in staging; deleting the source
-        # dirs late only costs duplicate rows, which the query-time
-        # row_number dedup makes idempotent.
+        # this one. The data is already safe in staging; the pending-purge
+        # markers keep the window's contents out of any concurrent
+        # compaction's input set.
         self._purge(purge_paths)
         return True
 

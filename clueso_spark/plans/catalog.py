@@ -56,15 +56,89 @@ QUERY_MODULES = [
     "clueso_spark.plans.streaming_queries",
 ]
 
+#: Explicit verification priority. The driver's CORRECTNESS gate covers a
+#: bounded prefix of the registry (50 queries in round 2), so ordering is
+#: part of the contract: queries that have never had a driver-verified row
+#: (the dedup/sim/txt/mm/st/pipeline tier + late ev_*) come first,
+#: interleaved so every operator family appears early, followed by
+#: representatives of the already-green relational/event tier whose
+#: oracles changed this round. Everything not listed keeps registration
+#: order after the prioritized block -- nothing is dropped.
+PRIORITY = [
+    # one representative per family up front (window-size insurance)
+    "dedup_minhash_lsh",
+    "sim_lsh_ann",
+    "txt_tf_df_top_terms",
+    "mm_binary_featurize",
+    "st_stateful_latest",
+    "dedup_connected_components",
+    "ev_latest_state",
+    # deduplication tier
+    "dedup_exact_summary",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "pipeline_curated_corpus",
+    # similarity tier
+    "sim_bruteforce_topk",
+    "sim_ivf_cells",
+    "sim_residual_norms",
+    "sim_kmeans_lloyd",
+    "sim_ann_recall_at_k",
+    # text / pipeline tier
+    "txt_token_stats",
+    "txt_lang_stats",
+    "txt_top_bigrams",
+    "txt_quality_score",
+    "txt_langid_heuristic",
+    "txt_fingerprints",
+    "txt_regex_token_count",
+    "pipeline_train_test_split",
+    "pipeline_doc_chunking",
+    "pipeline_sequence_packing",
+    # multimodal tier
+    "mm_frame_sample",
+    "mm_modality_stats",
+    "mm_fixed_shape_features",
+    # streaming tier
+    "st_dedup_replay",
+    "st_windowed_counts",
+    "st_session_windows",
+    "st_stream_stream_join",
+    # event queries registered past round 2's window
+    "ev_skew_salted_agg",
+    "ev_asof_last_purchase",
+    "ev_sessionize",
+    "window_time_range_frame",
+    "ev_gap_fill_forward",
+    # engine-contract queries new this round (P11-P14)
+    "ev_version_filter",
+    "ev_message_flatten",
+    "ev_result_projection",
+    "ev_isin_subpartitions",
+    # changed-oracle / flagship re-verification
+    "agg_approx_count_distinct",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "ev_engine_latest",
+    "ev_keyset_page",
+    "window_rolling_spend",
+]
+
 
 def all_queries() -> dict[str, CatalogQuery]:
-    """Import all query modules and return the full registry."""
+    """Import all query modules and return the registry in verification
+    priority order (see PRIORITY) -- prioritized names first, then the
+    remainder in registration order."""
     import importlib
 
     # imports are deferred so a SparkSession is never needed at import time
     for mod in QUERY_MODULES:
         importlib.import_module(mod)
-    return REGISTRY
+    ordered = {n: REGISTRY[n] for n in PRIORITY if n in REGISTRY}
+    ordered.update({n: cq for n, cq in REGISTRY.items() if n not in ordered})
+    return ordered
 
 
 def dec(col: str | F.Column, width: int = 12, scale: int = 2) -> F.Column:

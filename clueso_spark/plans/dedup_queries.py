@@ -189,8 +189,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("jaccard") >= 0.5)
 
 
-_SIMHASH_ORACLE = """
-with words as (
+#: DuckDB replica of the per-doc 16-bit simhash sketch, shared by the
+#: simhash dedup oracle and the simhash-blocked Jaccard oracle.
+_SIMHASH_SKETCH_SQL = """
+words as (
   select distinct doc_id, unnest(string_split(text, ' ')) as word from documents
 ),
 sums as (
@@ -198,10 +200,6 @@ sums as (
   from words group by doc_id
 ),
 sk as (select doc_id, {bits} as simhash from sums)
-select simhash,
-       cast(count(*) as bigint) as n_docs,
-       string_agg(doc_id, ',' order by doc_id) as doc_ids
-from sk group by simhash having count(*) > 1
 """.format(
     sums=", ".join(
         "sum(case when strpos('0123456789abcdef', substr(md5(word), {p}, 1)) - 1 >= 8"
@@ -213,21 +211,22 @@ from sk group by simhash having count(*) > 1
     + ")",
 )
 
+_SIMHASH_ORACLE = f"""
+with {_SIMHASH_SKETCH_SQL}
+select simhash,
+       cast(count(*) as bigint) as n_docs,
+       string_agg(doc_id, ',' order by doc_id) as doc_ids
+from sk group by simhash having count(*) > 1
+"""
 
-@register(
-    "dedup_simhash",
-    "SimHash near-dedup: 16-bit nibble-level simhash over the distinct "
-    "word set (md5-derived, engine-independent); docs sharing a sketch "
-    "are duplicate candidates. One groupBy on the sketch -- the cheapest "
-    "possible near-dup pass at scale.",
-    _SIMHASH_ORACLE,
-    "dedup", "simhash",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
-    words = docs.select(
-        "doc_id", F.explode(F.array_distinct("w")).alias("word")
-    )
+
+def _simhash_sketches(docs: DataFrame) -> DataFrame:
+    """Per-doc 16-bit simhash over the distinct word set as ``(doc_id,
+    simhash)``. Bit j's weight is the sign of md5(word)'s j-th nibble --
+    deterministic and engine-independent, which is what lets a DuckDB
+    oracle reproduce the sketch bit-for-bit. One explode + one groupBy
+    on doc_id."""
+    words = docs.select("doc_id", F.explode(F.array_distinct("w")).alias("word"))
     sums = words.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -242,8 +241,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = F.concat(
         *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
     )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    "SimHash near-dedup: 16-bit nibble-level simhash over the distinct "
+    "word set (md5-derived, engine-independent); docs sharing a sketch "
+    "are duplicate candidates. One groupBy on the sketch -- the cheapest "
+    "possible near-dup pass at scale.",
+    _SIMHASH_ORACLE,
+    "dedup", "simhash",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
     return (
-        sums.select("doc_id", bits.alias("simhash"))
+        _simhash_sketches(docs)
         .groupBy("simhash")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
@@ -258,40 +271,70 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    "Blocked n-gram Jaccard: candidate pairs restricted to a blocking key "
-    "(language), exact word-set Jaccard >= 0.8 inside each block. The "
-    "block key caps the pair space; at 100 TB the block would be an LSH "
-    "band (see dedup_minhash_lsh) -- same plan shape.",
-    """
-    with s as (select doc_id, lang, list_distinct(string_split(text, ' ')) ws
-               from documents)
-    select a.doc_id as doc_a, b.doc_id as doc_b,
-           len(list_intersect(a.ws, b.ws))::double
-             / len(list_distinct(a.ws || b.ws)) as jaccard
-    from s a join s b on a.lang = b.lang and a.doc_id < b.doc_id
-    where len(list_intersect(a.ws, b.ws))::double
-            / len(list_distinct(a.ws || b.ws)) >= 0.8
+    "Sketch-blocked n-gram Jaccard: candidate pairs are docs sharing the "
+    "16-bit simhash sketch (a content-derived LSH block, NOT a data "
+    "attribute), exact word-set Jaccard >= 0.8 verified inside each "
+    "block. The sketch bounds buckets to near-duplicate clusters, so the "
+    "pair space stays per-cluster-square at any corpus size -- replacing "
+    "the round-2 `lang` block whose 5 values made it corpus-quadratic.",
+    f"""
+    with {_SIMHASH_SKETCH_SQL},
+    cand as (
+      select a.doc_id as doc_a, b.doc_id as doc_b
+      from sk a join sk b on a.simhash = b.simhash and a.doc_id < b.doc_id
+    ),
+    s as (select doc_id, list_distinct(string_split(text, ' ')) ws
+          from documents)
+    select doc_a, doc_b,
+           len(list_intersect(x.ws, y.ws))::double
+             / len(list_distinct(x.ws || y.ws)) as jaccard
+    from cand join s x on doc_a = x.doc_id
+              join s y on doc_b = y.doc_id
+    where len(list_intersect(x.ws, y.ws))::double
+            / len(list_distinct(x.ws || y.ws)) >= 0.8
     """,
-    "dedup", "jaccard",
+    "dedup", "jaccard", "simhash",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    s = docs.select(
-        "doc_id", "lang", F.array_distinct(tokens()).alias("ws")
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    # candidate pairs from ONE keyed shuffle on the sketch (same shape as
+    # the minhash band join): group per sketch bucket, expand per-bucket
+    # pair combinations. Sketch rows carry no word payload.
+    cand = (
+        _simhash_sketches(docs)
+        .groupBy("simhash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .where(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    """flatten(transform(sequence(1, size(ds) - 1),
+                         i -> transform(sequence(i + 1, size(ds)),
+                           j -> struct(element_at(ds, i) as doc_a,
+                                       element_at(ds, j) as doc_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
     )
-    a, b = s.alias("a"), s.alias("b")
-    jac = F.size(F.array_intersect("a.ws", "b.ws")).cast("double") / F.size(
-        F.array_union("a.ws", "b.ws")
+    # verification join: melt pairs to (pair, doc_id), attach each doc's
+    # word set once, reassemble the two sides (doc_a < doc_b).
+    sets = docs.select("doc_id", F.array_distinct("w").alias("ws"))
+    melted = cand.select(F.struct("doc_a", "doc_b").alias("pair")).select(
+        "pair",
+        F.explode(F.array("pair.doc_a", "pair.doc_b")).alias("doc_id"),
+    )
+    joined = melted.join(sets, "doc_id").groupBy("pair").agg(
+        F.min_by("ws", "doc_id").alias("ws_a"),
+        F.max_by("ws", "doc_id").alias("ws_b"),
+    )
+    jac = F.size(F.array_intersect("ws_a", "ws_b")).cast("double") / F.size(
+        F.array_union("ws_a", "ws_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+        joined.select(
+            F.col("pair.doc_a").alias("doc_a"),
+            F.col("pair.doc_b").alias("doc_b"),
             jac.alias("jaccard"),
         )
         .where(F.col("jaccard") >= 0.8)
@@ -355,51 +398,143 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded hyperplane LSH for embedding dedup: EMB_BANDS independent
+#: bucket keys per vector (OR-amplification -> recall), each from
+#: EMB_PLANES_PER_BAND disjoint hyperplanes (2^planes buckets per band
+#: -> per-bucket pair space; raise planes as the corpus grows,
+#: ~log2(N / target_bucket)). The same band/bucket shape as
+#: dedup_minhash_lsh, with hyperplane signs instead of minhashes --
+#: round 2's fixed-cardinality `label` block is gone.
+EMB_BANDS = 4
+EMB_PLANES_PER_BAND = 4
+
+
 @register(
     "dedup_embedding_cosine",
-    "Embedding-cosine near-dup: pairs with cosine >= 0.4, blocked on the "
-    "label column (the IVF-cell stand-in). Cosine in double precision "
-    "with sequential fold on both engines; scores rounded to 6 dp.",
-    """
-    with e as (select vec_id, label,
-                      list_transform(embedding, x -> cast(x as double)) v
-               from embeddings),
-    n as (select vec_id, label, v, list_dot_product(v, v) as sq from e)
-    select a.vec_id as vec_a, b.vec_id as vec_b,
-           round(list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)), 6)
-             as cosine
-    from n a join n b on a.label = b.label and a.vec_id < b.vec_id
-    where list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)) >= 0.4
-    """,
-    "dedup", "embedding",
+    "Embedding-cosine near-dup via banded random-hyperplane LSH: "
+    f"{EMB_BANDS} bands x {EMB_PLANES_PER_BAND} planes (md5-nibble "
+    "weights, the construction sim_lsh_ann verifies cross-engine) give "
+    "every vector 4 bucket keys; candidate pairs share a bucket in ANY "
+    "band (OR-amplified recall), then exact cosine >= 0.4 verifies. One "
+    "keyed shuffle on (band, bucket); bands tune recall, planes-per-band "
+    "bound bucket size -- the scale knobs a fixed blocking key lacks.",
+    None,  # bound below -- built from the plane-term SQL builder
+    "dedup", "embedding", "lsh",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (
-        cosine_similarity,
+        lsh_bucket,
         squared_norm,
         to_double_array,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", to_double_array("embedding").alias("v")
+        "vec_id", to_double_array("embedding").alias("v")
     )
-    n = emb.withColumn("sq", squared_norm("v"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = cosine_similarity("a.v", "b.v", "a.sq", "b.sq")
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+    bands = [
+        lsh_bucket(
+            "v", EMB_PLANES_PER_BAND, 64, first_plane=k * EMB_PLANES_PER_BAND
+        ).alias(f"bk{k}")
+        for k in range(EMB_BANDS)
+    ]
+    stack_args = ", ".join(f"{k}, bk{k}" for k in range(EMB_BANDS))
+    # (vec_id, band, bucket) long rows carry no vector payload; candidate
+    # pairs come from ONE keyed shuffle on (band, bucket) with per-bucket
+    # pair expansion, then distinct across bands (a pair can collide in
+    # several bands).
+    long = emb.select("vec_id", *bands).select(
+        "vec_id", F.expr(f"stack({EMB_BANDS}, {stack_args}) as (band, bucket)")
+    )
+    cand = (
+        long.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ds"))
+        .where(F.size("ds") > 1)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            F.explode(
+                F.expr(
+                    """flatten(transform(sequence(1, size(ds) - 1),
+                         i -> transform(sequence(i + 1, size(ds)),
+                           j -> struct(element_at(ds, i) as vec_a,
+                                       element_at(ds, j) as vec_b))))"""
+                )
+            ).alias("p")
+        )
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    # exact verification: melt pairs, attach (v, sq) once per vector side
+    n = emb.withColumn("sq", squared_norm("v"))
+    melted = cand.select(F.struct("vec_a", "vec_b").alias("pair")).select(
+        "pair",
+        F.explode(F.array("pair.vec_a", "pair.vec_b")).alias("vec_id"),
+    )
+    joined = melted.join(n, "vec_id").groupBy("pair").agg(
+        F.min_by(F.struct("v", "sq"), "vec_id").alias("sa"),
+        F.max_by(F.struct("v", "sq"), "vec_id").alias("sb"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), 0D,"
+        " (acc, t) -> acc + t)"
+    ) / (F.sqrt(F.col("sa.sq")) * F.sqrt(F.col("sb.sq")))
+    return (
+        joined.select(
+            F.col("pair.vec_a").alias("vec_a"),
+            F.col("pair.vec_b").alias("vec_b"),
             cos.alias("raw_cos"),
         )
         .where(F.col("raw_cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
     )
+
+
+def _embedding_cosine_oracle() -> str:
+    """DuckDB replica of the banded hyperplane LSH dedup; reuses the
+    plane-term builder sim_lsh_ann already verifies cross-engine."""
+    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
+
+    band_selects = []
+    for k in range(EMB_BANDS):
+        planes = ", ".join(
+            _lsh_plane_sql(p, "v")
+            for p in range(
+                k * EMB_PLANES_PER_BAND, (k + 1) * EMB_PLANES_PER_BAND
+            )
+        )
+        band_selects.append(
+            f"select vec_id, {k} as band, concat({planes}) as bucket from e"
+        )
+    bands_sql = "\n  union all ".join(band_selects)
+    return f"""
+    with e as (select vec_id,
+                      list_transform(embedding, x -> cast(x as double)) v
+               from embeddings),
+    n as (select vec_id, v, list_dot_product(v, v) as sq from e),
+    bands as (
+      {bands_sql}
+    ),
+    cand as (
+      select distinct a.vec_id as vec_a, b.vec_id as vec_b
+      from bands a join bands b
+        on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id
+    )
+    select vec_a, vec_b,
+           round(list_dot_product(x.v, y.v) / (sqrt(x.sq) * sqrt(y.sq)), 6)
+             as cosine
+    from cand join n x on vec_a = x.vec_id
+              join n y on vec_b = y.vec_id
+    where list_dot_product(x.v, y.v) / (sqrt(x.sq) * sqrt(y.sq)) >= 0.4
+    """
+
+
+def _late_bind_embedding_oracle() -> None:
+    # importing similarity_queries at module top would be circular when
+    # the catalog imports dedup first; bind the oracle lazily instead
+    from clueso_spark.plans.catalog import REGISTRY
+
+    REGISTRY["dedup_embedding_cosine"].oracle = _embedding_cosine_oracle()
+
+
+_late_bind_embedding_oracle()
 
 
 _CC_ORACLE = f"""
@@ -424,6 +559,14 @@ group by component
 """
 
 
+#: execution knobs for dedup_connected_components, overridable by a
+#: deployment (a fat edge list can force the distributed path with
+#: CC_DRIVER_THRESHOLD = 0; CC_MAX_ROUNDS bounds label propagation).
+#: Env vars CLUESO_CC_DRIVER_THRESHOLD / CLUESO_CC_MAX_ROUNDS override.
+CC_DRIVER_THRESHOLD = 100_000
+CC_MAX_ROUNDS = 50
+
+
 @register(
     "dedup_connected_components",
     "Duplicate GROUPS, not just pairs: connected components over the "
@@ -437,10 +580,22 @@ group by component
     "dedup", "graph", "iterative",
 )
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from clueso_spark.functions.graph import connected_components
 
+    threshold = int(
+        os.environ.get("CLUESO_CC_DRIVER_THRESHOLD", CC_DRIVER_THRESHOLD)
+    )
+    max_rounds = int(os.environ.get("CLUESO_CC_MAX_ROUNDS", CC_MAX_ROUNDS))
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
-    labels = connected_components(pairs, "doc_a", "doc_b").select(
+    labels = connected_components(
+        pairs,
+        "doc_a",
+        "doc_b",
+        max_rounds=max_rounds,
+        driver_threshold=threshold,
+    ).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("label")
     )
     return labels.groupBy("label").agg(

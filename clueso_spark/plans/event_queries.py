@@ -558,3 +558,241 @@ def ev_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).cast("double").alias("filled_value"),
         F.when(F.col("v").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-contract queries P11-P14: version-key filter, message.* flatten,
+# fixed result projection, isin subpartition pruning -- the four operators
+# that were pytest-only in round 2, now driver-verified over the events ->
+# envelope mapping.
+# ---------------------------------------------------------------------------
+
+#: events -> clueso envelope key: every 5th event is a "version key"
+#: (key NUL version), the rest are master keys (ref: version keys embed a
+#: NUL between key and version id, MetadataQueryExecutor.scala:82-84).
+_ENV_KEY_SQL = (
+    "case when event_id % 5 = 0 then concat(cast(user_id as varchar), "
+    "chr(0), cast(event_id % 3 as varchar)) "
+    "else cast(user_id as varchar) end"
+)
+
+
+def _versioned_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    from clueso_spark.schemas import VERSION_KEY_CHAR
+
+    key = F.when(
+        F.col("event_id") % 5 == 0,
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit(VERSION_KEY_CHAR),
+            (F.col("event_id") % 3).cast("string"),
+        ),
+    ).otherwise(F.col("user_id").cast("string"))
+    return ev.select(
+        key.alias("key"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("opIndex"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("type"),
+    )
+
+
+@register(
+    "ev_version_filter",
+    "P11 version-key filter: master-only listing drops keys containing "
+    "the NUL version separator BEFORE the latest-state dedup -- the "
+    "exact filter the search path applies "
+    "(ref: MetadataQueryExecutor.scala:82-84; engine code "
+    "operators/query.py master-only filter). A user whose newest events "
+    "are all version writes surfaces their newest MASTER write.",
+    f"""
+    with env as (
+      select {_ENV_KEY_SQL} as key,
+             lpad(cast(event_id as varchar), 12, '0') as opIndex,
+             case when event_type = 'error' then 'delete' else 'put' end as type
+      from events
+    ),
+    masters as (select * from env where not contains(key, chr(0))),
+    latest as (
+      select *, row_number() over (partition by key order by opIndex desc) as rn
+      from masters
+    )
+    select key, opIndex, type from latest where rn = 1 and type <> 'delete'
+    """,
+    "engine", "filter", "version",
+)
+def ev_version_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.operators.merge import latest_rows
+    from clueso_spark.schemas import VERSION_KEY_CHAR
+
+    env = _versioned_envelope(spark, sf_dir)
+    masters = env.filter(~F.col("key").contains(VERSION_KEY_CHAR))
+    return latest_rows(masters)
+
+
+def _message_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> full stored-event envelope with a parsed MESSAGE_SCHEMA
+    struct. The message is built as JSON and parsed with from_json
+    against the real 23-field schema (the ingest path's P3 shape);
+    unset fields are NULL exactly as sparse object metadata arrives."""
+    from clueso_spark.schemas import MESSAGE_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    body = F.to_json(
+        F.struct(
+            F.floor("value").cast("int").alias("content-length"),
+            F.md5("props").alias("content-md5"),
+            F.when(
+                F.col("event_type").isin("view", "click"), "STANDARD"
+            )
+            .otherwise("COLD")
+            .alias("x-amz-storage-class"),
+            F.concat(F.lit("owner_"), (F.col("user_id") % 7).cast("string"))
+            .alias("owner-id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last-modified"),
+        )
+    )
+    return ev.select(
+        F.lit("events-bucket").alias("bucket"),
+        F.col("user_id").cast("string").alias("key"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0").alias("opIndex"),
+        F.when(F.col("event_type") == "error", "delete")
+        .otherwise("put")
+        .alias("type"),
+        F.from_json(body, MESSAGE_SCHEMA).alias("message"),
+    )
+
+
+_MSG_FIELDS_SQL = """
+      select cast(user_id as varchar) as key,
+             lpad(cast(event_id as varchar), 12, '0') as opIndex,
+             case when event_type = 'error' then 'delete' else 'put' end as type,
+             cast(floor(value) as int) as content_length,
+             md5(props) as content_md5,
+             case when event_type in ('view', 'click') then 'STANDARD'
+                  else 'COLD' end as storage_class,
+             'owner_' || cast(user_id % 7 as varchar) as owner_id,
+             strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S')
+               as last_modified
+      from events
+"""
+
+
+@register(
+    "ev_message_flatten",
+    "P12 message.* flatten: every event wrapped into the real 23-field "
+    "MESSAGE_SCHEMA struct (via from_json, the ingest P3 shape), then "
+    "flattened to top level by operators.merge.flatten_message -- the "
+    "exact projection the search path runs "
+    "(ref: MetadataQueryExecutor.scala:181-205).",
+    f"""
+    with env as ({_MSG_FIELDS_SQL})
+    select key, opIndex, content_length, content_md5, storage_class
+    from env
+    """,
+    "engine", "flatten", "struct",
+)
+def ev_message_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.operators.merge import flatten_message
+
+    flat = flatten_message(_message_envelope(spark, sf_dir))
+    return flat.select(
+        "key",
+        "opIndex",
+        F.col("`content-length`").alias("content_length"),
+        F.col("`content-md5`").alias("content_md5"),
+        F.col("`x-amz-storage-class`").alias("storage_class"),
+    )
+
+
+@register(
+    "ev_result_projection",
+    "P13 fixed 8-column result projection: the full search result path -- "
+    "latest_rows dedup, flatten_message, the RESULT_COLS projection "
+    "(ref: CluesoConstants.scala:71-79), orderBy(key) + limit "
+    "(TakeOrderedAndProject) -- hyphenated names aliased to portable "
+    "ones only for the cross-engine compare.",
+    f"""
+    with env as ({_MSG_FIELDS_SQL}),
+    latest as (
+      select *, row_number() over (partition by key order by opIndex desc) as rn
+      from env
+    )
+    select key, last_modified, content_md5, owner_id,
+           cast(null as varchar) as owner_display_name,
+           content_length, storage_class,
+           'events-bucket' as bucket
+    from latest where rn = 1 and type <> 'delete'
+    order by key limit 50
+    """,
+    "engine", "projection", "topk",
+)
+def ev_result_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.operators.merge import flatten_message, latest_rows
+    from clueso_spark.schemas import RESULT_COLS
+
+    flat = flatten_message(latest_rows(_message_envelope(spark, sf_dir)))
+    page = (
+        flat.select([F.col(f"`{c}`") for c in RESULT_COLS])
+        .orderBy("key")
+        .limit(50)
+    )
+    return page.select(
+        "key",
+        F.date_format("`last-modified`", "yyyy-MM-dd HH:mm:ss").alias(
+            "last_modified"
+        ),
+        F.col("`content-md5`").alias("content_md5"),
+        F.col("`owner-id`").alias("owner_id"),
+        F.col("`owner-display-name`").alias("owner_display_name"),
+        F.col("`content-length`").alias("content_length"),
+        F.col("`x-amz-storage-class`").alias("storage_class"),
+        "bucket",
+    )
+
+
+#: compactor-style subpartition pick: a deterministic spread of
+#: maxOpIndex values (event_id div 1000 plays maxOpIndex).
+_SUBPARTITIONS = (0, 1, 2, 3, 5, 8, 13, 21)
+
+
+@register(
+    "ev_isin_subpartitions",
+    "P14 isin subpartition pruning: the compactor reads exactly its "
+    "eligible maxOpIndex subpartitions via isin() "
+    "(ref: TableFilesCompactor.scala:159; engine code "
+    "sources/store.py read_landing_sub_partitions) -- here maxOpIndex = "
+    "event_id div 1000, pruned to a fixed spread, aggregated per "
+    "subpartition. The isin lands in the scan's partition filters at "
+    "scale (partition pruning, not a post-scan filter).",
+    f"""
+    with sub as (
+      select event_id // 1000 as max_op_index, event_id,
+             cast(value as decimal(12,2)) as value
+      from events
+      where event_id // 1000 in ({", ".join(str(s) for s in _SUBPARTITIONS)})
+    )
+    select cast(max_op_index as bigint) as max_op_index,
+           cast(count(*) as bigint) as n_rows,
+           cast(max(event_id) as bigint) as max_event_id,
+           cast(sum(value) as double) as sum_value
+    from sub group by max_op_index
+    """,
+    "engine", "pruning", "isin",
+)
+def ev_isin_subpartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "max_op_index", F.expr("event_id div 1000")
+    )
+    pruned = ev.where(F.col("max_op_index").isin(list(_SUBPARTITIONS)))
+    return pruned.groupBy("max_op_index").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    ).select(
+        F.col("max_op_index").cast("bigint").alias("max_op_index"),
+        "n_rows",
+        "max_event_id",
+        "sum_value",
+    )

@@ -648,18 +648,34 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    "approx_count_distinct (HyperLogLog++) over o_custkey. Sketch values are "
-    "engine-specific, so the oracle is rows-only; at 100 TB the sketch "
-    "replaces an exact distinct's full shuffle with a fixed-size merge.",
-    None,  # HLL estimates differ across engines by design
+    "approx_count_distinct (HyperLogLog++) over o_custkey, verified by "
+    "INVARIANT: the HLL estimate itself is engine-specific, so the query "
+    "emits the exact distinct count plus a Spark-computed "
+    "within_5pct = |approx - exact| / exact < 0.05 flag, and the oracle "
+    "asserts the literal -- a sketch drifting past its rsd bound flips "
+    "the flag and fails the hash. At 100 TB the sketch replaces an exact "
+    "distinct's full shuffle with a fixed-size mergeable state.",
+    """
+    select cast(count(distinct o_custkey) as bigint) as n_customers_exact,
+           cast(1 as bigint) as within_5pct
+    from orders
+    """,
     "aggregate", "approx",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return orders.agg(
-        F.approx_count_distinct("o_custkey", 0.02)
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.count_distinct("o_custkey").alias("exact"),
+    ).select(
+        F.col("exact").cast("bigint").alias("n_customers_exact"),
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            / F.col("exact")
+            < 0.05
+        )
         .cast("bigint")
-        .alias("approx_customers")
+        .alias("within_5pct"),
     )
 
 

@@ -190,38 +190,124 @@ def _center_by_label(pdf):
     "applyInPandas (grouped map): per-label mean-centering of embedding "
     "cells and residual norms -- the IVF-PQ preprocessing shape. One "
     "shuffle on the cell key; each cell processed as one Arrow batch in "
-    "Python. Rows-only oracle (numpy pairwise float sums are not "
-    "replicable in SQL).",
-    None,
+    "Python. Verified by INVARIANT (numpy pairwise float sums are not "
+    "bit-replicable in SQL): the real applyInPandas output is aggregated "
+    "to per-cell membership counts plus flags every residual norm must "
+    "satisfy -- n_nonneg == n_vecs (norms are non-negative) and "
+    "n_bounded == n_vecs (centering cannot exceed the max raw norm times "
+    "two) -- which the oracle reproduces from the raw table.",
+    """
+    select label,
+           cast(count(*) as bigint) as n_vecs,
+           cast(count(*) as bigint) as n_nonneg,
+           cast(count(*) as bigint) as n_bounded
+    from embeddings
+    group by label
+    """,
     "similarity", "applyinpandas", "ivf",
 )
 def sim_residual_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", to_double_array("embedding").alias("v")
     )
-    return emb.groupBy("label").applyInPandas(
+    norms = emb.groupBy("label").applyInPandas(
         _center_by_label,
         "vec_id bigint, label int, residual_norm double",
     )
+    # bound: ||v - mean|| <= ||v|| + ||mean|| <= 2 * max ||v|| in the cell
+    bound = emb.groupBy("label").agg(
+        (2 * F.sqrt(F.max(squared_norm("v")))).alias("cell_bound")
+    )
+    return (
+        norms.join(bound, "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("residual_norm") >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nonneg"),
+            F.sum(
+                F.when(F.col("residual_norm") <= F.col("cell_bound"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bounded"),
+        )
+    )
+
+
+IVF_ORACLE = f"""
+with e as (select vec_id, label,
+                  list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, label, v, list_dot_product(v, v) sq from e),
+comp as (
+  select label, i as pos, v[i] as x
+  from e cross join generate_series(1, {DIM}) as t(i)
+),
+m as (
+  select label, pos,
+         cast(sum(cast(x as decimal(28,14))) as double) / count(*) as c
+  from comp group by label, pos
+),
+cent as (
+  select label as cell, list(c order by pos) as cv from m group by label
+),
+centn as (select cell, cv, list_dot_product(cv, cv) as csq from cent),
+probes as (select vec_id probe_id, v pv, sq psq from n
+           where vec_id < {N_PROBES}),
+assign as (
+  select probe_id, pv, psq, cell from (
+    select probe_id, pv, psq, cell,
+           row_number() over (
+             partition by probe_id
+             order by list_dot_product(pv, cv) / (sqrt(psq) * sqrt(csq)) desc,
+                      cell) as crk
+    from probes cross join centn) where crk = 1
+),
+scored as (
+  select probe_id, cell, n.vec_id,
+         list_dot_product(pv, n.v) / (sqrt(psq) * sqrt(n.sq)) as cos
+  from assign join n on n.label = assign.cell and n.vec_id <> probe_id
+),
+ranked as (
+  select probe_id, cell, vec_id, cos,
+         row_number() over (partition by probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+)
+select probe_id, cast(cell as bigint) as cell, vec_id,
+       round(cos, 6) as cosine, cast(rk as bigint) as rk
+from ranked where rk <= 5
+"""
 
 
 @register(
     "sim_ivf_cells",
     "IVF-style ANN: per-cell centroids (mean embedding per label), probe "
     "-> nearest centroid -> exact top-5 rerank within the cell. "
-    "Rows-only oracle: float means are summation-order-dependent across "
-    "engines. Centroid build = one posexplode + groupBy(cell, dim) -- at "
-    "100 TB that is the standard two-pass IVF build.",
-    None,
+    "Hash-verified this round: centroid component means go through "
+    "decimal(28,14) so both engines sum order-independently (the "
+    "sim_kmeans_lloyd trick), making the full assignment + rerank "
+    "reproducible cross-engine. Centroid build = one posexplode + "
+    "groupBy(cell, dim) -- at 100 TB that is the standard two-pass IVF "
+    "build.",
+    IVF_ORACLE,
     "similarity", "ann", "ivf",
 )
 def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    # centroid per label: explode to (label, pos, val), average, re-assemble
+    # centroid per label: explode to (label, pos, val), decimal-exact
+    # mean (order-independent, engine-identical), re-assemble
     cent = (
         emb.select("label", F.posexplode("v").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.avg("val").alias("c"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,14)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
         .select(

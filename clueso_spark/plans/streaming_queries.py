@@ -24,6 +24,10 @@ from pyspark.sql.types import (
 
 from clueso_spark.plans.catalog import dec, register
 
+#: nanos -> micros with FLOOR semantics (matches DuckDB/Arrow for
+#: pre-epoch instants; see sources/tables.py:_fix_nano_timestamps)
+_NANOS_FLOOR_DIV = "(ts div 1000) - (case when ts % 1000 < 0 then 1 else 0 end)"
+
 #: events.parquet wire schema -- ts is INT64 TIMESTAMP(NANOS), which the
 #: streaming reader must take as long (see sources/tables.py).
 EVENTS_RAW_SCHEMA = StructType(
@@ -112,7 +116,19 @@ def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(sink_name)
+    # the update-mode memory sink appends one row per updated key per
+    # micro-batch; with multi-file input (larger sf, repartitioned
+    # events) a key updated in several batches leaves several rows.
+    # Keep only each key's final state -- the max-event_id row.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (
+        spark.table(sink_name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @register(
@@ -135,7 +151,7 @@ def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
     )
     deduped = (
         stream.withWatermark("ts", "1 hour")
@@ -179,7 +195,7 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
     )
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
@@ -244,7 +260,7 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
     )
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -301,7 +317,7 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir.rstrip("/"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
         )
 
     clicks = (

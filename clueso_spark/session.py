@@ -56,6 +56,14 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
     cpus = default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode runs every "executor" thread inside the driver JVM;
+        # Spark's 1g default heap OOMs real workloads on a 32-core box.
+        # Only effective at JVM launch (ignored on an existing session,
+        # and on a real cluster spark-submit conf wins).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+        )
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -66,6 +74,10 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
         # explicit schemas everywhere; never pay footer-inference listing cost
         .config("spark.sql.parquet.mergeSchema", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # read INT64 TIMESTAMP(NANOS) parquet columns as raw longs (the
+        # driver testdata's events.ts); set at session build instead of
+        # mutating conf inside table loaders (a read side effect)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if not os.environ.get("SPARK_MASTER"):

@@ -71,6 +71,14 @@ class MetadataStore:
         fs, hpath, _ = self._fs(path)
         fs.delete(hpath, True)
 
+    def touch(self, path: str) -> bool:
+        """Atomically create an empty marker file; False if it exists."""
+        fs, hpath, _ = self._fs(path)
+        try:
+            return fs.createNewFile(hpath)
+        except Exception:
+            return False
+
     def list_partition_values(self, path: str, column: str) -> list[str]:
         """Hive-partition discovery by directory listing
         (ref: TableFilesCompactor.scala:16,67-99 regex walk)."""

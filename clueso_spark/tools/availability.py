@@ -17,7 +17,7 @@ import tempfile
 import time
 
 
-def measure(n: int = 5) -> list[float]:
+def measure(n: int = 5, timeout_s: float = 60.0) -> list[float]:
     from clueso_spark.operators.query import (
         MetadataQuery,
         MetadataQueryExecutor,
@@ -51,13 +51,22 @@ def measure(n: int = 5) -> list[float]:
         with open(f"{inbox}/evt-{i}.jsonl", "w") as f:
             f.write(event + "\n")
         run_file_ingestion(spark, inbox, store, f"{tmp}/ckpt")
-        while True:
+        # bounded poll with backoff: if ingestion dropped the event (parse
+        # filter, bad envelope) report a failure row instead of spinning
+        # the query path forever at full speed
+        deadline = t0 + timeout_s
+        found = False
+        while time.perf_counter() < deadline:
             rows = executor.execute(
                 MetadataQuery("avail", f"key = '{key}'", None, 1)
             ).collect()
             if rows:
+                found = True
                 break
-        latencies.append((time.perf_counter() - t0) * 1e3)
+            time.sleep(0.2)
+        latencies.append(
+            (time.perf_counter() - t0) * 1e3 if found else float("nan")
+        )
     return latencies
 
 
@@ -66,10 +75,13 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=5)
     args = ap.parse_args()
     lat = measure(args.n)
+    ok = [ms for ms in lat if ms == ms]  # NaN-filtered successes
     for i, ms in enumerate(lat):
-        print(f"data_availability.avail.milli[{i}] {ms:.0f}")
-    print(f"data_availability.avail.milli.avg {sum(lat) / len(lat):.0f}")
-    return 0
+        label = f"{ms:.0f}" if ms == ms else "TIMEOUT"
+        print(f"data_availability.avail.milli[{i}] {label}")
+    if ok:
+        print(f"data_availability.avail.milli.avg {sum(ok) / len(ok):.0f}")
+    return 0 if len(ok) == len(lat) else 1
 
 
 if __name__ == "__main__":

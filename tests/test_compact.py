@@ -136,3 +136,25 @@ def test_parallel_compaction_all_buckets(spark, store):
     for b in ("pb1", "pb2", "pb3"):
         assert store.sub_partitions("landing", b) == []
         assert store.read_staging(b).count() == 8
+
+
+def test_pending_purge_subpartitions_excluded_from_next_compaction(spark, store):
+    """ADVICE r2 (medium): a compaction starting inside another run's purge
+    tolerance window must NOT re-read the compacted-but-unpurged landing
+    subpartitions -- staging would accumulate duplicate rows monotonically."""
+    ingest(spark, store, puts(25), interval=10)  # subpartitions 10,20,30
+    c = Compactor(store, purge_tolerance_s=30.0)
+    assert c.compact_bucket(BUCKET, force=True)
+    # purge still pending: dirs exist but are marked
+    assert store.sub_partitions("landing", BUCKET) == [10, 20, 30]
+    assert c.sub_partitions_to_compact(BUCKET, force=True) == []
+    # a second forced compaction during the window is a no-op, not a dup
+    n_before = store.read_staging(BUCKET).count()
+    assert not c.compact_bucket(BUCKET, force=True)
+    assert store.read_staging(BUCKET).count() == n_before == 25
+    # new data arriving after the marker IS eligible
+    ingest(spark, store, puts(5, start=31), interval=10)  # sub 40
+    assert c.sub_partitions_to_compact(BUCKET, force=True) == [40]
+    # don't wait 30s: purge synchronously via a zero-tolerance compactor
+    for sub in (10, 20, 30):
+        store.delete(f"{store.landing}/bucket={BUCKET}/maxOpIndex={sub}")

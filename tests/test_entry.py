@@ -28,17 +28,39 @@ def test_entry_returns_rows_with_stable_schema(spark):
 def test_queries_and_oracles_are_consistent(spark):
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert len(qs) >= 59
-    # every oracle belongs to a query; missing oracles are the documented
-    # rows-only set (engine-specific sketches / float-mean paths)
-    assert set(oracles) <= set(qs)
-    rows_only = set(qs) - set(oracles)
-    assert rows_only == {"agg_approx_count_distinct", "sim_ivf_cells",
-                         "sim_residual_norms"}
+    assert len(qs) >= 90
+    # round 3: EVERY query carries an oracle -- the former rows-only set
+    # (HLL sketch, float-mean IVF/residual paths) now verifies through
+    # invariants or decimal-exact means
+    assert set(oracles) == set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
         assert isinstance(sql, str) and "select" in sql.lower(), name
+
+
+def test_never_driver_verified_tier_registers_first(spark):
+    """The driver's CORRECTNESS gate covers a bounded prefix (50 in round
+    2); the dedup/sim/txt/mm/st tier plus changed-oracle queries must all
+    land inside the first 50 registration slots."""
+    names = list(entrymod.queries())[:50]
+    for family in ("dedup_", "sim_", "txt_", "mm_", "st_", "pipeline_"):
+        n = sum(1 for q in names if q.startswith(family))
+        assert n >= 3, f"{family} underrepresented in driver window: {n}"
+    for must in (
+        "dedup_minhash_lsh",
+        "dedup_connected_components",
+        "sim_lsh_ann",
+        "txt_tf_df_top_terms",
+        "mm_binary_featurize",
+        "st_stateful_latest",
+        "agg_approx_count_distinct",
+        "ev_version_filter",
+        "ev_message_flatten",
+        "ev_result_projection",
+        "ev_isin_subpartitions",
+    ):
+        assert must in names, f"{must} missing from driver window"
 
 
 def test_streaming_queries_rerun_in_same_session(spark):
