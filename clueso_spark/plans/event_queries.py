@@ -782,8 +782,18 @@ _SUBPARTITIONS = (0, 1, 2, 3, 5, 8, 13, 21)
     "engine", "pruning", "isin",
 )
 def ev_isin_subpartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "max_op_index", F.expr("event_id div 1000")
+    # In the real store maxOpIndex is a PARTITION column, so isin prunes
+    # directories at planning time (pinned in test_plans). Over the flat
+    # events table the isin rides a derived column, which no scan can
+    # push -- so also push the equivalent coarse range on the RAW column
+    # (event_id < (max_sub+1)*1000) down to the parquet scan and keep the
+    # exact isin as the residual. At 100 TB the row-group skip from the
+    # range bound is the difference between reading 22 and 1000 units.
+    hi = (max(_SUBPARTITIONS) + 1) * 1000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < hi)
+        .withColumn("max_op_index", F.expr("event_id div 1000"))
     )
     pruned = ev.where(F.col("max_op_index").isin(list(_SUBPARTITIONS)))
     return pruned.groupBy("max_op_index").agg(

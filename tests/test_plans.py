@@ -121,3 +121,67 @@ def test_unpivot_is_single_expand_pass(spark, registry):
     # numbered detail headers, one per distinct scan
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, plan
+
+
+def test_search_path_prunes_nested_message_fields(spark, store):
+    """The search scan must read only the message subfields the result
+    projection + predicate touch (nested schema pruning), and push the
+    master-key filter down -- at 100 TB this is the difference between
+    reading 8 columns and deserializing every 23-field struct."""
+    from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
+    from clueso_spark.streaming.ingest import parse_events
+    from tests.conftest import op, put_doc, raw_df, wire_event
+
+    lines = [
+        wire_event(op(i), "put", "pbkt", f"k{i:03d}", put_doc(f"k{i:03d}", "pbkt"))
+        for i in range(1, 6)
+    ]
+    store.write_landing(parse_events(raw_df(spark, lines)))
+    ex = MetadataQueryExecutor(spark, store)
+    df = ex.execute(MetadataQuery("pbkt", "userMd.`x-amz-meta-food` = 'pizza'"))
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    # pruned: fields the query never touches must not be scanned
+    for absent in ("acl", "location", "replicationInfo", "isDeleteMarker"):
+        assert absent not in read_schema, read_schema
+    # present: the predicate + result columns survive pruning
+    for present in ("userMd", "content-md5", "owner-id"):
+        assert present in read_schema, read_schema
+    # master-only listing filter reaches the scan
+    assert "StringContains(key," in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_embedding_cosine_banded_join_is_keyed(spark, registry):
+    """Banded hyperplane LSH: candidates must come from a keyed
+    aggregation on (band, bucket), never a vector-side product."""
+    plan = plan_of(registry["dedup_embedding_cosine"].spark(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_isin_subpartitions_range_bound_pushed(spark, registry):
+    """P14 over the flat events table: the coarse range bound equivalent
+    to the subpartition isin must reach the parquet scan (the exact isin
+    on the derived column is the residual)."""
+    plan = plan_of(registry["ev_isin_subpartitions"].spark(spark, SF_DIR))
+    pushed = plan.split("PushedFilters: ")[1].split("]")[0]
+    assert "LessThan(event_id" in pushed, pushed
+
+
+def test_store_subpartition_isin_prunes_partitions(spark, store):
+    """P14 on the real store layout: maxOpIndex is a partition column, so
+    the compactor's isin must appear as a PartitionFilter (directory
+    pruning at planning time), not a data filter."""
+    from clueso_spark.streaming.ingest import parse_events
+    from tests.conftest import op, put_doc, raw_df, wire_event
+
+    lines = [
+        wire_event(op(i), "put", "ppb", f"k{i:03d}", put_doc(f"k{i:03d}", "ppb"))
+        for i in range(1, 25)
+    ]
+    store.write_landing(parse_events(raw_df(spark, lines), compaction_record_interval=10))
+    df = store.read_landing_sub_partitions("ppb", [10, 20])
+    plan = plan_of(df)
+    pf = plan.split("PartitionFilters: ")[1].split("\n")[0]
+    assert "maxOpIndex" in pf and ("IN" in pf.upper() or "in(" in pf), pf
