@@ -118,6 +118,7 @@ PRIORITY = [
     "ev_isin_subpartitions",
     # changed-oracle / flagship re-verification
     "agg_approx_count_distinct",
+    "agg_approx_percentile",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",

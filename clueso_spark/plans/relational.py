@@ -679,6 +679,50 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_approx_percentile",
+    "approx_percentile (GK sketch, accuracy 100) median of o_totalprice "
+    "per order priority, verified by RANK INVARIANT: the sketch value is "
+    "engine-specific, so the query counts how many rows fall strictly "
+    "below / at-or-below the approximate median and asserts the rank "
+    "sits inside the sketch's guaranteed eps = 1/accuracy band around "
+    "n/2; the oracle asserts the literal. At 100 TB the mergeable "
+    "fixed-size sketch replaces a full sort per group.",
+    """
+    select o_orderpriority,
+           cast(count(*) as bigint) as n_orders,
+           cast(1 as bigint) as rank_ok
+    from orders group by o_orderpriority
+    """,
+    "aggregate", "approx", "percentile",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    sketch = orders.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 100).alias("p50a")
+    )
+    ranked = orders.join(F.broadcast(sketch), "o_orderpriority").groupBy(
+        "o_orderpriority"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("o_totalprice") < F.col("p50a"), 1).otherwise(0)).alias(
+            "n_lt"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= F.col("p50a"), 1).otherwise(0)).alias(
+            "n_le"
+        ),
+    )
+    # GK guarantee: rank(p50a) in [(0.5 - eps) n, (0.5 + eps) n], eps = 1/100
+    ok = (F.col("n_lt") <= F.ceil(0.51 * F.col("n"))) & (
+        F.col("n_le") >= F.floor(0.49 * F.col("n"))
+    )
+    return ranked.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        ok.cast("bigint").alias("rank_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------

@@ -185,3 +185,30 @@ def test_store_subpartition_isin_prunes_partitions(spark, store):
     plan = plan_of(df)
     pf = plan.split("PartitionFilters: ")[1].split("\n")[0]
     assert "maxOpIndex" in pf and ("IN" in pf.upper() or "in(" in pf), pf
+
+
+def test_exchange_budgets_hold(spark, registry):
+    """Shuffle-regression pin: no catalog query's plan may grow more
+    exchanges or scans than the budget recorded by
+    `tools/plan_audit.py --write`. A refactor that silently introduces
+    an extra shuffle (the dominant cost at 100 TB) fails here, not in a
+    bench number three rounds later."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.plan_audit import BUDGET_PATH, plan_metrics
+
+    with open(BUDGET_PATH) as f:
+        budgets = json.load(f)
+    over = {}
+    for name, cq in registry.items():
+        if name.startswith("st_") or name not in budgets:
+            continue
+        plan = plan_of(cq.spark(spark, SF_DIR))
+        m = plan_metrics(plan)
+        b = budgets[name]
+        if m["exchanges"] > b["exchanges"] or m["scans"] > b["scans"]:
+            over[name] = {"now": m, "budget": b}
+    assert not over, over
