@@ -42,12 +42,19 @@ class Compactor:
         drop_tombstones: bool = False,
         target_file_bytes: int = 128 * 1024 * 1024,
         min_output_files: int = 1,
+        stale_lock_s: float = 3600.0,
     ):
         self.store = store
         self.purge_tolerance_s = purge_tolerance_s
         self.drop_tombstones = drop_tombstones
         self.target_file_bytes = target_file_bytes
         self.min_output_files = min_output_files
+        #: a _merging_<bucket> lock older than this is treated as left
+        #: behind by a crashed compactor and broken -- without this a
+        #: single crash blocks the bucket's compaction FOREVER (the
+        #: reference has the same latent flaw: its lock file is only
+        #: removed by the process that created it)
+        self.stale_lock_s = stale_lock_s
         self._purge_timers: list[threading.Timer] = []
 
     # -- policy -----------------------------------------------------------
@@ -100,11 +107,29 @@ class Compactor:
         return f"{self.store.staging}/_merging_{bucket}"
 
     def _acquire_lock(self, bucket: str) -> bool:
+        import time
+
         fs, hpath, _ = self.store._fs(self._lock_path(bucket))
         try:
-            return fs.createNewFile(hpath)
+            if fs.createNewFile(hpath):
+                return True
         except Exception:
             return False
+        # lock held: break it only if it outlived stale_lock_s (crashed
+        # holder). The delete+create pair is not atomic -- two breakers
+        # can race -- but exactly one createNewFile wins, so at most one
+        # compaction proceeds; the loser retries next cycle.
+        try:
+            age_s = (
+                time.time()
+                - fs.getFileStatus(hpath).getModificationTime() / 1000.0
+            )
+            if age_s > self.stale_lock_s:
+                fs.delete(hpath, False)
+                return fs.createNewFile(hpath)
+        except Exception:
+            pass
+        return False
 
     def _release_lock(self, bucket: str) -> None:
         self.store.delete(self._lock_path(bucket))

@@ -158,3 +158,22 @@ def test_pending_purge_subpartitions_excluded_from_next_compaction(spark, store)
     # don't wait 30s: purge synchronously via a zero-tolerance compactor
     for sub in (10, 20, 30):
         store.delete(f"{store.landing}/bucket={BUCKET}/maxOpIndex={sub}")
+
+
+def test_stale_lock_is_broken_fresh_lock_is_respected(spark, store):
+    """A _merging lock left by a crashed compactor must not block the
+    bucket forever: locks older than stale_lock_s are broken; fresh
+    locks (a live compaction) are respected."""
+    ingest(spark, store, puts(15), interval=10)
+    c = Compactor(store, stale_lock_s=3600.0)
+    # simulate a live holder: fresh lock blocks
+    assert c._acquire_lock(BUCKET)
+    assert not c.compact_bucket(BUCKET, force=True)
+    # simulate a crashed holder: backdate the lock past the TTL
+    fs, hpath, _ = store._fs(c._lock_path(BUCKET))
+    old_ms = int((__import__("time").time() - 7200) * 1000)
+    fs.setTimes(hpath, old_ms, old_ms)
+    assert c.compact_bucket(BUCKET, force=True)
+    assert store.read_staging(BUCKET).count() == 15
+    # lock released after the successful run
+    assert not store.exists(c._lock_path(BUCKET))
