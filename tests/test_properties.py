@@ -242,3 +242,102 @@ def test_blocked_jaccard_is_sound(spark, tmp_path_factory, texts):
     for pair, jac in brute.items():
         if jac == 1.0:
             assert pair in got, (pair, got)
+
+
+vectors_strategy = st.lists(
+    st.sampled_from(
+        [
+            [1.0, 0.0, 0.5, -0.25],
+            [1.0, 0.01, 0.5, -0.25],
+            [-1.0, 0.2, -0.5, 0.75],
+            [0.0, 1.0, 0.0, 1.0],
+            [0.3, -0.8, 0.1, 0.9],
+        ]
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vecs=vectors_strategy)
+def test_banded_embedding_lsh_is_sound(spark, tmp_path_factory, vecs):
+    """Banded hyperplane LSH: every emitted pair must be a TRUE
+    cosine >= 0.4 pair with the exact score (no false positives), and an
+    identical-vector pair (cosine 1) always shares every band bucket, so
+    it can never be lost."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clueso_spark.plans.catalog import all_queries
+
+    dim = 64
+    # deterministic padding to the engine's 64-dim contract
+    full = [v + [0.125 * ((i + j) % 5 - 2) for j in range(dim - 4)]
+            for i, v in enumerate(vecs)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
+
+    sf_dir = tmp_path_factory.mktemp("embprop")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": list(range(len(full))),
+                "label": [0] * len(full),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in full],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(sf_dir / "embeddings.parquet"),
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in all_queries()["dedup_embedding_cosine"]
+        .spark(spark, str(sf_dir))
+        .collect()
+    }
+    # float32 storage: recompute truth on the float32-rounded vectors
+    import numpy as np
+
+    f32 = [np.asarray(v, dtype=np.float32).astype(float).tolist() for v in full]
+    brute = {
+        (i, j): cos(f32[i], f32[j])
+        for i in range(len(f32))
+        for j in range(i + 1, len(f32))
+        if cos(f32[i], f32[j]) >= 0.4
+    }
+    assert set(got) <= set(brute), (got, brute)
+    for pair, c in got.items():
+        assert abs(c - round(brute[pair], 6)) <= 1e-6, (pair, c, brute[pair])
+    for (i, j), c in brute.items():
+        if c > 0.999999:  # identical direction -> identical band buckets
+            assert (i, j) in got, (i, j, got)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_latest_rows_max_by_strategy_agrees_with_window(spark, rows):
+    """The scale-path hash-aggregate (max_by) must produce the same
+    latest state as the reference-parity window strategy on any
+    canonicalized event stream."""
+    from clueso_spark.operators.merge import latest_rows
+
+    df = spark.createDataFrame(
+        [(k, f"{n:012d}_0", t) for k, n, t in rows],
+        "key string, opIndex string, type string",
+    )
+    win = {
+        (r["key"], r["opIndex"], r["type"])
+        for r in latest_rows(df).collect()
+    }
+    agg = {
+        (r["key"], r["opIndex"], r["type"])
+        for r in latest_rows(df, strategy="max_by").collect()
+    }
+    assert win == agg
