@@ -64,10 +64,17 @@ def test_never_driver_verified_tier_registers_first(spark):
 
 
 def test_streaming_queries_rerun_in_same_session(spark):
-    """The driver may invoke a streaming query after other queries in one
-    session; memory-sink query names must be reusable after termination."""
+    """The driver (and bench's best-of-2) invoke each streaming query
+    repeatedly in one session; memory-sink query names must be reusable
+    after termination, for every streaming entry."""
     qs = entrymod.queries()
-    for name in ("st_windowed_counts", "st_dedup_replay"):
+    for name in (
+        "st_windowed_counts",
+        "st_dedup_replay",
+        "st_stateful_latest",
+        "st_session_windows",
+        "st_stream_stream_join",
+    ):
         first = qs[name](spark, SF_DIR).count()
         second = qs[name](spark, SF_DIR).count()
         assert first == second > 0, name

@@ -202,13 +202,20 @@ def test_exchange_budgets_hold(spark, registry):
 
     with open(BUDGET_PATH) as f:
         budgets = json.load(f)
-    over = {}
-    for name, cq in registry.items():
-        if name.startswith("st_") or name not in budgets:
-            continue
-        plan = plan_of(cq.spark(spark, SF_DIR))
-        m = plan_metrics(plan)
-        b = budgets[name]
-        if m["exchanges"] > b["exchanges"] or m["scans"] > b["scans"]:
-            over[name] = {"now": m, "budget": b}
+    # budgets are recorded with AQE off (AdaptiveSparkPlan renames and
+    # hides nodes); compare like-for-like, then restore
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        over = {}
+        for name, cq in registry.items():
+            if name.startswith("st_") or name not in budgets:
+                continue
+            plan = plan_of(cq.spark(spark, SF_DIR))
+            m = plan_metrics(plan)
+            b = budgets[name]
+            if m["exchanges"] > b["exchanges"] or m["scans"] > b["scans"]:
+                over[name] = {"now": m, "budget": b}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert not over, over

@@ -68,7 +68,16 @@ def main() -> int:
     from clueso_spark.plans.catalog import all_queries
     from clueso_spark.session import get_spark
 
-    spark = get_spark("plan-audit", **{"spark.sql.shuffle.partitions": "8"})
+    # AQE off for the audit ONLY: AdaptiveSparkPlan hides the `*(n)`
+    # codegen markers until runtime finalization; exchange/scan counts
+    # are identical either way
+    spark = get_spark(
+        "plan-audit",
+        **{
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     metrics = audit(all_queries(), spark)
 
