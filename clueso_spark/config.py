@@ -38,6 +38,11 @@ class CluesoSparkConfig:
     # compaction (ref: CluesoConfig.scala landing_purge_tolerance)
     landing_purge_tolerance_s: float = 0.0
     target_file_bytes: int = 128 * 1024 * 1024
+    stale_lock_s: float = 3600.0
+
+    # merge-on-read dedup strategy: "window" (reference-parity row_number)
+    # or "max_by" (sort-free hash aggregate for replay-heavy stores)
+    merge_strategy: str = "window"
 
     # diagnostics (ref: spark_sql_print_explain, MetadataQueryExecutor:88-92)
     print_explain: bool = False
@@ -89,11 +94,16 @@ def build_engine(spark, config: CluesoSparkConfig):
         else None
     )
     executor = MetadataQueryExecutor(
-        spark, store, cache, print_explain=config.print_explain
+        spark,
+        store,
+        cache,
+        print_explain=config.print_explain,
+        merge_strategy=config.merge_strategy,
     )
     compactor = Compactor(
         store,
         purge_tolerance_s=config.landing_purge_tolerance_s,
         target_file_bytes=config.target_file_bytes,
+        stale_lock_s=config.stale_lock_s,
     )
     return store, executor, compactor
