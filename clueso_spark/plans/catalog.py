@@ -85,6 +85,7 @@ PRIORITY = [
     "sim_residual_norms",
     "sim_kmeans_lloyd",
     "sim_ann_recall_at_k",
+    "sim_ivf_kmeans_ann",
     # text / pipeline tier
     "txt_token_stats",
     "txt_lang_stats",

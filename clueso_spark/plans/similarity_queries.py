@@ -354,8 +354,11 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_CLUSTERS = 4
 
-_KMEANS_ORACLE = f"""
-with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+#: shared CTE prefix: one Lloyd round (init = lowest vec_ids, assign,
+#: decimal-exact centroid update) + final assignment a2. Reused by the
+#: k-means report oracle and the IVF-over-kmeans ANN oracle.
+_KMEANS_CTES = f"""
+e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
            from embeddings),
 n as (select vec_id, v, list_dot_product(v, v) sq from e),
 c0 as (select vec_id as cid, v as c, sq as csq from n
@@ -372,7 +375,7 @@ a1 as (
 ),
 comp1 as (
   select cid, i as pos, v[i] as x
-  from a1 cross join generate_series(1, {{dim}}) as t(i)
+  from a1 cross join generate_series(1, {DIM}) as t(i)
 ),
 m1 as (
   select cid, pos,
@@ -393,14 +396,17 @@ a2 as (
                       c1n.cid
            ) as rk
     from n cross join c1n) where rk = 1
-)
+)"""
+
+_KMEANS_ORACLE = f"""
+with {_KMEANS_CTES}
 select cast(cid as bigint) as cluster_id,
        cast(count(*) as bigint) as n_members,
        round(cast(sum(cast(dist as decimal(28,14))) as double)
              / count(*), 6) as avg_sq_dist
 from a2
 group by cid
-""".format(dim=DIM)
+"""
 
 
 def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -421,6 +427,29 @@ def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_c1(emb: DataFrame) -> DataFrame:
+    """One Lloyd round: deterministic init (lowest vec_ids), assign,
+    decimal-exact centroid update. Returns (cid, c, csq)."""
+    cents = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("c"),
+        F.col("sq").alias("csq"),
+    )
+    a1 = _nearest(emb, cents)
+    comp = a1.select("cid", F.posexplode("v").alias("pos", "x"))
+    means = comp.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+            / F.count("*")
+        ).alias("m")
+    )
+    c1 = means.groupBy("cid").agg(
+        F.expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
+        .alias("c")
+    )
+    return c1.withColumn("csq", F.expr(_DOT.format(a="c", b="c")))
+
+
 @register(
     "sim_kmeans_lloyd",
     f"Iterative algorithm: two Lloyd k-means rounds (K={K_CLUSTERS}, "
@@ -436,27 +465,8 @@ def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
 )
 def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    cents = emb.where(F.col("vec_id") < K_CLUSTERS).select(
-        F.col("vec_id").alias("cid"),
-        F.col("v").alias("c"),
-        F.col("sq").alias("csq"),
-    )
-    # round 1: assign + centroid update
-    a1 = _nearest(emb, cents)
-    comp = a1.select("cid", F.posexplode("v").alias("pos", "x"))
-    means = comp.groupBy("cid", "pos").agg(
-        (
-            F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
-            / F.count("*")
-        ).alias("m")
-    )
-    c1 = means.groupBy("cid").agg(
-        F.expr("transform(sort_array(collect_list(struct(pos, m))), t -> t.m)")
-        .alias("c")
-    )
-    c1 = c1.withColumn("csq", F.expr(_DOT.format(a="c", b="c")))
-    # round 2: reassign against the updated centroids, report clusters
-    a2 = _nearest(emb, c1)
+    # round 2: reassign against the round-1 centroids, report clusters
+    a2 = _nearest(emb, _lloyd_c1(emb))
     return (
         a2.groupBy("cid")
         .agg(
@@ -472,6 +482,96 @@ def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
             "avg_sq_dist",
         )
+    )
+
+
+IVF_KMEANS_ORACLE = f"""
+with {_KMEANS_CTES},
+passign as (
+  select probe_id, pv, psq, cid from (
+    select n.vec_id as probe_id, n.v as pv, n.sq as psq, c1n.cid,
+           row_number() over (
+             partition by n.vec_id
+             order by n.sq - 2 * list_dot_product(n.v, c1n.c) + c1n.csq,
+                      c1n.cid
+           ) as rk
+    from n cross join c1n where n.vec_id < {N_PROBES}) where rk = 1
+),
+members as (
+  select a2.vec_id, a2.cid, n.v, n.sq from a2 join n on a2.vec_id = n.vec_id
+),
+scored as (
+  select probe_id, passign.cid, m.vec_id,
+         list_dot_product(pv, m.v) / (sqrt(psq) * sqrt(m.sq)) as cos
+  from passign join members m
+    on m.cid = passign.cid and m.vec_id <> probe_id
+),
+ranked as (
+  select probe_id, cid, vec_id, cos,
+         row_number() over (partition by probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+)
+select probe_id, cast(cid as bigint) as cluster_id, vec_id,
+       round(cos, 6) as cosine, cast(rk as bigint) as rk
+from ranked where rk <= 5
+"""
+
+
+@register(
+    "sim_ivf_kmeans_ann",
+    "True IVF ANN: the coarse quantizer is LEARNED (one Lloyd round of "
+    f"k-means, K={K_CLUSTERS}, decimal-exact means) instead of a data "
+    "attribute; every vector is assigned to its nearest learned "
+    "centroid, probes route to their nearest centroid and rerank "
+    "exactly inside that cell. The full IVF build-and-search loop -- "
+    "train, assign, probe, rerank -- as lazy DataFrame composition, "
+    "hash-verified cross-engine. At 100 TB: train on a sample, "
+    "broadcast K centroids, one keyed shuffle on cell id.",
+    IVF_KMEANS_ORACLE,
+    "similarity", "ann", "ivf", "kmeans",
+)
+def sim_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    c1 = _lloyd_c1(emb)
+    members = _nearest(emb, c1).select("vec_id", "cid", "v", "sq")
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("sq").alias("psq"),
+    )
+    pdist = (
+        F.col("psq")
+        - 2 * F.expr(_DOT.format(a="pv", b="c"))
+        + F.col("csq")
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy("pdist", "cid")
+    passign = (
+        probes.join(F.broadcast(c1), F.lit(True))
+        .select("probe_id", "pv", "psq", "cid", pdist.alias("pdist"))
+        .withColumn("crk", F.row_number().over(w_cell))
+        .where(F.col("crk") == 1)
+        .drop("pdist", "crk")
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        F.broadcast(passign)
+        .join(
+            members,
+            (members.cid == passign.cid) & (members.vec_id != passign.probe_id),
+        )
+        .select(
+            "probe_id",
+            passign.cid.cast("bigint").alias("cluster_id"),
+            "vec_id",
+            cos.alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select("probe_id", "cluster_id", "vec_id", F.round("cos", 6).alias("cosine"), "rk")
     )
 
 
