@@ -30,6 +30,10 @@ HEADLINE = [
     # text tier
     "txt_top_bigrams",
     "txt_tf_df_top_terms",
+    "txt_repetition_signals",
+    # training-pipeline curation
+    "pipeline_contamination_check",
+    "pipeline_mixture_reweight",
     # dedup tier (all four blocking strategies)
     "dedup_minhash_lsh",
     "dedup_connected_components",
@@ -40,6 +44,7 @@ HEADLINE = [
     "sim_lsh_ann",
     "sim_ivf_cells",
     "sim_kmeans_lloyd",
+    "sim_pq_codes",
     # multimodal tier (Arrow mapInPandas + metadata-only agg)
     "mm_binary_featurize",
     "mm_modality_stats",

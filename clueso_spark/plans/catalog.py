@@ -73,6 +73,12 @@ PRIORITY = [
     "st_stateful_latest",
     "dedup_connected_components",
     "ev_latest_state",
+    # new this round: repetition/quality, decontamination, mixture
+    # rebalancing, product quantization -- never driver-verified yet
+    "txt_repetition_signals",
+    "pipeline_contamination_check",
+    "pipeline_mixture_reweight",
+    "sim_pq_codes",
     # deduplication tier
     "dedup_exact_summary",
     "dedup_simhash",

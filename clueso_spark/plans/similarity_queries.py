@@ -617,3 +617,151 @@ def sim_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_true")
         ).alias("recall_at_k"),
     )
+
+
+N_SUBSPACES = 4
+SUB_DIM = DIM // N_SUBSPACES
+PQ_K = 4
+
+PQ_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+subs as (
+  select vec_id, s as sub, v[s * {SUB_DIM} + 1 : (s + 1) * {SUB_DIM}] as sv
+  from e cross join generate_series(0, {N_SUBSPACES - 1}) as t(s)
+),
+n as (select vec_id, sub, sv, list_dot_product(sv, sv) as ssq from subs),
+c0 as (select sub, vec_id as cid, sv as c, ssq as csq from n
+       where vec_id < {PQ_K}),
+a1 as (
+  select vec_id, sub, sv, cid from (
+    select n.vec_id, n.sub, n.sv, c0.cid,
+           row_number() over (
+             partition by n.vec_id, n.sub
+             order by n.ssq - 2 * list_dot_product(n.sv, c0.c) + c0.csq,
+                      c0.cid
+           ) as rk
+    from n join c0 on n.sub = c0.sub) where rk = 1
+),
+comp1 as (
+  select sub, cid, i as pos, sv[i] as x
+  from a1 cross join generate_series(1, {SUB_DIM}) as t(i)
+),
+m1 as (
+  select sub, cid, pos,
+         cast(sum(cast(x as decimal(28,14))) as double) / count(*) as m
+  from comp1 group by sub, cid, pos
+),
+c1 as (
+  select sub, cid, list(m order by pos) as c from m1 group by sub, cid
+),
+c1n as (select sub, cid, c, list_dot_product(c, c) as csq from c1),
+a2 as (
+  select vec_id, sub, cid, dist from (
+    select n.vec_id, n.sub, c1n.cid,
+           n.ssq - 2 * list_dot_product(n.sv, c1n.c) + c1n.csq as dist,
+           row_number() over (
+             partition by n.vec_id, n.sub
+             order by n.ssq - 2 * list_dot_product(n.sv, c1n.c) + c1n.csq,
+                      c1n.cid
+           ) as rk
+    from n join c1n on n.sub = c1n.sub) where rk = 1
+)
+select cast(sub as bigint) as subspace,
+       cast(cid as bigint) as code,
+       cast(count(*) as bigint) as n_members,
+       round(cast(sum(cast(dist as decimal(28,14))) as double)
+             / count(*), 6) as avg_sq_dist
+from a2
+group by sub, cid
+"""
+
+
+@register(
+    "sim_pq_codes",
+    f"Product quantization (the PQ half of IVF-PQ): vectors split into "
+    f"{N_SUBSPACES} subspaces of {SUB_DIM} dims; per subspace a {PQ_K}-"
+    "codeword codebook is trained with one Lloyd round (deterministic "
+    "init = lowest vec_ids, decimal-exact means) and every sub-vector is "
+    "assigned its nearest codeword. Output: per-(subspace, code) "
+    "population and mean quantization distortion -- the codebook-quality "
+    "report a PQ index build emits. Scale: a vector's PQ code is "
+    f"{N_SUBSPACES} small ints instead of {DIM} floats (~64x memory "
+    "compression for ANN state); training broadcasts K x M codewords and "
+    "shuffles only (subspace, code, dim)-keyed partial means, never "
+    "vectors.",
+    PQ_ORACLE,
+    "similarity", "ann", "quantization",
+)
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    subs = (
+        emb.select(
+            "vec_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(N_SUBSPACES - 1))
+            ).alias("sub"),
+            "v",
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.expr(f"slice(v, sub * {SUB_DIM} + 1, {SUB_DIM})").alias("sv"),
+        )
+        .withColumn("ssq", F.expr(_DOT.format(a="sv", b="sv")))
+    )
+    c0 = subs.where(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("sv").alias("c"),
+        F.col("ssq").alias("csq"),
+    )
+
+    def nearest(cb: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cb), "sub").withColumn(
+            "dist",
+            F.col("ssq") - 2 * F.expr(_DOT.format(a="sv", b="c")) + F.col("csq"),
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("dist", "cid")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk", "c", "csq")
+        )
+
+    a1 = nearest(c0)
+    means = (
+        a1.select("sub", "cid", F.posexplode("sv").alias("pos", "x"))
+        .groupBy("sub", "cid", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+    )
+    c1 = (
+        means.groupBy("sub", "cid")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, m))), t -> t.m)"
+            ).alias("c")
+        )
+        .withColumn("csq", F.expr(_DOT.format(a="c", b="c")))
+    )
+    a2 = nearest(c1)
+    return (
+        a2.groupBy("sub", "cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.round(
+                F.sum(F.col("dist").cast("decimal(28,14)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_sq_dist"),
+        )
+        .select(
+            F.col("sub").cast("bigint").alias("subspace"),
+            F.col("cid").cast("bigint").alias("code"),
+            "n_members",
+            "avg_sq_dist",
+        )
+    )

@@ -20,26 +20,60 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 from clueso_spark.plans.catalog import dec, register
 
 #: nanos -> micros with FLOOR semantics (matches DuckDB/Arrow for
-#: pre-epoch instants; see sources/tables.py:_fix_nano_timestamps)
+#: pre-epoch instants; see sources/tables.py:_normalize_ts)
 _NANOS_FLOOR_DIV = "(ts div 1000) - (case when ts % 1000 < 0 then 1 else 0 end)"
 
-#: events.parquet wire schema -- ts is INT64 TIMESTAMP(NANOS), which the
-#: streaming reader must take as long (see sources/tables.py).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with ``ts`` normalized to TIMESTAMP
+    across testdata generations (see sources/tables.py:_normalize_ts).
+
+    A streaming source needs its schema declared up front, so the parquet
+    footer is sniffed driver-side (one pyarrow metadata read, no data):
+    INT64 TIMESTAMP(NANOS) files are read as raw longs and floor-divided
+    to microseconds; timestamp[us] NTZ files are cast to instant under a
+    UTC session zone.
+    """
+    import pyarrow.parquet as pq
+
+    path = sf_dir.rstrip("/")
+    ts_type = pq.read_schema(f"{path}/events.parquet").field("ts").type
+    nanos = str(ts_type) == "timestamp[ns]"
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    elif spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.schema(
+            _events_schema(LongType() if nanos else TimestampNTZType())
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(path)
+    )
+    if nanos:
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV))
+        )
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _latest_state_fn(key, pdf_iter, state):
@@ -90,12 +124,7 @@ def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType as _St
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-    )
+    stream = events_stream(spark, sf_dir)
     out_schema = (
         "user_id bigint, event_id bigint, event_type string, value double"
     )
@@ -146,13 +175,7 @@ def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "dedup",
 )
 def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
-    )
+    stream = events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicates(["event_id"])
@@ -189,14 +212,8 @@ def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "window", "aggregate",
 )
 def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source wants a directory; glob-filter to one table
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
@@ -255,13 +272,7 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "window", "sessionize",
 )
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
-    )
+    stream = events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
@@ -310,15 +321,8 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "join", "range",
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
     def source():
-        return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir.rstrip("/"))
-            .withColumn("ts", F.timestamp_micros(F.expr(_NANOS_FLOOR_DIV)))
-        )
+        return events_stream(spark, sf_dir)
 
     clicks = (
         source()

@@ -391,6 +391,308 @@ def pipeline_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REPETITION_ORACLE = """
+with t as (select doc_id, string_split(text, ' ') w from documents),
+g as (
+  select doc_id, w, len(w) as n_tokens,
+         list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) as top_uni,
+         case when len(w) < 2 then []
+              else list_transform(range(1, len(w)),
+                   i -> w[i] || ' ' || w[i + 1]) end as bi,
+         case when len(w) < 3 then []
+              else list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) end as tri
+  from t
+),
+s as (
+  select doc_id, n_tokens, top_uni,
+         case when len(bi) = 0 then 0
+              else list_max(list_transform(list_distinct(bi),
+                   t -> len(list_filter(bi, x -> x = t)))) end as top_bi,
+         len(bi) as n_bi, len(tri) as n_tri,
+         len(list_distinct(tri)) as n_tri_distinct
+  from g
+)
+select doc_id,
+       cast(n_tokens as bigint) as n_tokens,
+       cast(top_uni as double) / n_tokens as top_unigram_frac,
+       case when n_bi = 0 then 0.0
+            else cast(top_bi as double) / n_bi end as top_bigram_frac,
+       case when n_tri = 0 then 0.0
+            else 1.0 - cast(n_tri_distinct as double) / n_tri
+       end as dup_trigram_frac,
+       cast(case when cast(top_uni as double) / n_tokens > 0.2
+                  or (n_tri > 0 and
+                      1.0 - cast(n_tri_distinct as double) / n_tri > 0.5)
+            then 1 else 0 end as bigint) as repetitive
+from s
+"""
+
+
+@register(
+    "txt_repetition_signals",
+    "Gopher-style repetition signals per document: most-frequent-unigram "
+    "fraction, most-frequent-bigram fraction, duplicate-trigram fraction, "
+    "and a repetitive flag -- the standard quality filters that catch "
+    "boilerplate/spam before LLM training. Pure per-row array algebra "
+    "(cost bounded by doc length, which is bounded): NO shuffle at all -- "
+    "at 100 TB this is a narrow embarrassingly-parallel projection, "
+    "unlike the explode+groupBy formulation which would shuffle every "
+    "token.",
+    REPETITION_ORACLE,
+    "text", "quality", "pipeline",
+)
+def txt_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    g = docs.select(
+        "doc_id",
+        "w",
+        F.size("w").alias("n_tokens"),
+        F.expr(
+            "array_max(transform(array_distinct(w),"
+            " t -> size(filter(w, x -> x = t))))"
+        ).alias("top_uni"),
+        bigrams("w").alias("bi"),
+        F.expr(
+            """case when size(w) < 3 then array()
+            else transform(sequence(1, size(w) - 2),
+                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                element_at(w, i + 2))) end"""
+        ).alias("tri"),
+    )
+    s = g.select(
+        "doc_id",
+        "n_tokens",
+        "top_uni",
+        F.expr(
+            """case when size(bi) = 0 then 0
+            else array_max(transform(array_distinct(bi),
+                 t -> size(filter(bi, x -> x = t)))) end"""
+        ).alias("top_bi"),
+        F.size("bi").alias("n_bi"),
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_tri_distinct"),
+    )
+    uni_frac = F.col("top_uni").cast("double") / F.col("n_tokens")
+    tri_dup = F.lit(1.0) - F.col("n_tri_distinct").cast("double") / F.col(
+        "n_tri"
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        uni_frac.alias("top_unigram_frac"),
+        F.when(F.col("n_bi") == 0, F.lit(0.0))
+        .otherwise(F.col("top_bi").cast("double") / F.col("n_bi"))
+        .alias("top_bigram_frac"),
+        F.when(F.col("n_tri") == 0, F.lit(0.0))
+        .otherwise(tri_dup)
+        .alias("dup_trigram_frac"),
+        F.when(
+            (uni_frac > 0.2) | ((F.col("n_tri") > 0) & (tri_dup > 0.5)), 1
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("repetitive"),
+    )
+
+
+CONTAMINATION_ORACLE = """
+with h as (
+  select doc_id, string_split(text, ' ') w,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+           % 100 as pct
+  from documents
+),
+g as (
+  select doc_id, pct,
+         case when len(w) < 3 then []
+              else list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) end
+           as grams
+  from h
+),
+train_grams as (
+  select distinct unnest(grams) as gram from g where pct < 80
+),
+test_grams as (
+  select doc_id, unnest(grams) as gram from g where pct >= 90
+),
+hits as (
+  select t.doc_id, count(*) as n_hit
+  from test_grams t join train_grams tr on t.gram = tr.gram
+  group by t.doc_id
+),
+totals as (
+  select doc_id, len(grams) as n_grams from g where pct >= 90
+)
+select t.doc_id,
+       cast(t.n_grams as bigint) as n_grams,
+       cast(coalesce(h.n_hit, 0) as bigint) as n_contaminated,
+       case when t.n_grams = 0 then 0.0
+            else cast(coalesce(h.n_hit, 0) as double) / t.n_grams
+       end as contamination_rate,
+       cast(case when t.n_grams > 0 and
+                  cast(coalesce(h.n_hit, 0) as double) / t.n_grams > 0.8
+            then 1 else 0 end as bigint) as contaminated
+from totals t left join hits h on t.doc_id = h.doc_id
+"""
+
+
+@register(
+    "pipeline_contamination_check",
+    "Train/test decontamination sweep: distinct 3-gram fingerprints of "
+    "every test-split document joined against the train split's distinct "
+    "3-gram set (the same content-addressed 80/10/10 split as "
+    "pipeline_train_test_split); reports per-test-doc overlap rate and a "
+    "contaminated flag. The benchmark-decontamination pass every LLM "
+    "training pipeline runs (production uses 8-13-grams; 3 here so the "
+    "tiny synthetic vocab yields non-degenerate rates). Scale: gram sets "
+    "are per-row array algebra; the only corpus-wide movement is ONE "
+    "keyed shuffle of (doc, gram-md5) rows into the gram equi-join, and "
+    "the train side deduplicates map-side before shuffling.",
+    CONTAMINATION_ORACLE,
+    "pipeline", "dedup", "text",
+)
+def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    grams = F.expr(
+        """case when size(w) < 3 then array()
+        else array_distinct(transform(sequence(1, size(w) - 2),
+             i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),
+                                element_at(w, i + 2))))) end"""
+    )
+    g = docs.select("doc_id", pct.alias("pct"), grams.alias("grams"))
+    train_grams = (
+        g.where(F.col("pct") < 80)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    test = g.where(F.col("pct") >= 90)
+    test_grams = test.select("doc_id", F.explode("grams").alias("gram"))
+    hits = (
+        test_grams.join(train_grams, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = test.select("doc_id", F.size("grams").alias("n_grams"))
+    rate = F.when(F.col("n_grams") == 0, F.lit(0.0)).otherwise(
+        F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_grams")
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_contaminated"),
+        rate.alias("contamination_rate"),
+        F.when((F.col("n_grams") > 0) & (rate > 0.8), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("contaminated"),
+    )
+
+
+MIXTURE_ORACLE = """
+with stats as (
+  select source, count(*) as n_before, sum(n_chars) as chars_before
+  from documents group by source
+),
+m as (select min(chars_before) as min_chars from stats),
+thr as (
+  select source, n_before, chars_before,
+         least(10000, min_chars * 10000 // chars_before) as threshold_bp
+  from stats cross join m
+),
+kept as (
+  select d.source,
+         case when cast(('0x' || substr(md5('mix_' || cast(d.doc_id as varchar)), 1, 8))
+                   as bigint) % 10000 < t.threshold_bp
+              then 1 else 0 end as keep,
+         d.n_chars
+  from documents d join thr t on d.source = t.source
+)
+select t.source,
+       cast(t.n_before as bigint) as n_before,
+       cast(t.chars_before as bigint) as chars_before,
+       cast(t.threshold_bp as bigint) as threshold_bp,
+       cast(sum(k.keep) as bigint) as n_after,
+       cast(sum(k.keep * k.n_chars) as bigint) as chars_after
+from kept k join thr t on k.source = t.source
+group by t.source, t.n_before, t.chars_before, t.threshold_bp
+"""
+
+
+@register(
+    "pipeline_mixture_reweight",
+    "Deterministic domain-mixture rebalancing: every source is hash-"
+    "downsampled so its expected character volume matches the smallest "
+    "source's (threshold in integer basis points -- exact cross-engine "
+    "parity, no float rates). The corpus-mixing step before training "
+    "shards are cut; content-addressed sampling means any engine "
+    "recomputes the same per-doc keep decision with no seed state. "
+    "Scale: one small per-source aggregate broadcast back onto the "
+    "corpus scan -- the fact table shuffles zero times before the final "
+    "per-source rollup (map-side combined).",
+    MIXTURE_ORACLE,
+    "pipeline", "sampling", "text",
+)
+def pipeline_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.count("*").alias("n_before"),
+        F.sum("n_chars").alias("chars_before"),
+    )
+    m = stats.agg(F.min("chars_before").alias("min_chars"))
+    thr = stats.crossJoin(F.broadcast(m)).select(
+        "source",
+        "n_before",
+        "chars_before",
+        F.least(
+            F.lit(10000),
+            F.expr("min_chars * 10000 div chars_before"),
+        ).alias("threshold_bp"),
+    )
+    pct = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    kept = docs.join(F.broadcast(thr), "source").select(
+        "source",
+        "n_before",
+        "chars_before",
+        "threshold_bp",
+        F.when(pct < F.col("threshold_bp"), 1).otherwise(0).alias("keep"),
+        "n_chars",
+    )
+    return kept.groupBy(
+        "source", "n_before", "chars_before", "threshold_bp"
+    ).agg(
+        F.sum("keep").cast("bigint").alias("n_after"),
+        F.sum(F.col("keep") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("chars_after"),
+    ).select(
+        "source",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("chars_before").cast("bigint").alias("chars_before"),
+        F.col("threshold_bp").cast("bigint").alias("threshold_bp"),
+        "n_after",
+        "chars_after",
+    )
+
+
 PACKING_ORACLE = """
 with t as (
   select doc_id, len(string_split(text, ' ')) as n_tokens from documents

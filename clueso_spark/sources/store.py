@@ -99,8 +99,13 @@ class MetadataStore:
 
     def sub_partitions(self, tier: str, bucket: str) -> list[int]:
         path = f"{getattr(self, tier)}/bucket={bucket}"
+        # tolerate stray non-integer partition dirs (e.g. a pre-fix store
+        # holding a __HIVE_DEFAULT_PARTITION__ from a NULL maxOpIndex row)
+        # instead of failing every compaction of the bucket
         return sorted(
-            int(v) for v in self.list_partition_values(path, "maxOpIndex")
+            int(v)
+            for v in self.list_partition_values(path, "maxOpIndex")
+            if v.lstrip("-").isdigit()
         )
 
     # -- readers ---------------------------------------------------------

@@ -100,6 +100,11 @@ def parse_events(
         # merge's `type != 'delete'` evaluate NULL and wrongly hide the key
         # (ref: MetadataIngestionPipeline.scala:116 event.type filter)
         .filter(F.col("event.type").isNotNull())
+        # likewise `opIndex`: it is the merge-on-read ordering key AND the
+        # maxOpIndex partition source -- a NULL would land in the Hive
+        # default partition, un-orderable by the dedup window and unreadable
+        # by the compactor's integer subpartition listing
+        .filter(F.col("event.opIndex").isNotNull())
         # two-pass inner parse of the double-encoded document:
         #   map pass -> dynamic x-amz-meta-* capture; struct pass -> typed cols
         .withColumn(
