@@ -27,6 +27,7 @@ HEADLINE = [
     "ev_latest_no_tombstone",
     "ev_sessionize",
     "ev_result_projection",
+    "ev_funnel_conversion",
     # text tier
     "txt_top_bigrams",
     "txt_tf_df_top_terms",

@@ -79,6 +79,8 @@ PRIORITY = [
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
     "sim_pq_codes",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
     # deduplication tier
     "dedup_exact_summary",
     "dedup_simhash",
@@ -98,8 +100,10 @@ PRIORITY = [
     "txt_top_bigrams",
     "txt_quality_score",
     "txt_langid_heuristic",
-    "txt_fingerprints",
-    "txt_regex_token_count",
+    # txt_fingerprints / txt_regex_token_count yield their two window
+    # slots to the formerly-red agg_approx_count_distinct and the other
+    # invariant-oracle upgrades; they register right after the window
+    # (the txt family keeps 7 in-window representatives)
     "pipeline_train_test_split",
     "pipeline_doc_chunking",
     "pipeline_sequence_packing",

@@ -66,8 +66,12 @@ sh as (
 ),
 bands as (
   select doc_id, b.range as band,
-         min(substr(md5(shingle) || md5('~' || shingle),
-                    cast(b.range * 8 + 1 as int), 8)) as sig
+         min(substr(md5(shingle) || md5('~' || shingle)
+                    || md5('#' || shingle) || md5('@' || shingle),
+                    cast(b.range * 16 + 1 as int), 8))
+         || min(substr(md5(shingle) || md5('~' || shingle)
+                       || md5('#' || shingle) || md5('@' || shingle),
+                       cast(b.range * 16 + 9 as int), 8)) as sig
   from sh cross join range({N_BANDS}) b
   group by doc_id, b.range
 ),
@@ -124,26 +128,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PERSISTED_SETS.pop().unpersist()
     sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED_SETS.append(sets)
-    # hash every shingle TWICE (64 hex chars); each band's minhash is the
-    # min over a disjoint 8-hex slice -- 2 md5 + 8 substrings per shingle,
-    # not 8 md5s. Band width matters: a 4-hex band (16-bit space) makes
-    # min-of-N concentrate near zero and floods verification with false
-    # candidates (measured 117k pairs at sf0.1); 8 hex (2^32) makes false
-    # band collisions ~N^2/2^32 ~ 0.
-    sets = sets.withColumn(
-        "hs", F.expr("transform(ss, s -> concat(md5(s), md5(concat('~', s))))")
+    # hash every shingle FOUR times (4 x 32 hex = 16 disjoint 8-hex
+    # slices); each band ANDs r=2 independent minhashes (min over two
+    # slices, concatenated) -- 4 md5 + 16 substrings per shingle, not 16
+    # md5s. r matters as much as slice width: with r=1 a single shared
+    # shingle that happens to be both docs' band-min makes them
+    # candidates, and the S-curve threshold sits at (1/b)^(1/r) = 0.125
+    # -- measured 83k candidates at sf0.1 of which only 256 verified.
+    # r=2 squares the per-band collision probability (threshold 0.35),
+    # cutting false candidates ~J-fold per band while keeping
+    # 1-(1-J^2)^8 = 99.97% recall at the J >= 0.8 pairs this corpus
+    # actually contains.
+    # ALL 16 slice-minima come out of ONE expression with a single
+    # reference to the hashed-shingle array: per-column references to a
+    # heavy projection get re-inlined by Catalyst (16 copies of the md5
+    # chain blew the fused projection out of whole-stage codegen --
+    # measured 28x slower), whereas one nested transform keeps the md5s
+    # evaluated once per shingle inside one codegen'd fold.
+    mins = F.expr(
+        """transform(sequence(0, 15), k -> array_min(
+             transform(hs, h -> substring(h, cast(k * 8 + 1 as int), 8))))"""
     )
-    band_sig = [
-        F.expr(
-            f"array_min(transform(hs, h -> substring(h, {8 * b + 1}, 8)))"
-        ).alias(f"sig_{b}")
+    sig_args = ", ".join(
+        f"{b}, concat(element_at(mins, {2 * b + 1}),"
+        f" element_at(mins, {2 * b + 2}))"
         for b in range(N_BANDS)
-    ]
-    stack_args = ", ".join(f"{b}, sig_{b}" for b in range(N_BANDS))
+    )
     # band rows stay (doc_id, band, sig) -- the 8x stack must NOT carry the
     # shingle arrays, or the band shuffle payload multiplies by 8
-    long = sets.select("doc_id", *band_sig).select(
-        "doc_id", F.expr(f"stack({N_BANDS}, {stack_args}) as (band, sig)")
+    long = (
+        sets.withColumn(
+            "hs",
+            F.expr(
+                """transform(ss, s -> concat(
+                     md5(s), md5(concat('~', s)),
+                     md5(concat('#', s)), md5(concat('@', s))))"""
+            ),
+        )
+        .select("doc_id", mins.alias("mins"))
+        .select(
+            "doc_id", F.expr(f"stack({N_BANDS}, {sig_args}) as (band, sig)")
+        )
     )
     # candidate pairs via ONE shuffle: group each (band, sig) bucket,
     # emit the per-bucket pair combinations. A self-join would re-evaluate

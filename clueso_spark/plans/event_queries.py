@@ -806,3 +806,149 @@ def ev_isin_subpartitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_event_id",
         "sum_value",
     )
+
+
+FUNNEL_ORACLE = """
+with stages as (
+  select user_id,
+         min(case when event_type = 'view' then ts end) as t_view,
+         min(case when event_type = 'click' then ts end) as t_click,
+         min(case when event_type = 'purchase' then ts end) as t_purchase
+  from events
+  group by user_id
+),
+flags as (
+  select user_id,
+         case when t_view is not null then 1 else 0 end as s1,
+         case when t_view is not null and t_click > t_view
+              then 1 else 0 end as s2,
+         case when t_view is not null and t_click > t_view
+               and t_purchase > t_click then 1 else 0 end as s3
+  from stages
+)
+select stage, n_users,
+       cast(n_users as double)
+         / max(case when stage = '1_view' then n_users end) over ()
+         as conversion_rate
+from (
+  select '1_view' as stage, cast(sum(s1) as bigint) as n_users from flags
+  union all
+  select '2_click', cast(sum(s2) as bigint) from flags
+  union all
+  select '3_purchase', cast(sum(s3) as bigint) from flags
+)
+"""
+
+
+@register(
+    "ev_funnel_conversion",
+    "Ordered event funnel: users whose FIRST view precedes their first "
+    "click precedes their first purchase (strict event-time ordering, "
+    "not mere co-occurrence). One conditional-min aggregation per user "
+    "(single keyed shuffle, map-side combined) collapses each user to "
+    "three timestamps; stage flags and conversion rates are driver-"
+    "window math over a 3-row result. The canonical product-analytics "
+    "query shape at any scale.",
+    FUNNEL_ORACLE,
+    "events", "funnel", "aggregate",
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))
+    stages = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    s1 = F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+    s2 = F.when(
+        F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view")), 1
+    ).otherwise(0)
+    s3 = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_click") > F.col("t_view"))
+        & (F.col("t_purchase") > F.col("t_click")),
+        1,
+    ).otherwise(0)
+    flags = stages.select(
+        s1.alias("s1"), s2.alias("s2"), s3.alias("s3")
+    )
+    counts = flags.agg(
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum("s3").cast("bigint").alias("n3"),
+    )
+    stacked = counts.selectExpr(
+        "stack(3, '1_view', n1, '2_click', n2, '3_purchase', n3)"
+        " as (stage, n_users)"
+    )
+    base = Window.partitionBy()
+    return stacked.select(
+        "stage",
+        "n_users",
+        (
+            F.col("n_users").cast("double")
+            / F.max(
+                F.when(F.col("stage") == "1_view", F.col("n_users"))
+            ).over(base)
+        ).alias("conversion_rate"),
+    )
+
+
+COHORT_ORACLE = """
+with firsts as (
+  select user_id, min(ts) as first_ts from events group by user_id
+),
+activity as (
+  select distinct e.user_id,
+         date_trunc('week', f.first_ts) as cohort_week,
+         datediff('week', date_trunc('week', f.first_ts),
+                  date_trunc('week', e.ts)) as week_offset
+  from events e join firsts f on e.user_id = f.user_id
+)
+select strftime(cohort_week, '%Y-%m-%d') as cohort_week,
+       cast(week_offset as bigint) as week_offset,
+       cast(count(*) as bigint) as n_active_users
+from activity
+group by cohort_week, week_offset
+"""
+
+
+@register(
+    "ev_retention_cohorts",
+    "Cohort retention matrix: users grouped by first-activity week, "
+    "counted as active in each subsequent week (distinct user-week). "
+    "Two keyed shuffles -- first-touch per user, then the cohort join "
+    "back onto the event stream on user_id (dimension-sized right side "
+    "broadcast at scale) -- then one distinct + rollup. The standard "
+    "retention analysis every analytics engine ships.",
+    COHORT_ORACLE,
+    "events", "retention", "aggregate",
+)
+def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohort_week = F.date_trunc("week", F.col("first_ts"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            cohort_week.alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), cohort_week
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").cast("bigint").alias("n_active_users")
+    ).select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "n_active_users",
+    )

@@ -105,6 +105,35 @@ def test_null_type_discarded_at_ingest(spark):
     assert rows[0]["opIndex"] == op(1)
 
 
+def test_null_op_index_discarded_at_ingest(spark):
+    """An envelope missing `opIndex` is dropped: opIndex orders the
+    merge-on-read dedup window and feeds the maxOpIndex partition, so a
+    NULL would land in the Hive default partition and break the
+    compactor's integer subpartition listing."""
+    import json
+
+    good = wire_event(op(1), "put", "b1", "k1", put_doc("k1", "b1"))
+    no_op = json.dumps(
+        {"type": "put", "bucket": "b1", "key": "k2",
+         "value": json.dumps(put_doc("k2", "b1"))}
+    )
+    rows = parse_events(raw_df(spark, [good, no_op])).collect()
+    assert len(rows) == 1
+    assert rows[0]["key"] == "k1"
+
+
+def test_sub_partitions_skip_non_integer_dirs(spark, tmp_path):
+    """A stray maxOpIndex=__HIVE_DEFAULT_PARTITION__ dir (pre-fix store)
+    must not fail the whole bucket's compaction listing."""
+    from clueso_spark.sources.store import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "store"))
+    base = tmp_path / "store" / "landing" / "bucket=b1"
+    for sub in ("maxOpIndex=100000", "maxOpIndex=__HIVE_DEFAULT_PARTITION__"):
+        (base / sub).mkdir(parents=True)
+    assert store.sub_partitions("landing", "b1") == [100000]
+
+
 def test_excluded_buckets_filtered(spark):
     """excluded_buckets mirrors the reference's bucketNameToFilterOut
     (self-ingestion guard, ref: MetadataIngestionPipeline.scala:133)."""
