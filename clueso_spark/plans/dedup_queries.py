@@ -139,36 +139,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cutting false candidates ~J-fold per band while keeping
     # 1-(1-J^2)^8 = 99.97% recall at the J >= 0.8 pairs this corpus
     # actually contains.
-    # ALL 16 slice-minima come out of ONE expression with a single
-    # reference to the hashed-shingle array: per-column references to a
-    # heavy projection get re-inlined by Catalyst (16 copies of the md5
-    # chain blew the fused projection out of whole-stage codegen --
-    # measured 28x slower), whereas one nested transform keeps the md5s
-    # evaluated once per shingle inside one codegen'd fold.
-    mins = F.expr(
-        """transform(sequence(0, 15), k -> array_min(
-             transform(hs, h -> substring(h, cast(k * 8 + 1 as int), 8))))"""
+    # ALL 16 slice-minima come out of ONE fold whose md5 transform sits
+    # in ARGUMENT position (evaluated once per row): referencing a
+    # hashed-shingle column from inside HOF lambdas re-inlines the md5
+    # chain per element (HOFs evaluate interpreted, no subexpression
+    # cache -- measured 28x slower); the fold's lambdas touch only the
+    # accumulator and the element, so each shingle is hashed exactly 4
+    # times. 'g' sorts after every hex digit, so it is the fold's +inf.
+    # the finish lambda pairs up the 16 minima into the 8 r=2 band sigs
+    # while `acc` is still a lambda variable -- pairing in a later
+    # projection would reference the fold column 8-16 times and re-inline
+    # (re-run) the whole fold per reference
+    sigs = F.expr(
+        f"""aggregate(
+             transform(ss, s -> concat(md5(s), md5(concat('~', s)),
+                                       md5(concat('#', s)), md5(concat('@', s)))),
+             array_repeat('g', 16),
+             (acc, h) -> zip_with(acc,
+               transform(sequence(0, 15),
+                         k -> substring(h, cast(k * 8 + 1 as int), 8)),
+               (m, c) -> least(m, c)),
+             acc -> transform(sequence(0, {N_BANDS - 1}),
+               b -> concat(element_at(acc, cast(2 * b + 1 as int)),
+                           element_at(acc, cast(2 * b + 2 as int)))))"""
     )
-    sig_args = ", ".join(
-        f"{b}, concat(element_at(mins, {2 * b + 1}),"
-        f" element_at(mins, {2 * b + 2}))"
-        for b in range(N_BANDS)
-    )
-    # band rows stay (doc_id, band, sig) -- the 8x stack must NOT carry the
-    # shingle arrays, or the band shuffle payload multiplies by 8
-    long = (
-        sets.withColumn(
-            "hs",
-            F.expr(
-                """transform(ss, s -> concat(
-                     md5(s), md5(concat('~', s)),
-                     md5(concat('#', s)), md5(concat('@', s))))"""
-            ),
-        )
-        .select("doc_id", mins.alias("mins"))
-        .select(
-            "doc_id", F.expr(f"stack({N_BANDS}, {sig_args}) as (band, sig)")
-        )
+    # band rows stay (doc_id, band, sig) -- the 8x explode must NOT carry
+    # the shingle arrays, or the band shuffle payload multiplies by 8
+    long = sets.select("doc_id", sigs.alias("sigs")).select(
+        "doc_id", F.posexplode("sigs").alias("band", "sig")
     )
     # candidate pairs via ONE shuffle: group each (band, sig) bucket,
     # emit the per-bucket pair combinations. A self-join would re-evaluate

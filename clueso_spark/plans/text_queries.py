@@ -16,9 +16,11 @@ from clueso_spark.functions.text import (
     STOPWORDS,
     bigrams,
     doc_fingerprint,
+    max_multiplicity,
     stopword_count,
     tokens,
     winnow_fingerprint,
+    word_shingles,
 )
 from clueso_spark.plans.catalog import register
 from clueso_spark.sources.tables import load_table
@@ -444,32 +446,27 @@ from s
     "text", "quality", "pipeline",
 )
 def txt_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    # single-file local scans get 1 task; spread the O(len^2/doc)
+    # array-algebra projection across cores (cluster scans arrive
+    # pre-split; AQE coalesces the repartition away there)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
     g = docs.select(
         "doc_id",
         "w",
         F.size("w").alias("n_tokens"),
-        F.expr(
-            "array_max(transform(array_distinct(w),"
-            " t -> size(filter(w, x -> x = t))))"
-        ).alias("top_uni"),
+        max_multiplicity("w").alias("top_uni"),
         bigrams("w").alias("bi"),
-        F.expr(
-            """case when size(w) < 3 then array()
-            else transform(sequence(1, size(w) - 2),
-                 i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-                                element_at(w, i + 2))) end"""
-        ).alias("tri"),
+        word_shingles("w", 3).alias("tri"),
     )
     s = g.select(
         "doc_id",
         "n_tokens",
         "top_uni",
-        F.expr(
-            """case when size(bi) = 0 then 0
-            else array_max(transform(array_distinct(bi),
-                 t -> size(filter(bi, x -> x = t)))) end"""
-        ).alias("top_bi"),
+        max_multiplicity("bi").alias("top_bi"),
         F.size("bi").alias("n_bi"),
         F.size("tri").alias("n_tri"),
         F.size(F.array_distinct("tri")).alias("n_tri_distinct"),
@@ -555,18 +552,20 @@ from totals t left join hits h on t.doc_id = h.doc_id
     "pipeline", "dedup", "text",
 )
 def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    # three branches (train grams, test grams, totals) each pay the
+    # per-doc gram+md5 projection; spread single-file local scans across
+    # cores so no branch serializes on one task
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
     pct = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 100
     )
-    grams = F.expr(
-        """case when size(w) < 3 then array()
-        else array_distinct(transform(sequence(1, size(w) - 2),
-             i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i + 1),
-                                element_at(w, i + 2))))) end"""
-    )
+    grams = F.array_distinct(F.transform(word_shingles("w", 3), F.md5))
     g = docs.select("doc_id", pct.alias("pct"), grams.alias("grams"))
     train_grams = (
         g.where(F.col("pct") < 80)
