@@ -341,3 +341,43 @@ def test_latest_rows_max_by_strategy_agrees_with_window(spark, rows):
         for r in latest_rows(df, strategy="max_by").collect()
     }
     assert win == agg
+
+
+# -- text array-algebra laws (functions/text.py zip_with rewrite) ---------
+
+words_strategy = st.lists(
+    st.sampled_from(["a", "bb", "ccc", "d", "ee", "fff"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(words=words_strategy, k=st.sampled_from([2, 3, 5]))
+def test_word_shingles_match_python_sliding_window(spark, words, k):
+    """The zip_with-chain shingle construction equals the naive Python
+    sliding window for every length, including the < k empty case."""
+    from pyspark.sql import functions as F
+
+    from clueso_spark.functions.text import word_shingles
+
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    got = df.select(word_shingles("w", k).alias("s")).collect()[0]["s"]
+    want = [
+        " ".join(words[i : i + k]) for i in range(len(words) - k + 1)
+    ] if len(words) >= k else []
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(words=words_strategy)
+def test_max_multiplicity_matches_counter(spark, words):
+    """Sorted run-length fold == max Counter frequency (0 when empty)."""
+    from collections import Counter
+
+    from clueso_spark.functions.text import max_multiplicity
+
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    got = df.select(max_multiplicity("w").alias("m")).collect()[0]["m"]
+    want = max(Counter(words).values()) if words else 0
+    assert got == want
