@@ -463,11 +463,19 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", to_double_array("embedding").alias("v")
+        "vec_id", "embedding", to_double_array("embedding").alias("v")
     )
+    # bucket bits come off the RAW float column: referencing the derived
+    # double array would re-inline its transform(...) per element_at --
+    # 64 terms x 16 planes of re-cast work per row (see functions/text.py
+    # _zip_shingles). float -> double promotion inside the product is
+    # exact, so the bits are identical either way.
     bands = [
         lsh_bucket(
-            "v", EMB_PLANES_PER_BAND, 64, first_plane=k * EMB_PLANES_PER_BAND
+            "embedding",
+            EMB_PLANES_PER_BAND,
+            64,
+            first_plane=k * EMB_PLANES_PER_BAND,
         ).alias(f"bk{k}")
         for k in range(EMB_BANDS)
     ]
@@ -496,26 +504,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
-    # exact verification: melt pairs, attach (v, sq) once per vector side
-    n = emb.withColumn("sq", squared_norm("v"))
-    melted = cand.select(F.struct("vec_a", "vec_b").alias("pair")).select(
-        "pair",
-        F.explode(F.array("pair.vec_a", "pair.vec_b")).alias("vec_id"),
+    # exact verification: attach each side's (v, sq) with two plain
+    # equi-joins and let the optimizer pick the strategy -- local/small
+    # corpora broadcast the vector table, big ones shuffle on vec_id.
+    # (A melt + per-pair min_by/max_by agg instead forces a shuffle of
+    # the full vector payload keyed by PAIR -- candidate-count x 128
+    # doubles through one exchange -- with no path for the planner to
+    # avoid it.)
+    n = emb.withColumn("sq", squared_norm("v")).select("vec_id", "v", "sq")
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("sq").alias("sqa"),
     )
-    joined = melted.join(n, "vec_id").groupBy("pair").agg(
-        F.min_by(F.struct("v", "sq"), "vec_id").alias("sa"),
-        F.max_by(F.struct("v", "sq"), "vec_id").alias("sb"),
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("sq").alias("sqb"),
     )
     cos = F.expr(
-        "aggregate(zip_with(sa.v, sb.v, (x, y) -> x * y), 0D,"
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), 0D,"
         " (acc, t) -> acc + t)"
-    ) / (F.sqrt(F.col("sa.sq")) * F.sqrt(F.col("sb.sq")))
+    ) / (F.sqrt(F.col("sqa")) * F.sqrt(F.col("sqb")))
     return (
-        joined.select(
-            F.col("pair.vec_a").alias("vec_a"),
-            F.col("pair.vec_b").alias("vec_b"),
-            cos.alias("raw_cos"),
-        )
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("raw_cos"))
         .where(F.col("raw_cos") >= 0.4)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cosine"))
     )

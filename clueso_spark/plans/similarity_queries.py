@@ -144,7 +144,18 @@ from ranked where rk <= %d
     "similarity", "ann", "lsh",
 )
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir).withColumn("bucket", lsh_bucket("v", N_PLANES, DIM))
+    # bucket off the RAW float column -- element_at on the derived double
+    # array re-inlines its transform per term (exact same bits either
+    # way, float -> double promotion is exact; see dedup_embedding_cosine)
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            lsh_bucket("embedding", N_PLANES, DIM).alias("bucket"),
+            to_double_array("embedding").alias("v"),
+        )
+        .withColumn("sq", squared_norm("v"))
+    )
     probes = F.broadcast(
         emb.where(F.col("vec_id") < N_PROBES).select(
             F.col("vec_id").alias("probe_id"),
