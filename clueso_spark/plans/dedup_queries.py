@@ -351,26 +351,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.doc_a", "p.doc_b")
     )
-    # verification join: melt pairs to (pair, doc_id), attach each doc's
-    # word set once, reassemble the two sides (doc_a < doc_b).
+    # verification: attach each side's word set with two plain equi-joins
+    # and let the planner choose (broadcast locally, keyed shuffle at
+    # scale) -- a melt + per-pair argmax agg would force every candidate's
+    # full word-set payload through one pair-keyed exchange (see
+    # dedup_embedding_cosine, measured ~2x there).
     sets = docs.select("doc_id", F.array_distinct("w").alias("ws"))
-    melted = cand.select(F.struct("doc_a", "doc_b").alias("pair")).select(
-        "pair",
-        F.explode(F.array("pair.doc_a", "pair.doc_b")).alias("doc_id"),
-    )
-    joined = melted.join(sets, "doc_id").groupBy("pair").agg(
-        F.min_by("ws", "doc_id").alias("ws_a"),
-        F.max_by("ws", "doc_id").alias("ws_b"),
-    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     jac = F.size(F.array_intersect("ws_a", "ws_b")).cast("double") / F.size(
         F.array_union("ws_a", "ws_b")
     )
     return (
-        joined.select(
-            F.col("pair.doc_a").alias("doc_a"),
-            F.col("pair.doc_b").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
     )
 
