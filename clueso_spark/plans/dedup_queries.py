@@ -435,18 +435,37 @@ def pipeline_curated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: dedup_minhash_lsh, with hyperplane signs instead of minhashes --
 #: round 2's fixed-cardinality `label` block is gone.
 EMB_BANDS = 4
-EMB_PLANES_PER_BAND = 4
+EMB_PLANES_PER_BAND = 4  # floor; grows with corpus size, see _emb_planes
+EMB_TARGET_BUCKET = 32
+
+
+def _emb_planes(n_vectors: int) -> int:
+    """Planes per band ~ log2(N / target bucket size): a FIXED plane
+    count means per-bucket population grows linearly with the corpus and
+    the candidate-pair space quadratically -- measured 4.9 s (x1) ->
+    549 s (x10) on the scaling harness with 4 planes pinned. Scaling the
+    bucket count with N caps expected bucket size at EMB_TARGET_BUCKET,
+    the same discipline as sizing shuffle partitions to data volume.
+    The floor keeps small corpora (the sf0.01 oracle gate: 500 vectors
+    -> 4) on the plane family the fixed DuckDB oracle replicates."""
+    import math
+
+    return max(
+        EMB_PLANES_PER_BAND,
+        math.ceil(math.log2(max(n_vectors / EMB_TARGET_BUCKET, 2.0))),
+    )
 
 
 @register(
     "dedup_embedding_cosine",
     "Embedding-cosine near-dup via banded random-hyperplane LSH: "
-    f"{EMB_BANDS} bands x {EMB_PLANES_PER_BAND} planes (md5-nibble "
+    f"{EMB_BANDS} bands x log2(N/{EMB_TARGET_BUCKET}) planes (md5-nibble "
     "weights, the construction sim_lsh_ann verifies cross-engine) give "
     "every vector 4 bucket keys; candidate pairs share a bucket in ANY "
     "band (OR-amplified recall), then exact cosine >= 0.4 verifies. One "
     "keyed shuffle on (band, bucket); bands tune recall, planes-per-band "
-    "bound bucket size -- the scale knobs a fixed blocking key lacks.",
+    "scale with corpus size to bound bucket population -- the scale "
+    "knobs a fixed blocking key lacks.",
     None,  # bound below -- built from the plane-term SQL builder
     "dedup", "embedding", "lsh",
 )
@@ -460,6 +479,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", to_double_array("embedding").alias("v")
     )
+    # one count job sizes the index to the corpus (an index build always
+    # knows N; at 100 TB this is a metadata-cheap count on parquet stats)
+    planes = _emb_planes(emb.count())
     # bucket bits come off the RAW float column: referencing the derived
     # double array would re-inline its transform(...) per element_at --
     # 64 terms x 16 planes of re-cast work per row (see functions/text.py
@@ -468,9 +490,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = [
         lsh_bucket(
             "embedding",
-            EMB_PLANES_PER_BAND,
+            planes,
             64,
-            first_plane=k * EMB_PLANES_PER_BAND,
+            first_plane=k * planes,
         ).alias(f"bk{k}")
         for k in range(EMB_BANDS)
     ]
@@ -532,7 +554,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _embedding_cosine_oracle() -> str:
     """DuckDB replica of the banded hyperplane LSH dedup; reuses the
-    plane-term builder sim_lsh_ann already verifies cross-engine."""
+    plane-term builder sim_lsh_ann already verifies cross-engine.
+
+    Built on the EMB_PLANES_PER_BAND floor: the Spark side's adaptive
+    plane count equals the floor for corpora up to ~2^floor *
+    EMB_TARGET_BUCKET vectors, which covers the sf0.01/sf0.001 oracle
+    gates (500 / 50 vectors -> 4 planes)."""
     from clueso_spark.plans.similarity_queries import _lsh_plane_sql
 
     band_selects = []

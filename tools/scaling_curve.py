@@ -48,6 +48,7 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
             docs.select(
                 (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
                 "lang",
+                "source",
                 "n_chars",
                 F.concat_ws(
                     " ",
@@ -57,14 +58,23 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
                 ).alias("text"),
             )
         )
-        # deterministic per-copy perturbation of dim 0 spreads buckets
+        # circular-shift each copy's dims so copies are near-orthogonal:
+        # a scalar dim-0 nudge leaves cross-copy cosines >= the near-dup
+        # threshold, which makes the TRUE pair count (and any correct
+        # engine's output) grow quadratically in K -- the embedding
+        # analog of the text side's copy-prefixed words
+        shift = i % 64
         emb_parts.append(
             emb.select(
                 (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
                 "label",
-                F.expr(
-                    f"transform(embedding, (x, j) -> case when j = 0 "
-                    f"then cast(x + {i} * 0.37 as float) else x end)"
+                (
+                    F.expr(
+                        f"concat(slice(embedding, {shift + 1}, {64 - shift}),"
+                        f" slice(embedding, 1, {shift}))"
+                    )
+                    if shift
+                    else F.col("embedding")
                 ).alias("embedding"),
             )
         )
