@@ -361,3 +361,60 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(sink_name)
+
+
+@register(
+    "st_sliding_counts",
+    "Structured Streaming SLIDING windows (2-hour window, 30-min slide): "
+    "every event contributes to 4 overlapping windows -- the hopping-"
+    "window aggregation tumbling windows cannot express. State is one "
+    "open window per (window, type) pair, bounded by the watermark at "
+    "scale. Oracle replicates Spark's window assignment exactly: an "
+    "event at t belongs to the 4 windows whose starts are the 30-min "
+    "marks in (t - 2h, t].",
+    """
+    with expanded as (
+      select e.event_type, e.value,
+             make_timestamp(epoch_us(e.ts) // 1800000000 * 1800000000
+                            - s.off * 1800000000) as window_start
+      from events e
+      cross join (select unnest(range(4)) as off) s
+      where epoch_us(e.ts) // 1800000000 * 1800000000
+            - s.off * 1800000000 >= 0
+    )
+    select strftime(window_start, '%Y-%m-%d %H:%M:%S') as window_start,
+           event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(value as decimal(12,2))) as double) as sum_value
+    from expanded
+    group by 1, 2
+    """,
+    "streaming", "window", "sliding",
+)
+def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "30 minutes"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+    sink_name = "st_sliding_counts_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
