@@ -776,3 +776,213 @@ def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_sq_dist",
         )
     )
+
+
+IVFPQ_ORACLE = f"""
+with {_KMEANS_CTES},
+res as (
+  select a2.vec_id, a2.cid,
+         list_transform(range(1, {DIM} + 1),
+                        i -> n.v[i] - c1n.c[i]) as r
+  from a2 join n on a2.vec_id = n.vec_id
+          join c1n on a2.cid = c1n.cid
+),
+rsubs as (
+  select vec_id, cid, s as sub,
+         res.r[s * {SUB_DIM} + 1 : (s + 1) * {SUB_DIM}] as rv
+  from res cross join generate_series(0, {N_SUBSPACES - 1}) as t(s)
+),
+pq0 as (select sub, vec_id as code, rv as cw from rsubs
+        where vec_id < {PQ_K}),
+pa1 as (
+  select vec_id, sub, rv, code from (
+    select r.vec_id, r.sub, r.rv, pq0.code,
+           row_number() over (
+             partition by r.vec_id, r.sub
+             order by list_dot_product(
+               list_transform(range(1, {SUB_DIM} + 1),
+                              i -> r.rv[i] - pq0.cw[i]),
+               list_transform(range(1, {SUB_DIM} + 1),
+                              i -> r.rv[i] - pq0.cw[i])), pq0.code
+           ) as rk
+    from rsubs r join pq0 on r.sub = pq0.sub) where rk = 1
+),
+pm1 as (
+  select sub, code, i as pos,
+         cast(sum(cast(rv[i] as decimal(28,14))) as double)
+           / count(*) as m
+  from pa1 cross join generate_series(1, {SUB_DIM}) as t(i)
+  group by sub, code, i
+),
+cb as (
+  select sub, code, list(m order by pos) as cw from pm1
+  group by sub, code
+),
+enc as (
+  select vec_id, cid, sub, code from (
+    select r.vec_id, r.cid, r.sub, cb.code,
+           row_number() over (
+             partition by r.vec_id, r.sub
+             order by list_dot_product(
+               list_transform(range(1, {SUB_DIM} + 1),
+                              i -> r.rv[i] - cb.cw[i]),
+               list_transform(range(1, {SUB_DIM} + 1),
+                              i -> r.rv[i] - cb.cw[i])), cb.code
+           ) as rk
+    from rsubs r join cb on r.sub = cb.sub) where rk = 1
+),
+adc as (
+  select r.vec_id as probe_id, r.sub, cb.code,
+         list_dot_product(
+           list_transform(range(1, {SUB_DIM} + 1),
+                          i -> r.rv[i] - cb.cw[i]),
+           list_transform(range(1, {SUB_DIM} + 1),
+                          i -> r.rv[i] - cb.cw[i])) as part
+  from rsubs r join cb on r.sub = cb.sub
+  where r.vec_id < {N_PROBES}
+),
+probes as (select distinct vec_id as probe_id, cid from res
+           where vec_id < {N_PROBES}),
+scored as (
+  select p.probe_id, e.vec_id,
+         cast(sum(cast(a.part as decimal(28,14))) as double) as adc_dist
+  from probes p
+  join enc e on e.cid = p.cid and e.vec_id <> p.probe_id
+  join adc a on a.probe_id = p.probe_id and a.sub = e.sub
+            and a.code = e.code
+  group by p.probe_id, e.vec_id
+),
+ranked as (
+  select probe_id, vec_id, adc_dist,
+         row_number() over (partition by probe_id
+                            order by adc_dist, vec_id) as rk
+  from scored
+)
+select probe_id, vec_id, round(adc_dist, 6) as adc_dist,
+       cast(rk as bigint) as rk
+from ranked where rk <= 5
+"""
+
+
+@register(
+    "sim_ivfpq_ann",
+    "Composed IVF-PQ ANN (the billion-scale index architecture): a "
+    f"learned k-means coarse quantizer (K={K_CLUSTERS}) routes vectors "
+    "and probes to cells; residuals (v - centroid) are product-quantized "
+    f"({N_SUBSPACES} subspaces x {PQ_K} codewords, decimal-exact "
+    "training); probe-to-candidate distances come from an ADC lookup "
+    "table (probe-residual-to-codeword partial distances, summed per "
+    "candidate through decimal so the 4-part sum is order-independent "
+    "cross-engine). At scale the index stores M small codes per vector "
+    "(~64x memory compression), the ADC table is K x M x probes tiny "
+    "and broadcast, and candidate scoring is one keyed join + sum -- no "
+    "full-vector distance per candidate. Exact rerank of the ADC top-k "
+    "is sim_ivf_kmeans_ann's in-cell path.",
+    IVFPQ_ORACLE,
+    "similarity", "ann", "ivf", "quantization",
+)
+def sim_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    c1 = _lloyd_c1(emb)
+    asg = _nearest(emb, c1).select("vec_id", "cid", "v")
+    res = asg.join(F.broadcast(c1.select("cid", "c")), "cid").select(
+        "vec_id",
+        "cid",
+        F.expr("zip_with(v, c, (x, y) -> x - y)").alias("r"),
+    )
+    rsubs = (
+        res.select(
+            "vec_id",
+            "cid",
+            "r",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(N_SUBSPACES - 1))
+            ).alias("sub"),
+        )
+        .select(
+            "vec_id",
+            "cid",
+            "sub",
+            F.expr(f"slice(r, sub * {SUB_DIM} + 1, {SUB_DIM})").alias("rv"),
+        )
+    )
+    sqdiff = (
+        "aggregate(zip_with(rv, cw, (x, y) -> (x - y) * (x - y)), 0D,"
+        " (acc, t) -> acc + t)"
+    )
+
+    def nearest_code(cb: DataFrame) -> DataFrame:
+        scored = rsubs.join(F.broadcast(cb), "sub").withColumn(
+            "d", F.expr(sqdiff)
+        )
+        w = Window.partitionBy("vec_id", "sub").orderBy("d", "code")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .drop("rk", "cw")
+        )
+
+    pq0 = rsubs.where(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("rv").alias("cw")
+    )
+    pa1 = nearest_code(pq0)
+    cb = (
+        pa1.select("sub", "code", F.posexplode("rv").alias("pos", "x"))
+        .groupBy("sub", "code", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(28,14)")).cast("double")
+                / F.count("*")
+            ).alias("m")
+        )
+        .groupBy("sub", "code")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(pos, m))),"
+                " t -> t.m)"
+            ).alias("cw")
+        )
+    )
+    enc = nearest_code(cb).select("vec_id", "cid", "sub", "code")
+    adc = (
+        rsubs.where(F.col("vec_id") < N_PROBES)
+        .join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            "sub",
+            "code",
+            F.expr(sqdiff).alias("part"),
+        )
+    )
+    # alias the probe's cell id: enc and probes both descend from `res`,
+    # so an unaliased cid == cid degenerates to a trivially-true
+    # predicate (same attribute id) and would silently drop the
+    # cell restriction
+    probes = res.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("cid").alias("pcid")
+    )
+    scored = (
+        probes.join(
+            enc,
+            (F.col("cid") == F.col("pcid"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .join(F.broadcast(adc), ["probe_id", "sub", "code"])
+        .groupBy("probe_id", "vec_id")
+        .agg(
+            F.sum(F.col("part").cast("decimal(28,14)"))
+            .cast("double")
+            .alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 5)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("adc_dist", 6).alias("adc_dist"),
+            "rk",
+        )
+    )
