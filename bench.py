@@ -46,6 +46,7 @@ HEADLINE = [
     "sim_ivf_cells",
     "sim_kmeans_lloyd",
     "sim_pq_codes",
+    "sim_ivfpq_ann",
     # multimodal tier (Arrow mapInPandas + metadata-only agg)
     "mm_binary_featurize",
     "mm_modality_stats",

@@ -952,3 +952,88 @@ def ev_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week_offset",
         "n_active_users",
     )
+
+
+ZSCORE_ORACLE = """
+with c as (
+  select event_id, user_id,
+         cast(round(value * 100) as bigint) as xc
+  from events
+),
+s as (
+  select user_id,
+         count(*) as n,
+         sum(xc) as sm,
+         sum(xc * xc) as sq
+  from c group by user_id
+),
+z as (
+  select c.event_id, c.user_id,
+         cast(c.xc as double) / 100 as value,
+         case when s.n < 2 or s.n * (s.n * s.sq - s.sm * s.sm) = 0 then 0.0
+              else cast(s.n * c.xc - s.sm as double)
+                   / sqrt(cast(s.n * (s.n * s.sq - s.sm * s.sm) as double)
+                          / cast(s.n - 1 as double))
+         end as zscore
+  from c join s on c.user_id = s.user_id
+)
+select event_id, user_id, value,
+       round(zscore, 6) as zscore,
+       cast(case when abs(zscore) > 2.5 then 1 else 0 end as bigint)
+         as is_anomaly
+from z
+"""
+
+
+@register(
+    "ev_anomaly_zscore",
+    "Per-user z-score outlier detection: every event scored against its "
+    "user's mean/std, |z| > 2.5 flagged. All moments accumulate in exact "
+    "integer cents (n, sum, sum-of-squares), so mean and variance are "
+    "engine-identical and the only floats are one division and one sqrt "
+    "in a fixed expression shape -- the trick that makes a statistical "
+    "operator hash-verifiable cross-engine. One keyed aggregate + one "
+    "keyed join back; no window over full history.",
+    ZSCORE_ORACLE,
+    "events", "anomaly", "aggregate",
+)
+def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("xc"),
+    )
+    s = c.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xc").alias("sm"),
+        F.sum(F.col("xc") * F.col("xc")).alias("sq"),
+    )
+    var_num = F.col("n") * (
+        F.col("n") * F.col("sq") - F.col("sm") * F.col("sm")
+    )
+    zscore = F.when((F.col("n") < 2) | (var_num == 0), F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("xc") - F.col("sm")).cast("double")
+        / F.sqrt(
+            var_num.cast("double") / (F.col("n") - 1).cast("double")
+        )
+    )
+    return (
+        c.join(s, "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("xc").cast("double") / 100).alias("value"),
+            zscore.alias("zscore"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.round("zscore", 6).alias("zscore"),
+            F.when(F.abs(F.col("zscore")) > 2.5, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_anomaly"),
+        )
+    )
