@@ -1629,3 +1629,71 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket_max",
         )
     )
+
+
+MEDIAN_ORACLE = """
+with c as (
+  select o_orderpriority,
+         cast(round(o_totalprice * 100) as bigint) as cents,
+         o_orderkey
+  from orders
+),
+r as (
+  select o_orderpriority, cents,
+         row_number() over (partition by o_orderpriority
+                            order by cents, o_orderkey) as rn,
+         count(*) over (partition by o_orderpriority) as n
+  from c
+),
+mid as (
+  select o_orderpriority, cents, n
+  from r
+  where rn = (n + 1) // 2 or rn = (n + 2) // 2
+)
+select o_orderpriority,
+       cast(max(n) as bigint) as n_orders,
+       cast(sum(cents) as double) / count(*) / 100 as median_price
+from mid
+group by o_orderpriority
+"""
+
+
+@register(
+    "agg_exact_median",
+    "EXACT median of o_totalprice per priority via explicit rank "
+    "selection: integer-cents sort keys, row_number + partition count, "
+    "pick the one or two middle rows, average them in exact integer "
+    "space. Engine-built interpolation (percentile / quantile_cont) "
+    "differs in the last ulp across implementations; this construction "
+    "is bit-identical anywhere. The plan is the true cost of an exact "
+    "median at scale -- one full sort per group -- which is exactly why "
+    "agg_approx_percentile's mergeable sketch exists; this pair "
+    "documents the tradeoff.",
+    MEDIAN_ORACLE,
+    "aggregate", "percentile", "window",
+)
+def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("cents", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    r = c.select(
+        "o_orderpriority",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    mid = r.where(
+        (F.col("rn") == F.expr("(n + 1) div 2"))
+        | (F.col("rn") == F.expr("(n + 2) div 2"))
+    )
+    return mid.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        (
+            F.sum("cents").cast("double") / F.count("*") / 100
+        ).alias("median_price"),
+    )
