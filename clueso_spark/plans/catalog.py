@@ -64,6 +64,13 @@ QUERY_MODULES = [
 #: representatives of the already-green relational/event tier whose
 #: oracles changed this round. Everything not listed keeps registration
 #: order after the prioritized block -- nothing is dropped.
+#:
+#: ROTATION POLICY for the next round: once this round's prioritized
+#: block lands green driver rows, swap in the queries added after the
+#: window filled (st_sliding_counts, sim_ivfpq_ann, ev_anomaly_zscore,
+#: agg_exact_median, txt_fingerprints, txt_regex_token_count) so every
+#: operator eventually carries a driver-verified row, and demote
+#: longest-green entries to the tail.
 PRIORITY = [
     # one representative per family up front (window-size insurance)
     "dedup_minhash_lsh",
