@@ -122,7 +122,6 @@ def _latest_state_fn(key, pdf_iter, state):
 )
 def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
-    from pyspark.sql.types import StructType as _St
 
     stream = events_stream(spark, sf_dir)
     out_schema = (
