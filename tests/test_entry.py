@@ -78,3 +78,26 @@ def test_streaming_queries_rerun_in_same_session(spark):
         first = qs[name](spark, SF_DIR).count()
         second = qs[name](spark, SF_DIR).count()
         assert first == second > 0, name
+
+
+def test_catalog_survives_non_utc_session(spark):
+    """The round driver builds its own SparkSession, which need not run
+    in UTC. Timestamp parity relies on the events loader pinning the
+    session zone at load time, so a catalog run started under a hostile
+    zone must still match its oracles."""
+    from clueso_spark.plans.parity import run_catalog
+
+    tz_key = "spark.sql.session.timeZone"
+    original = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        results = run_catalog(
+            spark,
+            "/root/testdata/sf0.001",
+            ["ev_sessionize", "ev_hourly_rollup", "scalar_date_functions"],
+        )
+        assert all(r.ok for r in results), [
+            (r.name, r.detail) for r in results if not r.ok
+        ]
+    finally:
+        spark.conf.set(tz_key, original)
