@@ -30,16 +30,32 @@ class CatalogQuery:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL, or None -> driver does rows-only check
     tags: tuple[str, ...] = field(default=())
+    #: optional domain guard for the oracle: some oracles replicate an
+    #: adaptive algorithm at its small-corpus floor (e.g. the fixed
+    #: hyperplane count in dedup_embedding_cosine) and are only valid
+    #: while the Spark side's adaptive parameter sits on that floor.
+    #: The parity harness calls this with sf_dir and falls back to a
+    #: rows-only check when it returns False. The driver's gate runs at
+    #: sf0.01, inside every registered oracle's domain.
+    oracle_valid: Callable[[str], bool] | None = None
 
 
 REGISTRY: dict[str, CatalogQuery] = {}
 
 
-def register(name: str, description: str, oracle: str | None, *tags: str):
+def register(
+    name: str,
+    description: str,
+    oracle: str | None,
+    *tags: str,
+    oracle_valid: Callable[[str], bool] | None = None,
+):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = CatalogQuery(name, description, fn, oracle, tuple(tags))
+        REGISTRY[name] = CatalogQuery(
+            name, description, fn, oracle, tuple(tags), oracle_valid
+        )
         return fn
 
     return wrap

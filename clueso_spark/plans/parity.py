@@ -129,9 +129,15 @@ def run_catalog(
         if names and name not in names:
             continue
         df = cq.spark(spark, sf_dir)
-        if cq.oracle is None:
+        if cq.oracle is None or (
+            cq.oracle_valid is not None and not cq.oracle_valid(sf_dir)
+        ):
+            # no oracle, or the registered oracle's fixed-parameter
+            # replica is out of its validity domain at this corpus size
+            # (adaptive Spark-side parameter left its floor)
             n = df.count()
-            results.append(ParityResult(name, n, n, True, True, "rows-only"))
+            detail = "rows-only" if cq.oracle is None else "oracle-out-of-domain"
+            results.append(ParityResult(name, n, n, True, True, detail))
             continue
         results.append(compare(name, df, cq.oracle, con))
     return results

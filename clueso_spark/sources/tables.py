@@ -7,6 +7,8 @@ under an sf directory.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -74,6 +76,31 @@ def _normalize_ts(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
                 spark.conf.set(tz_key, "UTC")
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+@lru_cache(maxsize=None)
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Table cardinality from parquet footer metadata -- a driver-side
+    pyarrow read of file stats, NO Spark job. Adaptive sizing decisions
+    (LSH plane counts, sketch widths) need N at plan-construction time;
+    a ``df.count()`` there launches a full scan job on every catalog
+    build / plan inspection. At 100 TB the same number comes from footer
+    row-group stats, which is exactly what this reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isdir(path):  # partitioned layout: sum per-file footers
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(root, f)
+                    ).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

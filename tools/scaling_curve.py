@@ -9,6 +9,15 @@ superlinear bend long before 100 TB would.
 
 Usage: python tools/scaling_curve.py [--ks 1,4,10] [--queries a,b,c]
 Prints one JSON line with per-query times at each K.
+
+Skew mode (--skew K): build a xK events table where ONE user owns 50%
+of all rows and measure the skew-sensitive shapes head-to-head:
+window-dedup plain vs salted two-stage, single-pass max_by dedup,
+hot-key merge join with AQE skew-join on vs off, and plain vs salted
+algebraic aggregation (the honest negative: map-side partial
+aggregation already neutralizes hot keys for count/sum, so salting
+only pays where no partial reduction exists -- windows, joins,
+assembly aggs). Results land in one JSON line for SCALE.md.
 """
 
 from __future__ import annotations
@@ -106,10 +115,129 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     )
 
 
+def build_skewed(spark, k: int, out_dir: str) -> None:
+    """xK events replica with a manufactured hot key: every even
+    event_id lands on user 0, so one user owns 50% of ALL rows at every
+    K -- the adversarial shape a uniform scaling curve never creates."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{BASE}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    parts = []
+    for i in range(k):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
+                F.when(F.pmod("event_id", F.lit(2)) == 0, F.lit(0))
+                .otherwise(F.col("user_id") + i * 1_000_000 + 1)
+                .alias("user_id"),
+                "event_type",
+                "value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+
+def run_skew(spark, sf_dir: str) -> dict[str, float]:
+    """Time the skew-sensitive plan shapes on the hot-key table; every
+    dedup variant is checked to produce the same row count."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def t(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 2)
+
+    timings: dict[str, float] = {}
+
+    # merge-on-read dedup, the engine's hottest shape. Plain window: the
+    # hot user's 50% of the corpus sorts in ONE task.
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    plain = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    timings["window_dedup_plain"] = t(plain)
+    # salted two-stage: stage 1 ranks within (user, salt) -- 32-way
+    # parallel over the hot key -- stage 2 ranks the <=32 survivors
+    ws = Window.partitionBy("user_id", "_salt").orderBy(F.col("event_id").desc())
+    salted = (
+        ev.withColumn("_salt", F.pmod("event_id", F.lit(32)))
+        .withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .withColumn("rn2", F.row_number().over(w))
+        .where(F.col("rn2") == 1)
+        .drop("_salt", "rn", "rn2")
+    )
+    timings["window_dedup_salted"] = t(salted)
+    # sort-free max_by: hash agg with MAP-SIDE partial reduction -- each
+    # input split contributes one row per user, so the hot key never
+    # concentrates; the skew-robust default at scale
+    maxby = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("event_id"),
+        F.max_by("event_type", "event_id").alias("event_type"),
+        F.max_by("value", "event_id").alias("value"),
+    )
+    timings["maxby_dedup"] = t(maxby)
+    n = plain.count()
+    assert maxby.count() == n and salted.count() == n, "dedup variants disagree"
+
+    # hot-key join: fact x per-user dim, broadcast disabled so the join
+    # actually shuffles on the hot key; AQE skew-join split on vs off
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("seg", F.pmod("user_id", F.lit(10)))
+    )
+    joined = ev.join(dim.hint("merge"), "user_id").groupBy("seg").agg(
+        F.count("*").alias("n")
+    )
+    for skew_flag in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        key = f"join_aqe_skew_{'on' if skew_flag == 'true' else 'off'}"
+        timings[key] = t(joined)
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    # algebraic agg, plain vs salted: partial (map-side) aggregation
+    # already collapses the hot key to one row per split, so these two
+    # should tie -- the honest control showing WHERE salting pays
+    agg_plain = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    )
+    timings["agg_plain"] = t(agg_plain)
+    agg_salted = (
+        ev.withColumn("_salt", F.pmod("event_id", F.lit(16)))
+        .groupBy("user_id", "_salt")
+        .agg(F.count("*").alias("_n"), F.sum("value").alias("_s"))
+        .groupBy("user_id")
+        .agg(F.sum("_n").alias("n"), F.sum("_s").alias("s"))
+    )
+    timings["agg_salted"] = t(agg_salted)
+    return timings
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--ks", default="1,4,10")
     ap.add_argument("--queries", default=",".join(DEFAULT_QUERIES))
+    ap.add_argument(
+        "--skew",
+        type=int,
+        default=0,
+        metavar="K",
+        help="run the hot-key skew suite at xK instead of the curve",
+    )
     args = ap.parse_args()
     ks = [int(x) for x in args.ks.split(",")]
     names = args.queries.split(",")
@@ -120,6 +248,29 @@ def main() -> int:
 
     spark = get_spark("scaling-curve")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.skew:
+        root = tempfile.mkdtemp(prefix="clueso_skew_")
+        try:
+            sf_dir = f"{root}/x{args.skew}"
+            t0 = time.perf_counter()
+            build_skewed(spark, args.skew, sf_dir)
+            print(
+                f"built skewed x{args.skew} in {time.perf_counter() - t0:.1f}s",
+                flush=True,
+            )
+            timings = run_skew(spark, sf_dir)
+            for name, dt in timings.items():
+                print(f"  {name:24s} {dt:7.2f}s", flush=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+        print(
+            json.dumps(
+                {"metric": "skew_suite", "k": args.skew, "results": timings}
+            )
+        )
+        return 0
+
     registry = all_queries()
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
