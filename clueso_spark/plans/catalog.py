@@ -73,90 +73,94 @@ QUERY_MODULES = [
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
-#: bounded prefix of the registry (50 queries in round 2), so ordering is
-#: part of the contract: queries that have never had a driver-verified row
-#: (the dedup/sim/txt/mm/st/pipeline tier + late ev_*) come first,
-#: interleaved so every operator family appears early, followed by
-#: representatives of the already-green relational/event tier whose
-#: oracles changed this round. Everything not listed keeps registration
-#: order after the prioritized block -- nothing is dropped.
+#: bounded prefix of the registry (50 queries per round), so ordering is
+#: part of the contract. Round-4 rotation, per the round-3 policy:
+#: (1) the six queries that registered past round 3's window and have
+#: never carried a driver row come FIRST, with the queries added or
+#: semantically changed this round; (2) every query whose implementation
+#: was refactored this round stays in-window for re-verification;
+#: (3) the window fills out with one-per-family representatives;
+#: (4) the longest-double-green relational/event entries (verified in
+#: rounds 2 AND 3 with unchanged code) rotate past the window -- nothing
+#: is dropped, unlisted queries keep registration order after the block.
 #:
-#: ROTATION POLICY for the next round: once this round's prioritized
-#: block lands green driver rows, swap in the queries added after the
-#: window filled (st_sliding_counts, sim_ivfpq_ann, ev_anomaly_zscore,
-#: agg_exact_median, txt_fingerprints, txt_regex_token_count) so every
-#: operator eventually carries a driver-verified row, and demote
-#: longest-green entries to the tail.
+#: ROTATION POLICY for the next round: once round 4's rows land, every
+#: registered query has carried a driver-verified row at least once.
+#: From round 5 on, promote (a) anything new/changed, then (b) the
+#: entries whose last driver row is OLDEST, demoting the freshest greens.
 PRIORITY = [
-    # one representative per family up front (window-size insurance)
-    "dedup_minhash_lsh",
-    "sim_lsh_ann",
-    "txt_tf_df_top_terms",
-    "mm_binary_featurize",
-    "st_stateful_latest",
-    "dedup_connected_components",
-    "ev_latest_state",
-    # new this round: repetition/quality, decontamination, mixture
-    # rebalancing, product quantization -- never driver-verified yet
-    "txt_repetition_signals",
-    "pipeline_contamination_check",
-    "pipeline_mixture_reweight",
-    "sim_pq_codes",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    # deduplication tier
-    "dedup_exact_summary",
-    "dedup_simhash",
+    # never driver-verified (registered past r3's window) + new/changed
+    "sim_ivfpq_rerank",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "sim_ivfpq_ann",
+    "st_sliding_counts",
+    "ev_anomaly_zscore",
+    "agg_exact_median",
+    "txt_fingerprints",
+    "txt_regex_token_count",
+    # refactored this round (shared bucket-pair/persist helpers, footer
+    # sizing, ingest drop-metrics) -- re-verify
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_connected_components",
     "pipeline_curated_corpus",
+    "ev_engine_latest",
     # similarity tier
+    "sim_lsh_ann",
     "sim_bruteforce_topk",
     "sim_ivf_cells",
     "sim_residual_norms",
     "sim_kmeans_lloyd",
     "sim_ann_recall_at_k",
     "sim_ivf_kmeans_ann",
+    "sim_pq_codes",
     # text / pipeline tier
+    "txt_tf_df_top_terms",
     "txt_token_stats",
     "txt_lang_stats",
     "txt_top_bigrams",
     "txt_quality_score",
     "txt_langid_heuristic",
-    # txt_fingerprints / txt_regex_token_count yield their two window
-    # slots to the formerly-red agg_approx_count_distinct and the other
-    # invariant-oracle upgrades; they register right after the window
-    # (the txt family keeps 7 in-window representatives)
+    "txt_repetition_signals",
+    "pipeline_contamination_check",
+    "pipeline_mixture_reweight",
     "pipeline_train_test_split",
     "pipeline_doc_chunking",
     "pipeline_sequence_packing",
+    "dedup_exact_summary",
     # multimodal tier
+    "mm_binary_featurize",
     "mm_frame_sample",
     "mm_modality_stats",
     "mm_fixed_shape_features",
-    # streaming tier
+    # streaming tier (events_stream UTC-pin touch-up -- keep all five)
+    "st_stateful_latest",
     "st_dedup_replay",
     "st_windowed_counts",
     "st_session_windows",
     "st_stream_stream_join",
-    # event queries registered past round 2's window
+    # event tier representatives
+    "ev_latest_state",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
     "ev_skew_salted_agg",
-    "ev_asof_last_purchase",
     "ev_sessionize",
+    # --- window boundary (~50) ---------------------------------------
+    # double-green in r2+r3 with unchanged code: rotate past the window
+    "ev_asof_last_purchase",
     "window_time_range_frame",
     "ev_gap_fill_forward",
-    # engine-contract queries new this round (P11-P14)
     "ev_version_filter",
     "ev_message_flatten",
     "ev_result_projection",
     "ev_isin_subpartitions",
-    # changed-oracle / flagship re-verification
     "agg_approx_count_distinct",
     "agg_approx_percentile",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "ev_engine_latest",
     "ev_keyset_page",
     "window_rolling_spend",
 ]

@@ -60,7 +60,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos = str(ts_type) == "timestamp[ns]"
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    elif spark.conf.get("spark.sql.session.timeZone") != "UTC":
+    # pin UTC in BOTH branches: the NTZ->instant cast applies the session
+    # zone, and the nanos path is no less zone-sensitive -- every
+    # downstream date_format/window of the instant formats in session
+    # time, and all catalog oracles assume UTC. (Session-wide mutation is
+    # deliberate and idempotent: the whole catalog's date/time parity is
+    # pinned to UTC, matching sources/tables._normalize_ts.)
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     stream = (
         spark.readStream.schema(
@@ -370,16 +376,19 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "open window per (window, type) pair, bounded by the watermark at "
     "scale. Oracle replicates Spark's window assignment exactly: an "
     "event at t belongs to the 4 windows whose starts are the 30-min "
-    "marks in (t - 2h, t].",
+    "marks in (t - 2h, t] -- INCLUDING pre-epoch starts for events "
+    "within 2 h after 1970-01-01 (Spark emits them, so the oracle must "
+    "too; DuckDB's // truncates toward zero, hence the explicit "
+    "floor-division correction for negative instants).",
     """
     with expanded as (
       select e.event_type, e.value,
-             make_timestamp(epoch_us(e.ts) // 1800000000 * 1800000000
+             make_timestamp((epoch_us(e.ts) // 1800000000
+                             - case when epoch_us(e.ts) % 1800000000 < 0
+                                    then 1 else 0 end) * 1800000000
                             - s.off * 1800000000) as window_start
       from events e
       cross join (select unnest(range(4)) as off) s
-      where epoch_us(e.ts) // 1800000000 * 1800000000
-            - s.off * 1800000000 >= 0
     )
     select strftime(window_start, '%Y-%m-%d %H:%M:%S') as window_start,
            event_type,

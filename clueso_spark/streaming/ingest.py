@@ -95,15 +95,35 @@ def parse_events(
         .filter(F.col("content").isNotNull() & (F.length("content") > 3))
         .select(F.from_json("content", EVENT_SCHEMA, _JSON_OPTIONS).alias("event"))
         .filter(F.col("event").isNotNull())
+        # observable drop counters for the two hardening filters below:
+        # batch runs read them via a QueryExecutionListener, streaming runs
+        # via StreamingQueryProgress.observedMetrics["ingest_drops"] -- so
+        # discarded envelopes are COUNTED, never silent
+        .observe(
+            "ingest_drops",
+            F.count(F.when(F.col("event.type").isNull(), 1)).alias(
+                "null_type"
+            ),
+            F.count(
+                F.when(
+                    F.col("event.type").isNotNull()
+                    & F.col("event.opIndex").isNull(),
+                    1,
+                )
+            ).alias("null_op_index"),
+        )
         # a well-formed envelope missing `type` must be discarded at ingest,
         # not carried as type=NULL -- a NULL-typed winning row would make the
         # merge's `type != 'delete'` evaluate NULL and wrongly hide the key
         # (ref: MetadataIngestionPipeline.scala:116 event.type filter)
         .filter(F.col("event.type").isNotNull())
         # likewise `opIndex`: it is the merge-on-read ordering key AND the
-        # maxOpIndex partition source -- a NULL would land in the Hive
+        # maxOpIndex partition source. INTENTIONAL DIVERGENCE from the
+        # reference (MetadataIngestionPipeline.scala:115-129 passes
+        # null-opIndex rows through): here a NULL would land in the Hive
         # default partition, un-orderable by the dedup window and unreadable
-        # by the compactor's integer subpartition listing
+        # by the compactor's integer subpartition listing, so such rows are
+        # dropped -- and surfaced in the ingest_drops observation above
         .filter(F.col("event.opIndex").isNotNull())
         # two-pass inner parse of the double-encoded document:
         #   map pass -> dynamic x-amz-meta-* capture; struct pass -> typed cols

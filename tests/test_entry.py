@@ -40,25 +40,33 @@ def test_queries_and_oracles_are_consistent(spark):
 
 
 def test_never_driver_verified_tier_registers_first(spark):
-    """The driver's CORRECTNESS gate covers a bounded prefix (50 in round
-    2); the dedup/sim/txt/mm/st tier plus changed-oracle queries must all
-    land inside the first 50 registration slots."""
+    """The driver's CORRECTNESS gate covers a bounded prefix (50 per
+    round); the round-4 rotation contract: the six queries that had never
+    carried a driver row, everything added or semantically changed this
+    round, and every refactored query must all land inside the first 50
+    registration slots, with every family represented."""
     names = list(entrymod.queries())[:50]
     for family in ("dedup_", "sim_", "txt_", "mm_", "st_", "pipeline_"):
         n = sum(1 for q in names if q.startswith(family))
         assert n >= 3, f"{family} underrepresented in driver window: {n}"
     for must in (
+        # round-3 stragglers: first-ever driver rows
+        "sim_ivfpq_ann",
+        "st_sliding_counts",
+        "ev_anomaly_zscore",
+        "agg_exact_median",
+        "txt_fingerprints",
+        "txt_regex_token_count",
+        # new or semantically changed this round
+        "sim_ivfpq_rerank",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_pairs",
+        # refactored paths re-verifying
         "dedup_minhash_lsh",
         "dedup_connected_components",
-        "sim_lsh_ann",
-        "txt_tf_df_top_terms",
-        "mm_binary_featurize",
-        "st_stateful_latest",
-        "agg_approx_count_distinct",
-        "ev_version_filter",
-        "ev_message_flatten",
-        "ev_result_projection",
-        "ev_isin_subpartitions",
+        "dedup_embedding_cosine",
+        "pipeline_curated_corpus",
+        "ev_engine_latest",
     ):
         assert must in names, f"{must} missing from driver window"
 

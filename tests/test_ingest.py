@@ -145,3 +145,40 @@ def test_excluded_buckets_filtered(spark):
         raw_df(spark, lines), excluded_buckets=("selfbucket",)
     ).collect()
     assert [r["bucket"] for r in rows] == ["normal"]
+
+
+def test_ingest_drop_counters_observed(spark, tmp_path):
+    """The two hardening filters (null type / null opIndex) COUNT what
+    they drop: a streaming run surfaces the counters in
+    StreamingQueryProgress.observedMetrics['ingest_drops']."""
+    import json
+
+    good = wire_event(op(1), "put", "b1", "k1", put_doc("k1", "b1"))
+    no_type = json.dumps(
+        {"opIndex": op(2), "bucket": "b1", "key": "k1",
+         "value": json.dumps(put_doc("k1", "b1"))}
+    )
+    no_op = json.dumps(
+        {"type": "put", "bucket": "b1", "key": "k2",
+         "value": json.dumps(put_doc("k2", "b1"))}
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    (inbox / "wire.jsonl").write_text("\n".join([good, no_type, no_op]))
+    stream = spark.readStream.format("text").load(str(inbox))
+    q = (
+        parse_events(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = [
+        p.observedMetrics["ingest_drops"]
+        for p in q.recentProgress
+        if "ingest_drops" in (p.observedMetrics or {})
+    ]
+    assert metrics, "no ingest_drops observation in any progress event"
+    assert sum(m["null_type"] for m in metrics) == 1
+    assert sum(m["null_op_index"] for m in metrics) == 1

@@ -83,6 +83,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "sim_ann_recall_at_k",  # composes the two sanctioned ANN queries
         "sim_ivf_kmeans_ann",  # Lloyd assign + probe routing broadcast K centroids
         "sim_ivfpq_ann",  # same Lloyd assign; ADC join itself is keyed
+        "sim_ivfpq_rerank",  # composes ivfpq_ann + the brute-force baseline
         "pipeline_mixture_reweight",  # 1-row global-min broadcast onto 20 sources
     }
     offenders = {}

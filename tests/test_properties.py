@@ -225,7 +225,7 @@ def test_blocked_jaccard_is_sound(spark, tmp_path_factory, texts):
     )
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in all_queries()["dedup_ngram_jaccard"]
+        for r in all_queries()["dedup_ngram_jaccard_pairs"]
         .spark(spark, str(sf_dir))
         .collect()
     }
@@ -238,6 +238,17 @@ def test_blocked_jaccard_is_sound(spark, tmp_path_factory, texts):
     assert set(got) <= set(brute), (got, brute)
     for pair, jac in got.items():
         assert abs(jac - brute[pair]) < 1e-12
+    # the headline GROUP query partitions exactly the docs the verified
+    # pairs touch: every pair lands inside one component's doc set
+    comps = (
+        all_queries()["dedup_ngram_jaccard"].spark(spark, str(sf_dir)).collect()
+    )
+    assert sum(c["n_docs"] for c in comps) == len(
+        {d for p in got for d in p}
+    )
+    members = [set(map(int, c["doc_ids"].split(","))) for c in comps]
+    for a, b in got:
+        assert any(a in m and b in m for m in members), (a, b)
     # identical texts always share a sketch: exact dups are never lost
     for pair, jac in brute.items():
         if jac == 1.0:
@@ -381,3 +392,32 @@ def test_max_multiplicity_matches_counter(spark, words):
     got = df.select(max_multiplicity("w").alias("m")).collect()[0]["m"]
     want = max(Counter(words).values()) if words else 0
     assert got == want
+
+
+def test_dedup_persist_bookkeeping_is_per_session(spark):
+    """Two interleaved SparkSessions must not unpersist each other's
+    dedup intermediates: the persist registry is keyed by session, so a
+    second session's run of the same query swaps only its OWN slot."""
+    from clueso_spark.plans import dedup_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    dq.dedup_minhash_lsh(spark, sf)
+    first = dq._PERSISTED[spark]["minhash_sets"]
+    assert first.storageLevel.useMemory
+
+    other = spark.newSession()
+    dq.dedup_minhash_lsh(other, sf)
+    # session 1's intermediate survived session 2's construction...
+    assert dq._PERSISTED[spark]["minhash_sets"] is first
+    assert first.storageLevel.useMemory
+    # ...and each session tracks its own persisted frame
+    assert dq._PERSISTED[other]["minhash_sets"] is not first
+
+    # a repeat on session 1 swaps session 1's slot only; session 2's
+    # entry is untouched. (unpersist itself is not asserted through
+    # storageLevel: the CacheManager keys by logical plan, so an
+    # identical-plan frame cached by the newer call keeps reporting the
+    # old object as cached)
+    dq.dedup_minhash_lsh(spark, sf)
+    assert dq._PERSISTED[spark]["minhash_sets"] is not first
+    assert dq._PERSISTED[other]["minhash_sets"].storageLevel.useMemory
