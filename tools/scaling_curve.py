@@ -152,9 +152,14 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def t(df) -> float:
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 2)
+        # best-of-2: the first run pays page-cache/codegen warm-up, which
+        # would otherwise bias whichever variant runs first
+        def once() -> float:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        return round(min(once(), once()), 2)
 
     timings: dict[str, float] = {}
 
@@ -201,12 +206,43 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     joined = ev.join(dim.hint("merge"), "user_id").groupBy("seg").agg(
         F.count("*").alias("n")
     )
+    # AQE's skew trigger (skewedPartitionThresholdInBytes) defaults to
+    # 256 MB -- sized for real clusters; scale it to this harness's data
+    # so the split mechanism actually engages on the hot partition
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16m"
+    )
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
     for skew_flag in ("true", "false"):
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         key = f"join_aqe_skew_{'on' if skew_flag == 'true' else 'off'}"
         timings[key] = t(joined)
+    # the deterministic manual cure: split the join on the known hot key
+    # -- broadcast the hot key's dim rows against its fact slice, plain
+    # keyed join for the rest, union. (The production pattern when hot
+    # keys are knowable: AQE's automatic split is the fallback when they
+    # are not.)
+    hot_dim = dim.where(F.col("user_id") == 0)
+    rest = (
+        ev.where(F.col("user_id") != 0)
+        .join(dim.where(F.col("user_id") != 0).hint("merge"), "user_id")
+        .select("seg")
+    )
+    hot = (
+        ev.where(F.col("user_id") == 0)
+        .join(F.broadcast(hot_dim), "user_id")
+        .select("seg")
+    )
+    split = rest.unionByName(hot).groupBy("seg").agg(
+        F.count("*").alias("n")
+    )
+    timings["join_hot_key_split"] = t(split)
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+    )
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
     # algebraic agg, plain vs salted: partial (map-side) aggregation
