@@ -89,6 +89,16 @@ QUERY_MODULES = [
 #: From round 5 on, promote (a) anything new/changed, then (b) the
 #: entries whose last driver row is OLDEST, demoting the freshest greens.
 PRIORITY = [
+    # NEW this round: two-relation as-of join, interval range join,
+    # SemDeDup, exact-substring span dedup, stratified sampling,
+    # blocklist filtering, PII redaction
+    "ev_asof_attribution",
+    "ev_range_interval_join",
+    "dedup_semantic",
+    "dedup_exact_substring",
+    "pipeline_stratified_sample",
+    "pipeline_domain_blocklist",
+    "txt_pii_redaction",
     # never driver-verified (registered past r3's window) + new/changed
     "sim_ivfpq_rerank",
     "dedup_ngram_jaccard",
@@ -135,20 +145,21 @@ PRIORITY = [
     "mm_frame_sample",
     "mm_modality_stats",
     "mm_fixed_shape_features",
-    # streaming tier (events_stream UTC-pin touch-up -- keep all five)
+    # streaming tier representatives (r3-green; two freshest demoted to
+    # make room for the 7 new queries)
     "st_stateful_latest",
-    "st_dedup_replay",
     "st_windowed_counts",
-    "st_session_windows",
     "st_stream_stream_join",
-    # event tier representatives
+    # --- window boundary (~50) ---------------------------------------
+    # green in r3 (fresh) or double-green r2+r3 with unchanged code:
+    # rotate past the window
+    "st_dedup_replay",
+    "st_session_windows",
     "ev_latest_state",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
     "ev_skew_salted_agg",
     "ev_sessionize",
-    # --- window boundary (~50) ---------------------------------------
-    # double-green in r2+r3 with unchanged code: rotate past the window
     "ev_asof_last_purchase",
     "window_time_range_frame",
     "ev_gap_fill_forward",

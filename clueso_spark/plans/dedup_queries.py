@@ -18,7 +18,7 @@ import math
 import weakref
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import STOPWORDS, tokens, word_shingles
@@ -788,3 +788,212 @@ def _component_groups(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> D
 def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     return _component_groups(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, Abbas et al. 2023): k-means the embedding
+# space, then prune near-duplicates WITHIN each cluster by pairwise
+# cosine. Clustering is what makes semantic dedup tractable at scale:
+# the quadratic pair expansion runs per-cluster (bounded by K's choice),
+# never corpus-wide. K grows with the corpus so expected cluster size
+# stays ~SEM_TARGET_CLUSTER regardless of N -- the same adaptive-
+# cardinality discipline as _emb_planes / _ngram_bits.
+# ---------------------------------------------------------------------------
+
+SEM_K_FLOOR = 4  #: the K the fixed-K DuckDB oracle replicates
+SEM_TARGET_CLUSTER = 128  #: expected docs per cluster at any corpus size
+SEM_TAU = 0.4  #: cosine threshold for "semantically duplicate"
+
+
+def _sem_k(n_vectors: int) -> int:
+    """K for SemDeDup clustering: power of two >= n/target, floor 4.
+    Cluster size stays ~SEM_TARGET_CLUSTER, so the within-cluster pair
+    square is bounded as the corpus grows (10 B vectors -> K ~ 2^26,
+    each cluster still ~128)."""
+    return max(
+        SEM_K_FLOOR,
+        1 << max(2, math.ceil(math.log2(max(1.0, n_vectors / SEM_TARGET_CLUSTER)))),
+    )
+
+
+def _sem_oracle_valid(sf_dir: str) -> bool:
+    """The oracle replicates the fixed K floor; valid while adaptive K
+    sits on it (N <= 512). Beyond that the driver falls back to
+    rows-only, by design."""
+    return _sem_k(table_row_count(sf_dir, "embeddings")) == SEM_K_FLOOR
+
+
+def _sem_oracle() -> str:
+    from clueso_spark.plans.similarity_queries import _KMEANS_CTES
+
+    return f"""
+with {_KMEANS_CTES},
+m as (
+  select a2.vec_id, a2.cid, n.v, n.sq
+  from a2 join n on a2.vec_id = n.vec_id
+),
+pairs as (
+  select a.cid, a.vec_id as a_id, b.vec_id as b_id,
+         list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)) as cos
+  from m a join m b on a.cid = b.cid and a.vec_id < b.vec_id
+),
+best as (
+  select cid, b_id, a_id, cos,
+         row_number() over (partition by b_id order by cos desc, a_id) rk
+  from pairs where cos >= {SEM_TAU}
+)
+select cast(cid as bigint) as cluster_id, b_id as vec_id,
+       a_id as dup_of, round(cos, 6) as cosine
+from best where rk = 1
+"""
+
+
+@register(
+    "dedup_semantic",
+    "SemDeDup (Abbas et al. 2023): k-means the embeddings (one "
+    "decimal-exact Lloyd round, deterministic lowest-id init), then "
+    f"within each cluster mark any vector with cosine >= {SEM_TAU} to a "
+    "lower-id clustermate as a semantic duplicate of its closest such "
+    "anchor. The cluster assignment is the blocking key: the pair "
+    "square is per-cluster, and K scales as N/128 (adaptive like "
+    "_emb_planes), so expected cluster size -- and per-cluster cost -- "
+    "is flat at any corpus size. Oracle replicates the fixed-K floor; "
+    "oracle_valid guards the domain.",
+    _sem_oracle(),
+    "dedup", "semantic", "kmeans", "llm-pipeline",
+    oracle_valid=_sem_oracle_valid,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.similarity_queries import (
+        _DOT,
+        _emb,
+        _lloyd_c1,
+        _nearest,
+    )
+
+    k = _sem_k(table_row_count(sf_dir, "embeddings"))
+    emb = _emb(spark, sf_dir)
+    # one Lloyd round then final assignment; persisted because the
+    # within-cluster self-join consumes it twice
+    a2 = _persist_swap(
+        spark,
+        "sem_assign",
+        _nearest(emb, _lloyd_c1(emb, k)).select("vec_id", "cid", "v", "sq"),
+    )
+    a = a2.select(
+        F.col("cid").alias("a_cid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("sq").alias("asq"),
+    )
+    b = a2.select(
+        "cid",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("sq").alias("bsq"),
+    )
+    cos = F.expr(_DOT.format(a="av", b="bv")) / (
+        F.sqrt(F.col("asq")) * F.sqrt(F.col("bsq"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a_cid") == F.col("cid"))
+            & (F.col("a_id") < F.col("b_id")),
+        )
+        .select("cid", "a_id", "b_id", cos.alias("cos"))
+        .where(F.col("cos") >= SEM_TAU)
+    )
+    w = Window.partitionBy("b_id").orderBy(F.col("cos").desc(), F.col("a_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("b_id").alias("vec_id"),
+            F.col("a_id").alias("dup_of"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): find SPANS shared verbatim across
+# documents. The suffix-array construction of the paper is replaced by
+# its scalable distributed approximation: every k-word window is hashed,
+# windows whose hash appears in >= 2 distinct docs are duplicated spans,
+# and each doc reports its duplicated-span fraction (the curation signal
+# used to cut boilerplate). Cost at 100 TB: one explode (rows ~ corpus
+# token count), ONE keyed shuffle on the window hash, one semi-join
+# back -- no suffix array, no global sort, no pairwise comparison.
+# ---------------------------------------------------------------------------
+
+SUBSTR_WINDOW = 8  #: words per exact-match window
+
+_SUBSTR_ORACLE = f"""
+with w as (select doc_id, string_split(text, ' ') words from documents),
+sh as (
+  select doc_id,
+         md5(array_to_string(list_slice(words, i, i + {SUBSTR_WINDOW - 1}), ' ')) as h
+  from w, unnest(generate_series(1, greatest(len(words) - {SUBSTR_WINDOW - 1}, 0))) as t(i)
+),
+dup as (select h from sh group by h having count(distinct doc_id) >= 2),
+tot as (select doc_id, count(*) as n_windows from sh group by doc_id),
+d as (select doc_id, count(*) as n_dup from sh
+      where h in (select h from dup) group by doc_id)
+select tot.doc_id, cast(n_windows as bigint) as n_windows,
+       cast(coalesce(n_dup, 0) as bigint) as dup_windows,
+       round(cast(coalesce(n_dup, 0) as double) / n_windows, 6) as dup_frac
+from tot left join d on tot.doc_id = d.doc_id
+"""
+
+
+@register(
+    "dedup_exact_substring",
+    f"Exact substring dedup (Lee et al. 2022) as its distributed "
+    f"approximation: hash every {SUBSTR_WINDOW}-word window, a window "
+    "duplicated across >= 2 distinct docs is a verbatim shared span; "
+    "each doc reports its duplicated-span fraction. One explode + ONE "
+    "keyed shuffle on the window hash + a semi-join back -- no suffix "
+    "array, no global sort, linear in corpus tokens at any scale.",
+    _SUBSTR_ORACLE,
+    "dedup", "substring", "llm-pipeline",
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("words")
+    )
+    sh = _persist_swap(
+        spark,
+        "substr_windows",
+        docs.select(
+            "doc_id",
+            F.explode(word_shingles("words", SUBSTR_WINDOW)).alias("s"),
+        ).select("doc_id", F.md5("s").alias("h")),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_windows"))
+    d = (
+        sh.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        tot.join(d, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("dup_windows"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double")
+                / F.col("n_windows"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

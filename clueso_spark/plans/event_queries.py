@@ -1037,3 +1037,157 @@ def ev_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_anomaly"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (event-time attribution). Spark has no ASOF JOIN operator;
+# the scalable expression is the union-merge: tag both streams, ONE
+# shuffle on the key, sort within partition, carry the build side
+# forward with last(ignorenulls) over rows UNBOUNDED PRECEDING. This is
+# O(n log n)-per-key merge semantics -- no per-probe join amplification,
+# no range-join explosion -- and it survives 100 TB because the only
+# movement is the single keyed shuffle both inputs already need.
+# DuckDB expresses the same thing natively (ASOF LEFT JOIN), which makes
+# the oracle an *independent* implementation, not a transliteration.
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+with clicks as (
+  select user_id, ts, max(event_id) as c_event_id
+  from events where event_type = 'click'
+  group by user_id, ts
+),
+p as (
+  select event_id as p_event_id, user_id, ts
+  from events where event_type = 'purchase'
+)
+select p.p_event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') as p_ts,
+       c.c_event_id,
+       date_diff('microsecond', c.ts, p.ts) as gap_us
+from p asof left join clicks c
+  on p.user_id = c.user_id and p.ts >= c.ts
+"""
+
+
+@register(
+    "ev_asof_attribution",
+    "AS-OF JOIN: each purchase attributed to the user's most recent "
+    "click at-or-before it (nulls when no prior click). Spark lacks "
+    "ASOF; the scalable form is union-merge: tag clicks+purchases, one "
+    "shuffle on user_id, in-partition sort by (ts, click-first), carry "
+    "the click struct forward via last(ignorenulls) over UNBOUNDED "
+    "PRECEDING. No range-join explosion, no per-probe rescan; at 100 TB "
+    "the cost is the one keyed shuffle both inputs need anyway. Oracle "
+    "is DuckDB's native ASOF LEFT JOIN -- an independent implementation "
+    "of the same semantics, hash-verified.",
+    _ASOF_ORACLE,
+    "join", "asof", "event-time",
+)
+def ev_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # one click per (user, ts): max event_id wins, so equal-timestamp
+    # clicks resolve identically in both engines
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("c_event_id"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("is_click"),
+            "c_event_id",
+            F.lit(None).cast("long").alias("p_event_id"),
+        )
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("c_event_id"),
+        F.col("event_id").alias("p_event_id"),
+    )
+    merged = clicks.unionByName(purchases)
+    # clicks sort before purchases at the same ts => ASOF '>=' semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(
+        F.when(
+            F.col("is_click") == 1,
+            F.struct(F.col("ts").alias("c_ts"), F.col("c_event_id")),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        merged.withColumn("click", carried)
+        .where(F.col("is_click") == 0)
+        .select(
+            "p_event_id",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("p_ts"),
+            F.col("click.c_event_id").alias("c_event_id"),
+            (F.unix_micros("ts") - F.unix_micros("click.c_ts")).alias(
+                "gap_us"
+            ),
+        )
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+with s as (
+  select event_id as s_event_id, user_id, ts as start_ts,
+         ts + interval 2 hour as end_ts
+  from events where event_type = 'signup'
+),
+e as (select user_id, ts, event_id from events where event_type = 'error')
+select s.s_event_id, s.user_id,
+       cast(count(e.event_id) as bigint) as n_errors,
+       min(date_diff('microsecond', s.start_ts, e.ts)) as first_gap_us
+from s left join e
+  on s.user_id = e.user_id and e.ts >= s.start_ts and e.ts < s.end_ts
+group by s.s_event_id, s.user_id
+"""
+
+
+@register(
+    "ev_range_interval_join",
+    "RANGE (interval) JOIN: errors falling inside the 2-hour window "
+    "after each signup by the same user, aggregated per signup (count + "
+    "microseconds to first error; signups with zero errors kept via "
+    "left join). The join is EQUI-keyed on user_id with the range as a "
+    "residual predicate -- a keyed shuffle hash join, never a "
+    "cross-range explosion. At 100 TB with no equi key you'd bucket ts "
+    "into interval-width chunks and equi-join on (key, chunk); here "
+    "user_id already bounds each bucket.",
+    _RANGE_JOIN_ORACLE,
+    "join", "range", "interval",
+)
+def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("interval 2 hours")).alias("end_ts"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("ts").alias("e_ts"),
+        F.col("event_id").alias("e_event_id"),
+    )
+    joined = s.join(
+        e,
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") >= F.col("start_ts"))
+        & (F.col("e_ts") < F.col("end_ts")),
+        "left",
+    )
+    return joined.groupBy("s_event_id", "user_id").agg(
+        F.count("e_event_id").cast("bigint").alias("n_errors"),
+        F.min(
+            F.unix_micros("e_ts") - F.unix_micros("start_ts")
+        ).alias("first_gap_us"),
+    )

@@ -438,10 +438,10 @@ def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_c1(emb: DataFrame) -> DataFrame:
+def _lloyd_c1(emb: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
     """One Lloyd round: deterministic init (lowest vec_ids), assign,
     decimal-exact centroid update. Returns (cid, c, csq)."""
-    cents = emb.where(F.col("vec_id") < K_CLUSTERS).select(
+    cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("c"),
         F.col("sq").alias("csq"),

@@ -747,3 +747,213 @@ def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("last_doc"),
         )
     )
+
+
+STRAT_ORACLE = """
+with c as (select lang, count(*) as n from documents group by lang),
+m as (select min(n) as mn from c),
+r as (select lang, n, (mn * 10000) // n as rate_bp from c cross join m),
+k as (
+  select d.lang,
+         case when cast(('0x' || substr(md5('strat_' || cast(d.doc_id as varchar)), 1, 8))
+                    as bigint) % 10000 < r.rate_bp
+              then 1 else 0 end as keep
+  from documents d join r on d.lang = r.lang
+)
+select r.lang, cast(r.n as bigint) as n_total,
+       cast(sum(k.keep) as bigint) as n_sampled,
+       cast(r.rate_bp as bigint) as rate_bp
+from k join r on k.lang = r.lang
+group by r.lang, r.n, r.rate_bp
+"""
+
+
+@register(
+    "pipeline_stratified_sample",
+    "Stratified (language-equalized) sampling: per-stratum keep rate = "
+    "min-stratum-count / stratum-count in integer basis points, "
+    "membership by content hash (md5(doc_id) mod 10000 < rate_bp). "
+    "Deterministic -- no sampling state, no seeds, any engine recomputes "
+    "the identical sample. The rate table is |strata| rows, broadcast "
+    "to a map-side filter; at 100 TB the corpus is scanned once and "
+    "never shuffled (only the tiny per-stratum counts aggregate moves).",
+    STRAT_ORACLE,
+    "pipeline", "sampling", "text",
+)
+def pipeline_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    rates = c.crossJoin(F.broadcast(m)).select(
+        "lang", "n", F.expr("(mn * 10000) div n").alias("rate_bp")
+    )
+    bp = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("strat_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    keep = F.when(bp < F.col("rate_bp"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .select("lang", "n", "rate_bp", keep.alias("keep"))
+        .groupBy("lang", "n", "rate_bp")
+        .agg(F.sum("keep").cast("bigint").alias("n_sampled"))
+        .select(
+            "lang",
+            F.col("n").cast("bigint").alias("n_total"),
+            "n_sampled",
+            F.col("rate_bp").cast("bigint").alias("rate_bp"),
+        )
+    )
+
+
+#: sources scrubbed from the curated corpus (the URL/domain-blocklist
+#: filtering step of a web-scale pipeline, expressed over the `source`
+#: attribute; a real deployment broadcasts a blocklist dimension of
+#: domains exactly like this)
+BLOCKED_SOURCES = ("src3", "src7", "src11", "srcX")
+
+_BLOCKLIST_ORACLE = f"""
+select lang,
+       cast(count(*) as bigint) as n_docs,
+       cast(sum(n_chars) as bigint) as total_chars,
+       cast(count(distinct source) as bigint) as n_sources
+from documents
+where source not in {BLOCKED_SOURCES!r}
+group by lang
+"""
+
+
+@register(
+    "pipeline_domain_blocklist",
+    "Domain/source blocklist filtering: docs from blocked sources are "
+    "scrubbed via a broadcast ANTI join against the blocklist dimension "
+    "(never an IN-subquery shuffle); survivors aggregate per language. "
+    "At 100 TB the blocklist (even millions of domains) broadcasts and "
+    "the corpus is scanned once, map-side only.",
+    _BLOCKLIST_ORACLE,
+    "pipeline", "filtering", "text",
+)
+def pipeline_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    block = spark.createDataFrame(
+        [(s,) for s in BLOCKED_SOURCES], ["source"]
+    )
+    return (
+        docs.join(F.broadcast(block), "source", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+        )
+    )
+
+
+#: PII patterns, identical Java-regex / RE2 semantics (no lookaround,
+#: no engine-specific classes). Applied in this order.
+PII_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+#: deterministic PII-bearing fixture rows UNIONed with the corpus: the
+#: synthetic corpus contains no PII (all-lowercase word salad), so these
+#: literals are what force the match/redact path through both engines --
+#: the cross-engine hash then verifies actual redaction behavior, not
+#: just zeros.
+PII_FIXTURES = [
+    (-1, "contact alice@example.com or bob.smith@mail.co today", "fixture"),
+    (-2, "call 555-867-5309 re the server at 192.168.0.1 now", "fixture"),
+    (-3, "two mails x@y.io z@w.dev one phone 111-222-3333", "fixture"),
+    (-4, "clean row with no personal data at all", "fixture"),
+]
+
+_PII_FIXTURE_SQL = " union all ".join(
+    f"select {i} as doc_id, '{t}' as text, '{s}' as source"
+    for i, t, s in PII_FIXTURES
+)
+
+_PII_ORACLE = f"""
+with corpus as (
+  select doc_id, text, source from documents
+  union all {_PII_FIXTURE_SQL}
+),
+r as (
+  select source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) as n_em,
+         len(regexp_extract_all(text, '{PII_PHONE}')) as n_ph,
+         len(regexp_extract_all(
+           regexp_replace(text, '{PII_PHONE}', '<PII>', 'g'), '{PII_IP}')) as n_ip,
+         length(text) - length(
+           regexp_replace(regexp_replace(regexp_replace(
+             text, '{PII_EMAIL}', '<PII>', 'g'),
+                   '{PII_PHONE}', '<PII>', 'g'),
+                   '{PII_IP}', '<PII>', 'g')) as chars_delta
+  from corpus
+)
+select source, cast(count(*) as bigint) as n_docs,
+       cast(sum(n_em) as bigint) as n_emails,
+       cast(sum(n_ph) as bigint) as n_phones,
+       cast(sum(n_ip) as bigint) as n_ips,
+       cast(sum(chars_delta) as bigint) as chars_removed
+from r group by source
+"""
+
+
+@register(
+    "txt_pii_redaction",
+    "PII detection + redaction (emails, phone numbers, IPv4): "
+    "regexp_count per pattern and sequential regexp_replace to '<PII>', "
+    "aggregated per source. Patterns are lookaround-free so Java regex "
+    "(Spark, codegen'd JVM-side) and RE2 (DuckDB) agree exactly; "
+    "deterministic PII-bearing fixture rows are unioned in so the "
+    "match/redact path itself is hash-verified, not just the zero case. "
+    "Pure column algebra: one scan, one small aggregate -- at 100 TB "
+    "this is a map-only pass.",
+    _PII_ORACLE,
+    "text", "pii", "llm-pipeline",
+)
+def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    fixtures = spark.createDataFrame(
+        PII_FIXTURES, ["doc_id", "text", "source"]
+    )
+    corpus = docs.unionByName(fixtures)
+    # phone strip first for the IP count: '555-867-5309' must not feed
+    # digit runs into the IPv4 pattern (same order as the oracle)
+    no_phone = F.regexp_replace("text", F.lit(PII_PHONE), F.lit("<PII>"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", F.lit(PII_EMAIL), F.lit("<PII>")),
+            F.lit(PII_PHONE),
+            F.lit("<PII>"),
+        ),
+        F.lit(PII_IP),
+        F.lit("<PII>"),
+    )
+    return (
+        corpus.select(
+            "source",
+            F.regexp_count("text", F.lit(PII_EMAIL)).alias("n_em"),
+            F.regexp_count("text", F.lit(PII_PHONE)).alias("n_ph"),
+            F.regexp_count(no_phone, F.lit(PII_IP)).alias("n_ip"),
+            (F.length("text") - F.length(redacted)).alias("chars_delta"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_em").cast("bigint").alias("n_emails"),
+            F.sum("n_ph").cast("bigint").alias("n_phones"),
+            F.sum("n_ip").cast("bigint").alias("n_ips"),
+            F.sum("chars_delta").cast("bigint").alias("chars_removed"),
+        )
+    )

@@ -85,6 +85,8 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "sim_ivfpq_ann",  # same Lloyd assign; ADC join itself is keyed
         "sim_ivfpq_rerank",  # composes ivfpq_ann + the brute-force baseline
         "pipeline_mixture_reweight",  # 1-row global-min broadcast onto 20 sources
+        "dedup_semantic",  # same Lloyd assign: K centroids broadcast
+        "pipeline_stratified_sample",  # 1-row min-stratum broadcast onto 5 langs
     }
     offenders = {}
     for name, cq in registry.items():
