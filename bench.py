@@ -28,6 +28,9 @@ HEADLINE = [
     "ev_sessionize",
     "ev_result_projection",
     "ev_funnel_conversion",
+    # event-time joins: as-of (union-merge) + interval membership
+    "ev_asof_attribution",
+    "ev_range_interval_join",
     # text tier
     "txt_top_bigrams",
     "txt_tf_df_top_terms",
@@ -35,6 +38,8 @@ HEADLINE = [
     # training-pipeline curation
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
+    "pipeline_stratified_sample",
+    "txt_pii_redaction",
     # dedup tier (all four blocking strategies; ngram headline is the
     # group-level report, pairs is its debug view)
     "dedup_minhash_lsh",
@@ -42,6 +47,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_semantic",
     # similarity tier (exact baseline + both ANN paths + iterative)
     "sim_bruteforce_topk",
     "sim_lsh_ann",
