@@ -20,6 +20,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q8_market_share",
+    "q21_waiting_supplier",
     "join_left_order_counts",
     "window_rolling_spend",
     # engine semantics: merge-on-read latest state, sessionization, the

@@ -99,6 +99,14 @@ PRIORITY = [
     "pipeline_stratified_sample",
     "pipeline_domain_blocklist",
     "txt_pii_redaction",
+    "st_asof_attribution",
+    # NEW this round: TPC-H completion tier (the remaining queries the
+    # trimmed schema can express)
+    "q4_priority_check",
+    "q8_market_share",
+    "q15_top_supplier",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     # never driver-verified (registered past r3's window) + new/changed
     "sim_ivfpq_rerank",
     "dedup_ngram_jaccard",
@@ -128,11 +136,6 @@ PRIORITY = [
     "sim_pq_codes",
     # text / pipeline tier
     "txt_tf_df_top_terms",
-    "txt_token_stats",
-    "txt_lang_stats",
-    "txt_top_bigrams",
-    "txt_quality_score",
-    "txt_langid_heuristic",
     "txt_repetition_signals",
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
@@ -153,6 +156,11 @@ PRIORITY = [
     # --- window boundary (~50) ---------------------------------------
     # green in r3 (fresh) or double-green r2+r3 with unchanged code:
     # rotate past the window
+    "txt_token_stats",
+    "txt_lang_stats",
+    "txt_top_bigrams",
+    "txt_quality_score",
+    "txt_langid_heuristic",
     "st_dedup_replay",
     "st_session_windows",
     "ev_latest_state",

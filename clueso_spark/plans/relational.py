@@ -1697,3 +1697,331 @@ def agg_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("double") / F.count("*") / 100
         ).alias("median_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion tier: the remaining queries expressible over the
+# trimmed testdata schema (q2/q9/q11/q16/q20 need the partsupp table,
+# which the driver's testdata does not ship; q4/q21's commit/receipt
+# dates are absent, so "late" is adapted to shipdate vs orderdate+N).
+# Together with q1/q3/q5/q6/q7/q10/q12/q13/q14/q17/q18/q19 this covers
+# every TPC-H query shape the schema can express.
+# ---------------------------------------------------------------------------
+
+Q4_ORACLE = """
+select o_orderpriority, cast(count(*) as bigint) as order_count
+from orders
+where o_orderdate >= timestamp '1996-01-01 00:00:00'
+  and o_orderdate <  timestamp '1996-04-01 00:00:00'
+  and exists (
+    select 1 from lineitem
+    where l_orderkey = o_orderkey
+      and l_shipdate > o_orderdate + interval 60 day
+  )
+group by o_orderpriority
+"""
+
+
+@register(
+    "q4_priority_check",
+    "TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join on the "
+    "order key with the lateness predicate as a residual (late = "
+    "shipped > 60 days after order date; the schema has no "
+    "commit/receipt dates). One keyed shuffle, then a 5-group "
+    "aggregate.",
+    Q4_ORACLE,
+    "join", "semi", "subquery", "tpch",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("interval 60 days")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+    )
+
+
+Q8_ORACLE = """
+with flat as (
+  select extract(year from o_orderdate) as o_year,
+         cast(l_extendedprice as decimal(12,2))
+           * cast(1 - l_discount as decimal(12,2)) as volume,
+         n2.n_name as supp_nation
+  from part
+    join lineitem on p_partkey = l_partkey
+    join orders   on l_orderkey = o_orderkey
+    join customer on o_custkey = c_custkey
+    join nation n1 on c_nationkey = n1.n_nationkey
+    join region    on n1.n_regionkey = r_regionkey
+    join supplier on l_suppkey = s_suppkey
+    join nation n2 on s_nationkey = n2.n_nationkey
+  where r_name = 'ASIA' and p_type = 'PROMO'
+    and o_orderdate >= timestamp '1996-01-01 00:00:00'
+    and o_orderdate <  timestamp '1998-01-01 00:00:00'
+)
+select cast(o_year as bigint) as o_year,
+       cast(cast(sum(case when supp_nation = 'NATION_1' then volume
+                          else cast(0 as decimal(12,2)) end) as double)
+            / cast(sum(volume) as double) as double) as mkt_share
+from flat group by o_year
+"""
+
+
+@register(
+    "q8_market_share",
+    "TPC-H Q8: national market share -- an 8-way join where the nation "
+    "dimension joins TWICE in different roles (customer's nation gates "
+    "the region, supplier's nation is the measure). All dims broadcast; "
+    "the fact chain shuffles on its keys once each. Market share is a "
+    "ratio of exact decimal sums, divided once in double.",
+    Q8_ORACLE,
+    "join", "broadcast", "aggregate", "tpch",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("c_nkey"),
+            F.col("n_regionkey").alias("c_rkey"),
+        )
+    )
+    region = F.broadcast(
+        _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("s_nkey"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    volume = dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+    flat = (
+        part.join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("c_nkey"))
+        .join(region, F.col("c_rkey") == F.col("r_regionkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return flat.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    ).select(F.col("o_year").cast("bigint").alias("o_year"), "mkt_share")
+
+
+Q15_ORACLE = """
+with revenue as (
+  select l_suppkey as supplier_no,
+         sum(cast(l_extendedprice as decimal(12,2))
+             * cast(1 - l_discount as decimal(12,2))) as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01 00:00:00'
+    and l_shipdate <  timestamp '1996-04-01 00:00:00'
+  group by l_suppkey
+)
+select s_suppkey, s_name, cast(total_revenue as double) as total_revenue
+from supplier join revenue on s_suppkey = supplier_no
+where total_revenue = (select max(total_revenue) from revenue)
+"""
+
+
+@register(
+    "q15_top_supplier",
+    "TPC-H Q15: top supplier by quarterly revenue -- the revenue 'view' "
+    "computes once, its global max broadcasts back as a 1-row join, and "
+    "equality selects the winner(s). Decimal sums make the max "
+    "comparison exact (no float-tie ambiguity across engines).",
+    Q15_ORACLE,
+    "join", "subquery", "aggregate", "tpch",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
+        ).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q21_ORACLE = """
+with late as (
+  select l_orderkey, l_suppkey from lineitem l1 join orders
+    on l_orderkey = o_orderkey
+  where o_orderstatus = 'F'
+    and l_shipdate > o_orderdate + interval 100 day
+)
+select s_name, cast(count(*) as bigint) as numwait
+from late l1 join supplier on l1.l_suppkey = s_suppkey
+where exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey
+  )
+  and not exists (
+    select 1 from late l3
+    where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+  )
+group by s_name
+order by numwait desc, s_name
+limit 10
+"""
+
+
+@register(
+    "q21_waiting_supplier",
+    "TPC-H Q21 shape: the sole-blame pattern -- EXISTS another supplier "
+    "on the order AND NOT EXISTS another LATE supplier (late adapted to "
+    "shipped > 100 days after order date). Compiles to a semi join plus "
+    "an anti join, both keyed on l_orderkey with the supplier "
+    "inequality as residual -- never a per-row subquery. Top-10 via "
+    "TakeOrderedAndProject with a total order.",
+    Q21_ORACLE,
+    "join", "semi", "anti", "subquery", "tpch",
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("interval 100 days")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    blamed = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    supp = F.broadcast(_t(spark, sf_dir, "supplier"))
+    return (
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(10)
+    )
+
+
+Q22_ORACLE = """
+with sel as (
+  select c_custkey, c_nationkey, cast(c_acctbal as decimal(12,2)) as bal
+  from customer where c_nationkey in (1, 3, 5, 7, 9, 11, 13)
+),
+avgpos as (
+  select sum(bal) as total, cast(count(*) as bigint) as cnt
+  from sel where bal > 0
+)
+select cast(c_nationkey as bigint) as cntrycode,
+       cast(count(*) as bigint) as numcust,
+       cast(sum(bal) as double) as totacctbal
+from sel cross join avgpos
+where bal * cnt > total
+  and not exists (
+    select 1 from orders
+    where o_custkey = c_custkey
+      and o_orderdate >= timestamp '2000-01-01 00:00:00'
+  )
+group by c_nationkey
+"""
+
+
+@register(
+    "q22_global_sales_opportunity",
+    "TPC-H Q22 shape: customers from selected countries (country code "
+    "adapted to c_nationkey -- the schema has no phone column) with "
+    "above-average positive balance and no RECENT orders (the testdata "
+    "gives every customer at least one historic order, so 'never "
+    "ordered' is adapted to 'dormant since 2000'). The avg-balance "
+    "scalar subquery broadcasts as one row, the threshold compares in "
+    "EXACT arithmetic (bal * count > total, no float division), and "
+    "NOT EXISTS compiles to a left anti join on the customer key.",
+    Q22_ORACLE,
+    "join", "anti", "subquery", "tpch",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sel = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select("c_custkey", "c_nationkey", dec("c_acctbal").alias("bal"))
+    )
+    avgpos = sel.where(F.col("bal") > 0).agg(
+        F.sum("bal").alias("total"), F.count("*").cast("bigint").alias("cnt")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        sel.crossJoin(F.broadcast(avgpos))
+        .where(F.col("bal") * F.col("cnt") > F.col("total"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            F.sum("bal").cast("double").alias("totacctbal"),
+        )
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("cntrycode"),
+            "numcust",
+            "totacctbal",
+        )
+    )

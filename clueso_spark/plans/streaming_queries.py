@@ -426,3 +426,96 @@ def st_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+def _asof_state_fn(key, pdf_iter, state):
+    """applyInPandasWithState worker for streaming as-of attribution.
+
+    State = the user's best click so far (max ts, then max event_id) --
+    O(1) per key. Each batch's rows sort by (ts, clicks-first), then a
+    single pass: clicks advance the state, purchases emit their
+    attribution from the state at that instant -- exactly the
+    union-merge semantics of the batch ``ev_asof_attribution``.
+
+    Ordering contract: per-key event-time order across micro-batches
+    (the keyed-Kafka-partition guarantee; availableNow over one file
+    satisfies it trivially). Purchases emit in the batch they arrive
+    (append mode): a click arriving later-but-timestamped-earlier than
+    an already-emitted purchase cannot retract it -- the same contract
+    every streaming join discharges via its watermark.
+    """
+    import pandas as pd
+
+    c_ts_us, c_id = state.get if state.exists else (-1, -1)
+    out_p, out_ts, out_c, out_gap = [], [], [], []
+    for pdf in pdf_iter:
+        pdf = pdf.copy()
+        pdf["_ts_us"] = pdf["ts"].astype("int64") // 1000
+        pdf["_kind"] = (pdf["event_type"] == "purchase").astype("int8")
+        pdf = pdf.sort_values(["_ts_us", "_kind", "event_id"])
+        for ts_us, kind, eid, ts in zip(
+            pdf["_ts_us"], pdf["_kind"], pdf["event_id"], pdf["ts"]
+        ):
+            if kind == 0:  # click: advance best (max ts, then max id)
+                if ts_us > c_ts_us or (ts_us == c_ts_us and eid > c_id):
+                    c_ts_us, c_id = int(ts_us), int(eid)
+            else:  # purchase: attribute from current state
+                out_p.append(int(eid))
+                out_ts.append(ts.strftime("%Y-%m-%d %H:%M:%S.%f"))
+                out_c.append(c_id if c_id >= 0 else None)
+                out_gap.append(int(ts_us - c_ts_us) if c_id >= 0 else None)
+    state.update((c_ts_us, c_id))
+    yield pd.DataFrame(
+        {
+            "p_event_id": pd.Series(out_p, dtype="int64"),
+            "user_id": pd.Series([key[0]] * len(out_p), dtype="int64"),
+            "p_ts": pd.Series(out_ts, dtype="object"),
+            "c_event_id": pd.Series(out_c, dtype="Int64"),
+            "gap_us": pd.Series(out_gap, dtype="Int64"),
+        }
+    )
+
+
+from clueso_spark.plans.event_queries import _ASOF_ORACLE  # noqa: E402
+
+
+@register(
+    "st_asof_attribution",
+    "STREAMING as-of join (applyInPandasWithState): every purchase "
+    "attributed to the user's most recent click at-or-before it, with "
+    "per-key state = ONE (ts, event_id) pair regardless of stream "
+    "length. The streaming twin of ev_asof_attribution -- same "
+    "semantics, same DuckDB ASOF JOIN oracle; emission is append-mode "
+    "(each purchase exactly once, in its arrival batch) under the "
+    "per-key event-time ordering contract documented on the worker.",
+    _ASOF_ORACLE,  # the streaming twin shares the batch oracle verbatim
+    "streaming", "stateful", "asof",
+)
+def st_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = events_stream(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    out_schema = (
+        "p_event_id bigint, user_id bigint, p_ts string, "
+        "c_event_id bigint, gap_us bigint"
+    )
+    attributed = stream.groupBy("user_id").applyInPandasWithState(
+        _asof_state_fn,
+        outputStructType=out_schema,
+        stateStructType="c_ts_us bigint, c_id bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_name = "st_asof_attribution_sink"
+    query = (
+        attributed.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)
+

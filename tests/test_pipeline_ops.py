@@ -255,3 +255,29 @@ def test_pii_redaction_replaces_all_occurrences(spark):
         .collect()[0]["r"]
     )
     assert red == "<PII> then <PII> then <PII> then <PII>"
+
+
+def test_streaming_asof_matches_batch(spark, tmp_path):
+    """The stateful streaming as-of (applyInPandasWithState) must agree
+    with the batch union-merge twin on ties, duplicates, and
+    no-prior-click edges."""
+    from clueso_spark.plans.event_queries import ev_asof_attribution
+    from clueso_spark.plans.streaming_queries import st_asof_attribution
+
+    df = _events(
+        spark,
+        [
+            (1, 0, 7, "click"),
+            (9, 0, 7, "click"),  # same-ts duplicate, max id wins
+            (2, 0, 7, "purchase"),  # tie with clicks -> attributed
+            (4, 5, 7, "purchase"),
+            (5, 0, 8, "purchase"),  # user 8 has no clicks -> nulls
+            (6, 3, 8, "click"),
+            (7, 9, 8, "purchase"),
+        ],
+    )
+    sf = _write_events(tmp_path, df)
+    batch = {tuple(r) for r in ev_asof_attribution(spark, sf).collect()}
+    stream = {tuple(r) for r in st_asof_attribution(spark, sf).collect()}
+    assert stream == batch
+    assert len(stream) == 4

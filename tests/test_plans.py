@@ -87,6 +87,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "pipeline_mixture_reweight",  # 1-row global-min broadcast onto 20 sources
         "dedup_semantic",  # same Lloyd assign: K centroids broadcast
         "pipeline_stratified_sample",  # 1-row min-stratum broadcast onto 5 langs
+        "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
     }
     offenders = {}
     for name, cq in registry.items():
