@@ -37,6 +37,7 @@ HEADLINE = [
     "txt_top_bigrams",
     "txt_tf_df_top_terms",
     "txt_repetition_signals",
+    "txt_cms_heavy_hitters",
     # training-pipeline curation
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",

@@ -100,6 +100,7 @@ PRIORITY = [
     "pipeline_domain_blocklist",
     "txt_pii_redaction",
     "st_asof_attribution",
+    "txt_cms_heavy_hitters",
     # NEW this round: TPC-H completion tier (the remaining queries the
     # trimmed schema can express)
     "q4_priority_check",

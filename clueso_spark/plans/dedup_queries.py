@@ -816,6 +816,71 @@ def _sem_k(n_vectors: int) -> int:
     )
 
 
+#: flat N x K assignment below this K; two-level (hierarchical) above.
+#: With K ~ N/128, flat assign costs N*K ~ N^2/128 -- the scaling
+#: harness measured the bend (x10 corpus: 48.5 s flat). Two-level
+#: routes through ~sqrt(K) super-cells first: N*(G + K/G) ~ 2N*sqrt(K),
+#: the standard coarse-quantizer trick (measured flat-ish, see
+#: SCALE.md). Below the threshold flat is both cheaper and EXACT --
+#: which keeps the fixed-K oracle bit-for-bit at the gate's floor.
+SEM_HIER_MIN_K = 64
+
+
+def _sem_assign(emb: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """Nearest-centroid assignment, hierarchical when K is large.
+
+    Two-level: centroids route to their nearest of G ~ sqrt(K) super
+    seeds (a K x G product over a broadcast -- trivial), vectors route
+    to their nearest seed (N x G), then rank only the centroids of that
+    super-cell (N x K/G expected). Same squared-L2 fold as _nearest, so
+    below SEM_HIER_MIN_K the two paths agree exactly on everything."""
+    from clueso_spark.plans.similarity_queries import _DOT, _nearest
+
+    if k < SEM_HIER_MIN_K:
+        return _nearest(emb, cents)
+    g = 1 << max(1, math.ceil(math.log2(math.sqrt(k))))
+    seeds = cents.where(F.col("cid") < g).select(
+        F.col("cid").alias("gid"),
+        F.col("c").alias("gc"),
+        F.col("csq").alias("gcsq"),
+    )
+    gdist_c = (
+        F.col("csq")
+        - 2 * F.expr(_DOT.format(a="c", b="gc"))
+        + F.col("gcsq")
+    )
+    cw = Window.partitionBy("cid").orderBy("gdist", "gid")
+    c2s = (
+        cents.crossJoin(F.broadcast(seeds))
+        .withColumn("gdist", gdist_c)
+        .withColumn("grk", F.row_number().over(cw))
+        .where(F.col("grk") == 1)
+        .select("gid", "cid", "c", "csq")
+    )
+    gdist_v = (
+        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="gc")) + F.col("gcsq")
+    )
+    vw = Window.partitionBy("vec_id").orderBy("gdist", "gid")
+    v2s = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("gdist", gdist_v)
+        .withColumn("grk", F.row_number().over(vw))
+        .where(F.col("grk") == 1)
+        .drop("gc", "gcsq", "gdist", "grk")
+    )
+    dist = (
+        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="c")) + F.col("csq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        v2s.join(F.broadcast(c2s), "gid")
+        .withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "c", "csq", "gid")
+    )
+
+
 def _sem_oracle_valid(sf_dir: str) -> bool:
     """The oracle replicates the fixed K floor; valid while adaptive K
     sits on it (N <= 512). Beyond that the driver falls back to
@@ -864,21 +929,23 @@ from best where rk = 1
     oracle_valid=_sem_oracle_valid,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.similarity_queries import (
-        _DOT,
-        _emb,
-        _lloyd_c1,
-        _nearest,
-    )
+    from clueso_spark.plans.similarity_queries import _DOT, _emb, _lloyd_c1
 
     k = _sem_k(table_row_count(sf_dir, "embeddings"))
     emb = _emb(spark, sf_dir)
-    # one Lloyd round then final assignment; persisted because the
-    # within-cluster self-join consumes it twice
+
+    def assign(e, cents):
+        return _sem_assign(e, cents, k)
+
+    # one Lloyd round then final assignment (both hierarchical once K
+    # passes SEM_HIER_MIN_K); persisted because the within-cluster
+    # self-join consumes it twice
     a2 = _persist_swap(
         spark,
         "sem_assign",
-        _nearest(emb, _lloyd_c1(emb, k)).select("vec_id", "cid", "v", "sq"),
+        assign(emb, _lloyd_c1(emb, k, assign_fn=assign)).select(
+            "vec_id", "cid", "v", "sq"
+        ),
     )
     a = a2.select(
         F.col("cid").alias("a_cid"),

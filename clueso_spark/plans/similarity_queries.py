@@ -438,15 +438,19 @@ def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def _lloyd_c1(emb: DataFrame, k: int = K_CLUSTERS) -> DataFrame:
+def _lloyd_c1(emb: DataFrame, k: int = K_CLUSTERS, assign_fn=None) -> DataFrame:
     """One Lloyd round: deterministic init (lowest vec_ids), assign,
-    decimal-exact centroid update. Returns (cid, c, csq)."""
+    decimal-exact centroid update. Returns (cid, c, csq).
+
+    ``assign_fn(emb, cents) -> assigned`` overrides the flat N x K
+    nearest-centroid scan (dedup_semantic swaps in a two-level
+    hierarchical assign once its adaptive K grows past threshold)."""
     cents = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.col("v").alias("c"),
         F.col("sq").alias("csq"),
     )
-    a1 = _nearest(emb, cents)
+    a1 = (assign_fn or _nearest)(emb, cents)
     comp = a1.select("cid", F.posexplode("v").alias("pos", "x"))
     means = comp.groupBy("cid", "pos").agg(
         (

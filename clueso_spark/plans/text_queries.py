@@ -957,3 +957,155 @@ def txt_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("chars_delta").cast("bigint").alias("chars_removed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters: the fixed-size frequency sketch
+# (Cormode & Muthukrishnan 2005). The sketch is d x w counters TOTAL --
+# independent of corpus size -- and merges by cell-wise addition, which
+# is what makes it the streaming/distributed answer to "top terms" when
+# an exact per-term groupBy's key space would not fit. Here both the
+# sketch estimate AND the exact count are computed so the oracle
+# verifies the estimator's defining guarantee cell-for-cell:
+# exact <= estimate (one-sided error).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4  #: independent hash rows
+CMS_WIDTH = 256  #: counters per row
+CMS_TOP = 20  #: heavy hitters reported
+
+
+def _cms_bucket_sql(row: int) -> str:
+    """DuckDB: term's counter index in sketch row ``row``."""
+    return (
+        f"cast(('0x' || substr(md5('cms{row}_' || term), 1, 8)) as bigint)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+_CMS_ORACLE = f"""
+with words as (
+  select unnest(string_split(text, ' ')) as term from documents
+),
+exact as (select term, count(*) as exact_n from words group by term),
+cells as (
+  select r.range as row_id, {
+    "case r.range "
+    + " ".join(
+        f"when {r} then " + _cms_bucket_sql(r) for r in range(CMS_DEPTH)
+    )
+    + " end"
+  } as bucket, count(*) as c
+  from words cross join range({CMS_DEPTH}) r
+  group by 1, 2
+),
+est as (
+  select e.term, e.exact_n,
+         min(c.c) as cms_estimate
+  from exact e
+  join cells c
+    on c.bucket = case c.row_id {
+      " ".join(
+        f"when {r} then "
+        + _cms_bucket_sql(r).replace("term", "e.term")
+        for r in range(CMS_DEPTH)
+      )
+    } end
+  group by e.term, e.exact_n
+)
+select term, cast(cms_estimate as bigint) as cms_estimate,
+       cast(exact_n as bigint) as exact_n,
+       cast(cms_estimate - exact_n as bigint) as overcount
+from est
+order by cms_estimate desc, term
+limit {CMS_TOP}
+"""
+
+
+@register(
+    "txt_cms_heavy_hitters",
+    f"Count-min sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH}-counter "
+    "sketch (md5-salted row hashes) built in ONE keyed aggregate, then "
+    f"every term's estimate = min over its {CMS_DEPTH} counters; top-"
+    f"{CMS_TOP} by estimate with the exact count alongside. The sketch "
+    "is FIXED-SIZE regardless of corpus (cells merge by addition -- "
+    "map-side partial agg IS the merge), and the tiny sketch broadcasts "
+    "back onto the term dictionary for estimation. The oracle verifies "
+    "the one-sided guarantee (estimate >= exact) value-for-value.",
+    _CMS_ORACLE,
+    "text", "sketch", "heavy-hitters",
+)
+def txt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens("text")).alias("term"))
+    exact = words.groupBy("term").agg(F.count("*").alias("exact_n"))
+
+    def bucket(row: int, term_col: str = "term") -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{row}_"), F.col(term_col))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % CMS_WIDTH
+        )
+
+    # sketch build: explode each token into its d (row, bucket) cells,
+    # ONE aggregate -- partial aggregation merges per-partition sketches
+    # map-side exactly like distributed CMS merge
+    cells = (
+        words.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("row_id"),
+                            bucket(r).alias("bucket"),
+                        )
+                        for r in range(CMS_DEPTH)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell.row_id", "cell.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    # estimate: each term joins its d cells (the sketch is d*w rows --
+    # broadcast), estimate = min over rows
+    probe = exact.select(
+        "term",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("p_row"), bucket(r).alias("p_bucket")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    )
+    return (
+        probe.join(
+            F.broadcast(cells),
+            (F.col("p.p_row") == F.col("row_id"))
+            & (F.col("p.p_bucket") == F.col("bucket")),
+        )
+        .groupBy("term", "exact_n")
+        .agg(F.min("c").alias("cms_estimate"))
+        .orderBy(F.col("cms_estimate").desc(), "term")
+        .limit(CMS_TOP)
+        .select(
+            "term",
+            F.col("cms_estimate").cast("bigint").alias("cms_estimate"),
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+    )
