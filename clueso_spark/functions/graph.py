@@ -20,7 +20,7 @@ def connected_components(
     src: str,
     dst: str,
     max_rounds: int = 50,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return ``(vertex, component)`` for every vertex appearing in
     ``pairs``; ``component`` is the minimum vertex id reachable from the
