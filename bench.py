@@ -47,6 +47,7 @@ HEADLINE = [
     # group-level report, pairs is its debug view)
     "dedup_minhash_lsh",
     "dedup_connected_components",
+    "graph_pagerank_copurchase",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine",

@@ -75,14 +75,14 @@ QUERY_MODULES = [
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
 #: part of the contract. Round-4 rotation, per the round-3 policy:
-#: (1) the six queries that registered past round 3's window and have
-#: never carried a driver row come FIRST, with the queries added or
-#: semantically changed this round; (2) every query whose implementation
-#: was refactored this round stays in-window for re-verification;
-#: (3) the window fills out with one-per-family representatives;
-#: (4) the longest-double-green relational/event entries (verified in
-#: rounds 2 AND 3 with unchanged code) rotate past the window -- nothing
-#: is dropped, unlisted queries keep registration order after the block.
+#: (1) the 16 queries NEW this round (as-of/range joins, SemDeDup,
+#: exact-substring, sampling/blocklist/PII, streaming as-of, CMS,
+#: PageRank, the TPC-H completion tier) come first; (2) the six r3
+#: stragglers that have never carried a driver row; (3) everything
+#: refactored this round (shared helpers, hierarchical assign);
+#: (4) one-per-family representatives fill the window; the freshest
+#: r3 greens rotate past the boundary -- nothing is dropped, unlisted
+#: queries keep registration order after the block.
 #:
 #: ROTATION POLICY for the next round: once round 4's rows land, every
 #: registered query has carried a driver-verified row at least once.
@@ -101,6 +101,7 @@ PRIORITY = [
     "txt_pii_redaction",
     "st_asof_attribution",
     "txt_cms_heavy_hitters",
+    "graph_pagerank_copurchase",
     # NEW this round: TPC-H completion tier (the remaining queries the
     # trimmed schema can express)
     "q4_priority_check",

@@ -2025,3 +2025,117 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "totacctbal",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative graph analytics: PageRank. Driver loop iterates the PLAN
+# (3 fixed rounds), not the data; all arithmetic is scaled-integer
+# (rank in 1e-12 units, floor division) so every round is bit-exact in
+# any engine -- which is what lets DuckDB verify the whole iteration.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12
+PR_ROUNDS = 3
+PR_TOP = 20
+_PR_SUPP_BASE = 1_000_000  # supplier node id offset
+
+
+def _pr_round_sql(i: int) -> str:
+    prev = "r0" if i == 1 else f"r{i - 1}"
+    return f"""
+i{i} as (
+  select e.v as u, sum({prev}.r // deg.d) as inflow
+  from edges e join {prev} on e.u = {prev}.u join deg on deg.u = e.u
+  group by e.v
+),
+r{i} as (
+  select i{i}.u,
+         (15 * ({PR_SCALE} // n) + 85 * inflow) // 100 as r
+  from i{i} cross join nn
+)"""
+
+
+PAGERANK_ORACLE = f"""
+with e0 as (
+  select distinct o_custkey as c, l_suppkey as s
+  from orders join lineitem on o_orderkey = l_orderkey
+),
+edges as (
+  select c as u, {_PR_SUPP_BASE} + s as v from e0
+  union all
+  select {_PR_SUPP_BASE} + s as u, c as v from e0
+),
+deg as (select u, count(*) as d from edges group by u),
+nn as (select count(*) as n from deg),
+r0 as (select u, ({PR_SCALE} // n) as r from deg cross join nn),
+{",".join(_pr_round_sql(i).strip() for i in range(1, PR_ROUNDS + 1))}
+select u as node,
+       cast(case when u >= {_PR_SUPP_BASE} then 1 else 0 end as bigint)
+         as is_supplier,
+       cast(r as bigint) as rank
+from r{PR_ROUNDS}
+order by rank desc, node
+limit {PR_TOP}
+"""
+
+
+@register(
+    "graph_pagerank_copurchase",
+    f"Iterative PageRank ({PR_ROUNDS} rounds, damping 0.85) over the "
+    "symmetric customer-supplier co-purchase graph (edge = customer "
+    "ordered from supplier). The driver loop builds {PR_ROUNDS} plan "
+    "rounds -- each ONE keyed join + aggregate, never a collect; ranks "
+    "are scaled integers (1e-12 units, floor division) so every round "
+    "is bit-identical in any engine and the DuckDB oracle verifies the "
+    "full iteration, not a float approximation. At scale: edges "
+    "partition by source; each round is the same shuffle CC's label "
+    "propagation pays, and rounds are fixed, not data-dependent.",
+    PAGERANK_ORACLE,
+    "graph", "iterative", "pagerank",
+)
+def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_PR_SUPP_BASE) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = e0.select(F.col("c").alias("u"), F.col("s").alias("v")).unionByName(
+        e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    nn = deg.agg(F.count("*").alias("n"))
+    base = F.broadcast(nn)
+    ranks = deg.crossJoin(base).select(
+        "u", F.expr(f"{PR_SCALE} div n").alias("r")
+    )
+    ed = edges.join(deg, "u")  # (u, v, d)
+    for _ in range(PR_ROUNDS):
+        inflow = (
+            ed.join(ranks, "u")
+            .select(F.col("v"), F.expr("r div d").alias("contrib"))
+            .groupBy("v")
+            .agg(F.sum("contrib").alias("inflow"))
+        )
+        ranks = inflow.crossJoin(base).select(
+            F.col("v").alias("u"),
+            F.expr(f"(15 * ({PR_SCALE} div n) + 85 * inflow) div 100").alias(
+                "r"
+            ),
+        )
+    return (
+        ranks.select(
+            F.col("u").alias("node"),
+            F.when(F.col("u") >= _PR_SUPP_BASE, 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("is_supplier"),
+            F.col("r").cast("bigint").alias("rank"),
+        )
+        .orderBy(F.col("rank").desc(), "node")
+        .limit(PR_TOP)
+    )

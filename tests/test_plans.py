@@ -88,6 +88,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "dedup_semantic",  # same Lloyd assign: K centroids broadcast
         "pipeline_stratified_sample",  # 1-row min-stratum broadcast onto 5 langs
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
+        "graph_pagerank_copurchase",  # 1-row node-count broadcast per round
     }
     offenders = {}
     for name, cq in registry.items():
