@@ -115,6 +115,9 @@ PRIORITY = [
     "dedup_ngram_jaccard_pairs",
     "sim_ivfpq_ann",
     "st_sliding_counts",
+    # streaming_queries.py took timezone-pin + epoch-window parity fixes
+    # this round -- re-verify the flagship stateful path alongside them
+    "st_stateful_latest",
     "ev_anomaly_zscore",
     "agg_exact_median",
     "txt_fingerprints",
