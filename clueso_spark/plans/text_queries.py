@@ -9,7 +9,7 @@ keys (lang, bigram), which partial-aggregate map-side first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import (
@@ -1107,5 +1107,203 @@ def txt_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_n"))
             .cast("bigint")
             .alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM perplexity scoring (the CCNet/KenLM quality-filter shape:
+# score each document by how surprising its tokens are under a language
+# model; here the LM is the corpus's own unigram distribution).
+# ---------------------------------------------------------------------------
+
+PPLX_ORACLE = """
+with t as (select doc_id, string_split(text, ' ') w from documents),
+tok as (select doc_id, unnest(w) as term from t),
+tf as (select term, count(*) as c from tok group by term),
+tot as (select cast(round(log2(sum(c)) * 1000000) as bigint) as l_total
+        from tf),
+lp as (select term, cast(round(log2(c) * 1000000) as bigint) as lp from tf),
+pd as (select doc_id, count(*) as n, sum(lp) as s
+       from tok join lp using (term) group by doc_id)
+select doc_id,
+       cast(n as bigint) as n_tokens,
+       (n * l_total - s) / (n * 1000000.0) as xent_bits
+from pd cross join tot
+"""
+
+
+@register(
+    "txt_perplexity_proxy",
+    "Unigram-LM cross-entropy per document (the CCNet-style perplexity "
+    "quality filter): train unigram log-probs on the corpus in ONE "
+    "term-count aggregate, then score every doc as the mean surprisal "
+    "-log2 p(term) of its tokens. Log-probs are micro-bit integers "
+    "(round(log2(c)*1e6)) so the per-doc sum is an EXACT bigint "
+    "aggregate -- order-independent, engine-independent -- and the "
+    "final division's operands are identical in both engines. Scale: "
+    "the vocabulary is sublinear in corpus size, so the term->logprob "
+    "table BROADCASTS; the only shuffles are the term count and the "
+    "per-doc sum.",
+    PPLX_ORACLE,
+    "text", "quality", "language-model",
+)
+def txt_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("w")
+    )
+    tok = docs.select("doc_id", F.explode("w").alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("c"))
+    # total-token log in micro-bits: one scalar row, broadcast
+    tot = tf.agg(
+        F.round(F.log2(F.sum("c")) * 1e6).cast("bigint").alias("l_total")
+    )
+    lp = tf.select(
+        "term", F.round(F.log2("c") * 1e6).cast("bigint").alias("lp")
+    )
+    pd = (
+        tok.join(F.broadcast(lp), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("lp").alias("s"),
+        )
+    )
+    return pd.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (
+            (F.col("n") * F.col("l_total") - F.col("s"))
+            / (F.col("n") * F.lit(1000000.0))
+        ).alias("xent_bits"),
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF top-k similarity search: "find documents like these"
+# through an inverted-index join, the sparse-vector sibling of
+# sim_bruteforce_topk (no dense embeddings involved).
+# ---------------------------------------------------------------------------
+
+TFIDF_N_PROBES = 5  # doc_id < 5 are the probe documents
+TFIDF_TOP_K = 10
+
+TFIDF_TOPK_ORACLE = f"""
+with t as (select doc_id, string_split(text, ' ') w from documents),
+nn as (select count(*) as n_docs from t),
+tok as (select doc_id, unnest(w) as term from t),
+tc as (select doc_id, term, count(*) as c from tok group by doc_id, term),
+dl as (select doc_id, sum(c) as n from tc group by doc_id),
+dfreq as (select term, count(*) as df from tc group by term),
+post as (
+  select tc.doc_id, tc.term,
+         cast(round((tc.c / dl.n) * log2(1.0 + cast(nn.n_docs as double) / dfreq.df)
+                    * 1000000) as bigint) as w
+  from tc join dl using (doc_id) join dfreq using (term) cross join nn
+),
+norms as (select doc_id, sum(w * w) as nsq from post group by doc_id),
+dots as (
+  select p.doc_id as probe_id, d.doc_id, sum(p.w * d.w) as dot
+  from post p join post d on p.term = d.term and p.doc_id <> d.doc_id
+  where p.doc_id < {TFIDF_N_PROBES}
+  group by 1, 2
+),
+scored as (
+  select probe_id, dots.doc_id,
+         dot / (sqrt(np.nsq) * sqrt(nd.nsq)) as cos
+  from dots
+  join norms np on np.doc_id = probe_id
+  join norms nd on nd.doc_id = dots.doc_id
+),
+ranked as (
+  select probe_id, doc_id, cos,
+         row_number() over (partition by probe_id
+                            order by cos desc, doc_id) as rk
+  from scored
+)
+select probe_id, doc_id, round(cos, 6) as cosine, cast(rk as bigint) as rk
+from ranked where rk <= {TFIDF_TOP_K}
+"""
+
+
+@register(
+    "txt_tfidf_topk_similar",
+    f"Sparse TF-IDF top-{TFIDF_TOP_K} similarity search for "
+    f"{TFIDF_N_PROBES} probe documents through an inverted-index join: "
+    "tf-idf postings per (doc, term); the probes' postings are tiny and "
+    "BROADCAST, so the corpus posting list is scanned once with no "
+    "all-pairs expansion -- the sparse-vector sibling of "
+    "sim_bruteforce_topk. Weights are micro-scaled bigints (smoothed "
+    "idf log2(1 + N/df)), so dots and norms are exact integer "
+    "aggregates and the cosine divides identical operands in both "
+    "engines; ranking ties break on doc_id.",
+    TFIDF_TOPK_ORACLE,
+    "text", "similarity", "inverted-index",
+)
+def txt_tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens().alias("w")
+    )
+    nn = docs.agg(F.count("*").alias("n_docs"))
+    tok = docs.select("doc_id", F.explode("w").alias("term"))
+    tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
+    dl = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    post = (
+        tc.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("n"))
+                * F.log2(
+                    1.0 + F.col("n_docs").cast("double") / F.col("df")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    norms = post.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("nsq")
+    )
+    probes = F.broadcast(
+        post.where(F.col("doc_id") < TFIDF_N_PROBES).select(
+            F.col("doc_id").alias("probe_id"),
+            F.col("term").alias("p_term"),
+            F.col("w").alias("p_w"),
+        )
+    )
+    dots = (
+        probes.join(
+            post,
+            (F.col("p_term") == F.col("term"))
+            & (F.col("probe_id") != F.col("doc_id")),
+        )
+        .groupBy("probe_id", "doc_id")
+        .agg(F.sum(F.col("p_w") * F.col("w")).alias("dot"))
+    )
+    np_ = F.broadcast(
+        norms.select(
+            F.col("doc_id").alias("probe_id"), F.col("nsq").alias("nsq_p")
+        )
+    )
+    nd = norms.select("doc_id", F.col("nsq").alias("nsq_d"))
+    cos = F.col("dot") / (F.sqrt("nsq_p") * F.sqrt("nsq_d"))
+    wnd = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    return (
+        dots.join(np_, "probe_id")
+        .join(nd, "doc_id")
+        .select("probe_id", "doc_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(wnd).cast("bigint"))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select(
+            "probe_id", "doc_id", F.round("cos", 6).alias("cosine"), "rk"
         )
     )
