@@ -36,6 +36,8 @@ HEADLINE = [
     # text tier
     "txt_top_bigrams",
     "txt_tf_df_top_terms",
+    "txt_perplexity_proxy",
+    "txt_tfidf_topk_similar",
     "txt_repetition_signals",
     "txt_cms_heavy_hitters",
     # training-pipeline curation
@@ -48,6 +50,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_connected_components",
     "graph_pagerank_copurchase",
+    "graph_triangle_count",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine",
@@ -61,6 +64,7 @@ HEADLINE = [
     "sim_pq_codes",
     "sim_ivfpq_ann",
     "sim_ivfpq_rerank",
+    "sim_sq_int8_ann",
     # multimodal tier (Arrow mapInPandas + metadata-only agg)
     "mm_binary_featurize",
     "mm_modality_stats",

@@ -89,6 +89,17 @@ QUERY_MODULES = [
 #: From round 5 on, promote (a) anything new/changed, then (b) the
 #: entries whose last driver row is OLDEST, demoting the freshest greens.
 PRIORITY = [
+    # NEW this session: LM-perplexity scoring, sparse TF-IDF top-k,
+    # triangle counting, int8 SQ ANN, matryoshka recall, payload dedup,
+    # HLL partial/merge, watermarked streaming dedup
+    "txt_perplexity_proxy",
+    "txt_tfidf_topk_similar",
+    "graph_triangle_count",
+    "sim_sq_int8_ann",
+    "sim_matryoshka_recall",
+    "mm_payload_dedup",
+    "agg_hll_partial_merge",
+    "st_dedup_within_watermark",
     # NEW this round: two-relation as-of join, interval range join,
     # SemDeDup, exact-substring span dedup, stratified sampling,
     # blocklist filtering, PII redaction
@@ -134,33 +145,31 @@ PRIORITY = [
     "sim_lsh_ann",
     "sim_bruteforce_topk",
     "sim_ivf_cells",
-    "sim_residual_norms",
     "sim_kmeans_lloyd",
-    "sim_ann_recall_at_k",
-    "sim_ivf_kmeans_ann",
     "sim_pq_codes",
     # text / pipeline tier
     "txt_tf_df_top_terms",
     "txt_repetition_signals",
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
-    "pipeline_train_test_split",
-    "pipeline_doc_chunking",
-    "pipeline_sequence_packing",
-    "dedup_exact_summary",
     # multimodal tier
     "mm_binary_featurize",
     "mm_frame_sample",
     "mm_modality_stats",
     "mm_fixed_shape_features",
-    # streaming tier representatives (r3-green; two freshest demoted to
-    # make room for the 7 new queries)
-    "st_stateful_latest",
+    # streaming tier representatives
     "st_windowed_counts",
     "st_stream_stream_join",
     # --- window boundary (~50) ---------------------------------------
     # green in r3 (fresh) or double-green r2+r3 with unchanged code:
     # rotate past the window
+    "sim_residual_norms",
+    "sim_ann_recall_at_k",
+    "sim_ivf_kmeans_ann",
+    "pipeline_train_test_split",
+    "pipeline_doc_chunking",
+    "pipeline_sequence_packing",
+    "dedup_exact_summary",
     "txt_token_stats",
     "txt_lang_stats",
     "txt_top_bigrams",

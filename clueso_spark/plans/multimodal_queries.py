@@ -128,3 +128,83 @@ def mm_fixed_shape_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_payload(load_table(spark, sf_dir, "documents"))
     return sample_bytes(docs)
+
+
+# ---------------------------------------------------------------------------
+# Two-stage exact payload dedup: the media-corpus variant of exact
+# dedup, where hashing every payload is the cost to avoid.
+# ---------------------------------------------------------------------------
+
+MM_DEDUP_ORACLE = """
+with p as (select doc_id, cast(strlen(text) as bigint) as n_bytes, text
+           from documents),
+len_groups as (
+  select n_bytes, count(*) as n_rows from p group by n_bytes
+),
+collided as (select n_bytes from len_groups where n_rows > 1),
+hashed as (
+  select p.doc_id, p.n_bytes, md5(p.text) as content_md5
+  from p join collided using (n_bytes)
+),
+dup_groups as (
+  select n_bytes, content_md5, count(*) as n_copies
+  from hashed group by 1, 2 having count(*) > 1
+)
+select cast((select count(*) from p) as bigint) as n_payloads,
+       cast((select count(*) from collided) as bigint)
+         as n_len_collision_groups,
+       cast((select count(*) from hashed) as bigint) as n_rows_hashed,
+       cast((select count(*) from dup_groups) as bigint) as n_dup_groups,
+       cast(coalesce((select sum(n_copies) from dup_groups), 0) as bigint)
+         as n_dup_rows
+"""
+
+
+@register(
+    "mm_payload_dedup",
+    "Two-stage exact dedup over opaque binary payloads: stage 1 groups "
+    "by byte LENGTH (metadata only -- the payload is never read); stage "
+    "2 hashes ONLY rows whose length collides (a broadcast semi-join on "
+    "the collided lengths) and groups by (length, md5). On a 100 TB "
+    "media corpus almost all payloads are unique-sized, so the "
+    "expensive full-content hash touches a small fraction of the bytes "
+    "-- this query reports the funnel (payloads -> collided length "
+    "groups -> rows hashed -> duplicate groups/rows) so the saving is "
+    "measured, not assumed.",
+    MM_DEDUP_ORACLE,
+    "multimodal", "dedup",
+)
+def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = attach_payload(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "payload", F.length("payload").cast("bigint").alias("n_bytes")
+    )
+    collided = (
+        p.groupBy("n_bytes")
+        .agg(F.count("*").alias("n_rows"))
+        .where(F.col("n_rows") > 1)
+        .select("n_bytes")
+    )
+    hashed = p.join(F.broadcast(collided), "n_bytes").select(
+        "doc_id", "n_bytes", F.md5("payload").alias("content_md5")
+    )
+    dup_groups = (
+        hashed.groupBy("n_bytes", "content_md5")
+        .agg(F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+    totals = p.agg(F.count("*").cast("bigint").alias("n_payloads"))
+    coll_n = collided.agg(
+        F.count("*").cast("bigint").alias("n_len_collision_groups")
+    )
+    hash_n = hashed.agg(F.count("*").cast("bigint").alias("n_rows_hashed"))
+    dup_n = dup_groups.agg(
+        F.count("*").cast("bigint").alias("n_dup_groups"),
+        F.coalesce(F.sum("n_copies"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_rows"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(coll_n))
+        .crossJoin(F.broadcast(hash_n))
+        .crossJoin(F.broadcast(dup_n))
+    )

@@ -2224,9 +2224,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
     )
+    # deg is one row per PART (a bounded dimension, not per edge):
+    # broadcast both sides of the degree decoration
     orient = (
-        e0.join(da, "pa")
-        .join(db, "pb")
+        e0.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
         .select(
             F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
             F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
@@ -2259,3 +2261,75 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Datasketches HLL: partial sketches per group, merged with union_agg --
+# the two-level (map-side sketch, reduce-side merge) distinct-count
+# architecture, made visible as a query.
+# ---------------------------------------------------------------------------
+
+HLL_MERGE_ORACLE = """
+select o_orderpriority as grp,
+       cast(count(distinct o_custkey) as bigint) as n_exact,
+       cast(1 as bigint) as within_5pct
+from orders group by o_orderpriority
+union all
+select '__ALL__' as grp,
+       cast(count(distinct o_custkey) as bigint) as n_exact,
+       cast(1 as bigint) as within_5pct
+from orders
+"""
+
+
+@register(
+    "agg_hll_partial_merge",
+    "Distributed distinct counting the way 100 TB actually does it: a "
+    "Datasketches HLL sketch per group (hll_sketch_agg -- fixed-size "
+    "mergeable state built map-side), then ONE hll_union_agg merges the "
+    "per-group sketches into the global estimate without touching the "
+    "data again. Per-group and merged estimates are checked against "
+    "exact distinct counts with a within-5%% INVARIANT flag (the sketch "
+    "bits are engine-specific; the bound is not), mirroring the "
+    "agg_approx_count_distinct oracle pattern.",
+    HLL_MERGE_ORACLE,
+    "aggregate", "approx", "sketch",
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    per_group = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact"),
+    )
+    per_group = _persist_swap(spark, "hll_per_group", per_group)
+    grp_rows = per_group.select(
+        F.col("o_orderpriority").alias("grp"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            / F.col("n_exact")
+            < 0.05
+        )
+        .cast("bigint")
+        .alias("within_5pct"),
+    )
+    total_exact = orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    merged = (
+        per_group.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(F.broadcast(total_exact))
+        .select(
+            F.lit("__ALL__").alias("grp"),
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
+                < 0.05
+            )
+            .cast("bigint")
+            .alias("within_5pct"),
+        )
+    )
+    return grp_rows.unionByName(merged)

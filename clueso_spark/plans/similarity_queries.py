@@ -24,6 +24,7 @@ from clueso_spark.functions.vectors import (
     to_double_array,
 )
 from clueso_spark.plans.catalog import register
+from clueso_spark.plans.dedup_queries import _persist_swap
 from clueso_spark.sources.tables import load_table
 
 N_PROBES = 5  # vec_id < 5 are the probe vectors
@@ -1086,4 +1087,241 @@ def sim_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hits", F.lit(0)).cast("double")
             / F.lit(float(RERANK_K))
         ).alias("recall_at_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (int8) ANN: the 4x-memory-compression baseline
+# every vector store ships before PQ. Codes are EXACT integers, so the
+# whole query (training the per-dim range, coding, integer dot-product
+# ranking) is bit-reproducible cross-engine -- no invariant oracle
+# needed, unlike float-centroid paths.
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 256  # 8-bit codes, stored as signed tinyint (code - 128)
+
+
+def _sq_minmax_sql() -> str:
+    mins = ", ".join(f"min(v[{i + 1}])" for i in range(DIM))
+    maxs = ", ".join(f"max(v[{i + 1}])" for i in range(DIM))
+    return f"select list_value({mins}) as mn, list_value({maxs}) as mx from n"
+
+
+SQ_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v from e),
+rng as ({_sq_minmax_sql()}),
+q as (
+  select vec_id,
+         list_transform(range({DIM}), i ->
+           cast(case when mx[i + 1] = mn[i + 1] then 0
+                else least({SQ_LEVELS - 1},
+                           floor((v[i + 1] - mn[i + 1])
+                                 / (mx[i + 1] - mn[i + 1]) * {SQ_LEVELS}))
+                end as int) - 128) as code
+  from n cross join rng
+),
+probes as (select vec_id as probe_id, code as pcode from q
+           where vec_id < {N_PROBES}),
+scored as (
+  select probe_id, vec_id,
+         cast(list_sum(list_transform(range({DIM}),
+              i -> cast(pcode[i + 1] as bigint) * code[i + 1])) as bigint)
+           as qdot
+  from probes join q on vec_id <> probe_id
+),
+ranked as (
+  select probe_id, vec_id, qdot,
+         row_number() over (partition by probe_id
+                            order by qdot desc, vec_id) as rk
+  from scored
+)
+select probe_id, vec_id, qdot, cast(rk as bigint) as rk
+from ranked where rk <= {TOP_K}
+"""
+
+
+@register(
+    "sim_sq_int8_ann",
+    f"Scalar-quantized (int8) top-{TOP_K} ANN: train per-dimension "
+    "[min, max] in ONE partial-aggregated pass (128 agg expressions, no "
+    "explode), broadcast the 1-row range, code every vector to signed "
+    "int8 map-side (4x memory vs float32 -- the reason vector stores "
+    "quantize), then rank candidates by the integer dot product of "
+    "codes. Probes broadcast against the coded corpus exactly like the "
+    "float brute-force path, but every score is an exact bigint -- "
+    "quantization is the rare ANN variant that gets MORE verifiable at "
+    "scale, not less.",
+    SQ_ORACLE,
+    "similarity", "ann", "quantization",
+)
+def sim_sq_int8_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    rng = emb.agg(
+        F.array(
+            *[F.min(F.element_at("v", i + 1)) for i in range(DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("v", i + 1)) for i in range(DIM)]
+        ).alias("mx"),
+    )
+    code_expr = f"""
+      transform(sequence(0, {DIM - 1}), i ->
+        cast(cast(case when element_at(mx, i + 1) = element_at(mn, i + 1)
+                  then 0
+                  else least({SQ_LEVELS - 1},
+                       floor((element_at(v, i + 1) - element_at(mn, i + 1))
+                             / (element_at(mx, i + 1) - element_at(mn, i + 1))
+                             * {SQ_LEVELS}))
+                  end as int) - 128 as tinyint))
+    """
+    q = emb.crossJoin(F.broadcast(rng)).select(
+        "vec_id", F.expr(code_expr).alias("code")
+    )
+    probes = F.broadcast(
+        q.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
+        )
+    )
+    qdot = F.expr(
+        "aggregate(zip_with(pcode, code,"
+        " (x, y) -> cast(x as bigint) * cast(y as bigint)),"
+        " 0L, (acc, t) -> acc + t)"
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("qdot").desc(), F.col("vec_id")
+    )
+    return (
+        probes.join(q, F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", qdot.alias("qdot"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= TOP_K)
+        .select("probe_id", "vec_id", "qdot", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka-truncation recall: score the classic MRL trade-off -- how
+# much of the exact top-k survives when only the first d dimensions of
+# the embedding are used (prefix dims carry most of the signal in
+# matryoshka-trained embeddings; this measures that claim on the corpus).
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32)
+
+MRL_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+dims as (select unnest([{", ".join(str(d) for d in (*MRL_DIMS, DIM))}]) as dim),
+sliced as (
+  select dim, vec_id, v[1:dim] as vd, list_dot_product(v[1:dim], v[1:dim]) as sq
+  from dims cross join e
+),
+probes as (select dim as pdim, vec_id as probe_id, vd as pv, sq as psq
+           from sliced where vec_id < {N_PROBES}),
+scored as (
+  select pdim as dim, probe_id, vec_id,
+         list_dot_product(pv, vd) / (sqrt(psq) * sqrt(sq)) as cos
+  from probes join sliced on pdim = dim and vec_id <> probe_id
+),
+ranked as (
+  select dim, probe_id, vec_id,
+         row_number() over (partition by dim, probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+),
+topk as (select dim, probe_id, vec_id from ranked where rk <= {TOP_K}),
+full_k as (select probe_id, vec_id from topk where dim = {DIM}),
+hits as (
+  select t.dim, t.probe_id,
+         sum(case when f.vec_id is null then 0 else 1 end) as n_hits
+  from topk t
+  left join full_k f
+    on f.probe_id = t.probe_id and f.vec_id = t.vec_id
+  where t.dim <> {DIM}
+  group by 1, 2
+)
+select cast(dim as bigint) as dim, probe_id,
+       cast(n_hits as bigint) as n_hits,
+       n_hits / {TOP_K}.0 as recall
+from hits
+"""
+
+
+@register(
+    "sim_matryoshka_recall",
+    f"Matryoshka (MRL) truncation recall: for prefix dims {MRL_DIMS}, "
+    f"compute cosine top-{TOP_K} using only the first d embedding "
+    f"dimensions and report overlap with the full {DIM}-dim exact "
+    "top-k, per probe. One corpus scan fans out all dim variants via "
+    "explode (slice is a per-row projection, not a reshuffle); probes "
+    "broadcast; one window ranks every (dim, probe) list. The 100 TB "
+    "play: prefix-truncated search costs d/D of the full scan's FLOPs "
+    "and memory bandwidth -- this query MEASURES what that buys and "
+    "what it loses, per probe.",
+    MRL_ORACLE,
+    "similarity", "ann", "matryoshka",
+)
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).select("vec_id", "v")
+    alldims = (*MRL_DIMS, DIM)
+    sliced = emb.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(d) for d in alldims])).alias("dim"),
+        "v",
+    ).select(
+        "dim",
+        "vec_id",
+        F.expr("slice(v, 1, dim)").alias("vd"),
+    ).withColumn("sq", squared_norm("vd"))
+    probes = F.broadcast(
+        sliced.where(F.col("vec_id") < N_PROBES).select(
+            F.col("dim").alias("pdim"),
+            F.col("vec_id").alias("probe_id"),
+            F.col("vd").alias("pv"),
+            F.col("sq").alias("psq"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="pv", b="vd")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("dim", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        probes.join(
+            sliced,
+            (F.col("pdim") == F.col("dim"))
+            & (F.col("vec_id") != F.col("probe_id")),
+        )
+        .select("dim", "probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("dim", "probe_id", "vec_id")
+    )
+    topk = _persist_swap(spark, "mrl_topk", topk)
+    full_k = topk.where(F.col("dim") == DIM).select(
+        F.col("probe_id").alias("f_probe"), F.col("vec_id").alias("f_vec")
+    )
+    return (
+        topk.where(F.col("dim") != DIM)
+        .join(
+            F.broadcast(full_k),
+            (F.col("probe_id") == F.col("f_probe"))
+            & (F.col("vec_id") == F.col("f_vec")),
+            "left",
+        )
+        .groupBy("dim", "probe_id")
+        .agg(
+            F.sum(
+                F.when(F.col("f_vec").isNull(), 0).otherwise(1)
+            ).alias("n_hits")
+        )
+        .select(
+            F.col("dim").cast("bigint").alias("dim"),
+            "probe_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall"),
+        )
     )

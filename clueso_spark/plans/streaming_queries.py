@@ -519,3 +519,43 @@ def st_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     return spark.table(sink_name)
 
+
+
+@register(
+    "st_dedup_within_watermark",
+    "dropDuplicatesWithinWatermark over a stream UNIONED WITH ITSELF "
+    "(every event arrives exactly twice -- the at-least-once-delivery "
+    "shape this operator exists for). Unlike plain dropDuplicates, "
+    "per-key state is EVICTED once the watermark passes the key's "
+    "event time, so state is bounded by the delay window x arrival "
+    "rate, not by total distinct keys -- the difference between a "
+    "dedup that runs forever at 100 TB/day and one that OOMs. Result "
+    "equals batch DISTINCT because replayed duplicates land within "
+    "the 1-hour delay.",
+    """
+    select event_type,
+           cast(count(*) as bigint) as n_unique_events
+    from (select distinct event_id, event_type from events)
+    group by event_type
+    """,
+    "streaming", "dedup", "watermark",
+)
+def st_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stream = events_stream(spark, sf_dir)
+    doubled = stream.unionByName(events_stream(spark, sf_dir))
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n_unique_events"))
+    )
+    sink_name = "st_dedup_within_watermark_sink"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name)

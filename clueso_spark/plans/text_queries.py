@@ -23,6 +23,7 @@ from clueso_spark.functions.text import (
     word_shingles,
 )
 from clueso_spark.plans.catalog import register
+from clueso_spark.plans.dedup_queries import _persist_swap
 from clueso_spark.sources.tables import load_table
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1268,6 +1269,10 @@ def txt_tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
+    # postings feed three consumers (norms, probes, the corpus side of
+    # the dot join): persist once instead of re-tokenizing the corpus
+    # three times
+    post = _persist_swap(spark, "tfidf_post", post)
     norms = post.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("nsq")
     )

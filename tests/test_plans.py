@@ -89,6 +89,13 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "pipeline_stratified_sample",  # 1-row min-stratum broadcast onto 5 langs
         "q22_global_sales_opportunity",  # 1-row avg-balance broadcast
         "graph_pagerank_copurchase",  # 1-row node-count broadcast per round
+        "sim_sq_int8_ann",  # probes + 1-row min/max range broadcast
+        "sim_matryoshka_recall",  # per-dim probe lists broadcast
+        "txt_perplexity_proxy",  # 1-row total-token scalar broadcast
+        "txt_tfidf_topk_similar",  # 1-row corpus size + probe postings broadcast
+        "graph_triangle_count",  # three 1-row stat scalars broadcast at the end
+        "mm_payload_dedup",  # four 1-row funnel counters broadcast
+        "agg_hll_partial_merge",  # 1-row global exact-count broadcast
     }
     offenders = {}
     for name, cq in registry.items():
