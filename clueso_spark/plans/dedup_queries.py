@@ -15,42 +15,20 @@ Scale design (the whole point of these operators at 100 TB):
 from __future__ import annotations
 
 import math
-import weakref
 
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import STOPWORDS, tokens, word_shingles
-from clueso_spark.plans.catalog import register
+from clueso_spark.plans.catalog import persist_swap, register
 from clueso_spark.sources.tables import load_table, table_row_count
 
 N_BANDS = 8
 
-#: per-session registry of persisted intermediate DataFrames (shingle /
-#: word sets), keyed (SparkSession, slot): the next call on the SAME
-#: session+slot unpersists the previous one, so repeated runs (bench
-#: best-of-N, the curation pipeline) never accumulate cache entries --
-#: while two interleaved SparkSessions can no longer unpersist each
-#: other's intermediates. WeakKey: a garbage-collected session drops its
-#: entries (its cache died with the session anyway).
-_PERSISTED: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
-    weakref.WeakKeyDictionary()
-)
-
-
-def _persist_swap(spark: SparkSession, slot: str, df: DataFrame) -> DataFrame:
-    """Persist ``df`` (MEMORY_AND_DISK: at 100 TB intermediates spill
-    rather than OOM, and recomputation -- a full corpus re-scan -- is
-    the costlier alternative), releasing whatever the previous call on
-    this session's ``slot`` pinned."""
-    slots = _PERSISTED.setdefault(spark, {})
-    prev = slots.pop(slot, None)
-    if prev is not None:
-        prev.unpersist()
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    slots[slot] = df
-    return df
+#: shared per-session persist bookkeeping now lives in plans.catalog
+#: (persist_swap) so every plan module can use it without import
+#: cycles; keep the historical local name as an alias.
+_persist_swap = persist_swap
 
 
 def _bucket_pairs(

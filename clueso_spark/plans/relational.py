@@ -23,8 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clueso_spark.plans.catalog import dec, register
-from clueso_spark.plans.dedup_queries import _persist_swap
+from clueso_spark.plans.catalog import dec, persist_swap as _persist_swap, register
 from clueso_spark.sources.tables import load_table
 
 

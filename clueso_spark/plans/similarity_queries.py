@@ -23,8 +23,7 @@ from clueso_spark.functions.vectors import (
     squared_norm,
     to_double_array,
 )
-from clueso_spark.plans.catalog import register
-from clueso_spark.plans.dedup_queries import _persist_swap
+from clueso_spark.plans.catalog import persist_swap as _persist_swap, register
 from clueso_spark.sources.tables import load_table
 
 N_PROBES = 5  # vec_id < 5 are the probe vectors
@@ -1320,6 +1319,148 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("dim").cast("bigint").alias("dim"),
+            "probe_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve: recall@k as a function of how many coarse
+# cells each probe visits -- the knob every IVF deployment tunes.
+# ---------------------------------------------------------------------------
+
+NPROBE_STEPS = (1, 2, 4)
+
+NPROBE_ORACLE = f"""
+with {{KMEANS_CTES}},
+passign as (
+  select probe_id, cid, crk from (
+    select n.vec_id as probe_id, c1n.cid,
+           row_number() over (
+             partition by n.vec_id
+             order by n.sq - 2 * list_dot_product(n.v, c1n.c) + c1n.csq,
+                      c1n.cid
+           ) as crk
+    from n cross join c1n
+    where n.vec_id < {N_PROBES}
+  ) where crk <= {max(NPROBE_STEPS)}
+),
+np as (select unnest([{", ".join(str(s) for s in NPROBE_STEPS)}]) as nprobe),
+cand as (
+  select np.nprobe, pa.probe_id, m.vec_id
+  from np
+  cross join passign pa
+  join a2 m on m.cid = pa.cid and m.vec_id <> pa.probe_id
+  where pa.crk <= np.nprobe
+),
+scored as (
+  select c.nprobe, c.probe_id, c.vec_id,
+         list_dot_product(p.v, d.v) / (sqrt(p.sq) * sqrt(d.sq)) as cos
+  from cand c
+  join n p on p.vec_id = c.probe_id
+  join n d on d.vec_id = c.vec_id
+),
+ranked as (
+  select nprobe, probe_id, vec_id,
+         row_number() over (partition by nprobe, probe_id
+                            order by cos desc, vec_id) as rk
+  from scored
+),
+topk as (select nprobe, probe_id, vec_id from ranked where rk <= {TOP_K}),
+brute as ({{BRUTE}}),
+hits as (
+  select t.nprobe, t.probe_id,
+         sum(case when b.vec_id is null then 0 else 1 end) as n_hits
+  from topk t
+  left join brute b
+    on b.probe_id = t.probe_id and b.vec_id = t.vec_id
+  group by 1, 2
+)
+select cast(nprobe as bigint) as nprobe, probe_id,
+       cast(n_hits as bigint) as n_hits,
+       n_hits / {TOP_K}.0 as recall
+from hits
+"""
+
+
+@register(
+    "sim_ivf_nprobe_curve",
+    f"IVF tuning curve: recall@{TOP_K} vs nprobe in {NPROBE_STEPS} "
+    "against the exact brute-force top-k, per probe. ONE probe-to-cell "
+    "ranking (row_number over centroid distance, kept to max nprobe) "
+    "serves every curve point; candidates come from the keyed "
+    "cell-membership equi-join, so raising nprobe multiplies only the "
+    "probe-side fanout, never re-scans the corpus. This is the "
+    "measurement that picks the operating point on the recall/latency "
+    "frontier before an IVF index ships.",
+    NPROBE_ORACLE.format(KMEANS_CTES=_KMEANS_CTES, BRUTE=BRUTE_ORACLE),
+    "similarity", "ann", "ivf", "evaluation",
+)
+def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    c1 = _lloyd_c1(emb)
+    members = _nearest(emb, c1).select("vec_id", "cid", "v", "sq")
+    members = _persist_swap(spark, "nprobe_members", members)
+    probes = emb.where(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("v").alias("pv"),
+        F.col("sq").alias("psq"),
+    )
+    pdist = (
+        F.col("psq") - 2 * F.expr(_DOT.format(a="pv", b="c")) + F.col("csq")
+    )
+    w_cell = Window.partitionBy("probe_id").orderBy("pdist", "cid")
+    passign = (
+        probes.join(F.broadcast(c1), F.lit(True))
+        .select("probe_id", "pv", "psq", "cid", pdist.alias("pdist"))
+        .withColumn("crk", F.row_number().over(w_cell))
+        .where(F.col("crk") <= max(NPROBE_STEPS))
+        .drop("pdist")
+    )
+    steps = F.explode(
+        F.array(*[F.lit(s) for s in NPROBE_STEPS])
+    ).alias("nprobe")
+    fanout = passign.select(steps, "probe_id", "pv", "psq", "cid", "crk").where(
+        F.col("crk") <= F.col("nprobe")
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("nprobe", "probe_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    topk = (
+        F.broadcast(fanout)
+        .join(
+            members,
+            (members.cid == fanout.cid)
+            & (members.vec_id != fanout.probe_id),
+        )
+        .select("nprobe", "probe_id", "vec_id", cos.alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("nprobe", "probe_id", "vec_id")
+    )
+    brute = sim_bruteforce_topk(spark, sf_dir).select(
+        F.col("probe_id").alias("b_probe"), F.col("vec_id").alias("b_vec")
+    )
+    return (
+        topk.join(
+            F.broadcast(brute),
+            (F.col("probe_id") == F.col("b_probe"))
+            & (F.col("vec_id") == F.col("b_vec")),
+            "left",
+        )
+        .groupBy("nprobe", "probe_id")
+        .agg(
+            F.sum(
+                F.when(F.col("b_vec").isNull(), 0).otherwise(1)
+            ).alias("n_hits")
+        )
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
             "probe_id",
             F.col("n_hits").cast("bigint").alias("n_hits"),
             (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall"),

@@ -22,8 +22,7 @@ from clueso_spark.functions.text import (
     winnow_fingerprint,
     word_shingles,
 )
-from clueso_spark.plans.catalog import register
-from clueso_spark.plans.dedup_queries import _persist_swap
+from clueso_spark.plans.catalog import persist_swap as _persist_swap, register
 from clueso_spark.sources.tables import load_table
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)

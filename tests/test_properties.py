@@ -398,20 +398,21 @@ def test_dedup_persist_bookkeeping_is_per_session(spark):
     """Two interleaved SparkSessions must not unpersist each other's
     dedup intermediates: the persist registry is keyed by session, so a
     second session's run of the same query swaps only its OWN slot."""
+    from clueso_spark.plans import catalog
     from clueso_spark.plans import dedup_queries as dq
 
     sf = "/root/testdata/sf0.001"
     dq.dedup_minhash_lsh(spark, sf)
-    first = dq._PERSISTED[spark]["minhash_sets"]
+    first = catalog._PERSISTED[spark]["minhash_sets"]
     assert first.storageLevel.useMemory
 
     other = spark.newSession()
     dq.dedup_minhash_lsh(other, sf)
     # session 1's intermediate survived session 2's construction...
-    assert dq._PERSISTED[spark]["minhash_sets"] is first
+    assert catalog._PERSISTED[spark]["minhash_sets"] is first
     assert first.storageLevel.useMemory
     # ...and each session tracks its own persisted frame
-    assert dq._PERSISTED[other]["minhash_sets"] is not first
+    assert catalog._PERSISTED[other]["minhash_sets"] is not first
 
     # a repeat on session 1 swaps session 1's slot only; session 2's
     # entry is untouched. (unpersist itself is not asserted through
@@ -419,5 +420,5 @@ def test_dedup_persist_bookkeeping_is_per_session(spark):
     # identical-plan frame cached by the newer call keeps reporting the
     # old object as cached)
     dq.dedup_minhash_lsh(spark, sf)
-    assert dq._PERSISTED[spark]["minhash_sets"] is not first
-    assert dq._PERSISTED[other]["minhash_sets"].storageLevel.useMemory
+    assert catalog._PERSISTED[spark]["minhash_sets"] is not first
+    assert catalog._PERSISTED[other]["minhash_sets"].storageLevel.useMemory
