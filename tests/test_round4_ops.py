@@ -1,0 +1,192 @@
+"""Scenario tests for the round-4 extension operators: triangle
+counting, int8 scalar quantization, matryoshka recall, two-stage
+payload dedup, LM-perplexity scoring, the IVF nprobe curve.
+
+Crafted inputs pin the semantics the sf-corpus parity gate can't
+isolate: a planted triangle with a support-filtered edge, an exact
+duplicate payload among length-colliders, prefix-only embedding signal
+(truncation must lose nothing), rare-vs-common token surprisal, and the
+candidate-set-nesting monotonicity of the nprobe sweep.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+DIM = 64
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (l_orderkey, l_partkey)"""
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"l_orderkey": o, "l_partkey": p} for o, p in rows]
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _write_embeddings(tmp_path, vecs):
+    rows = [
+        {"vec_id": i, "embedding": v, "label": i % 4}
+        for i, v in enumerate(vecs)
+    ]
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _write_docs(tmp_path, texts):
+    rows = [
+        {
+            "doc_id": i,
+            "text": t,
+            "lang": "en",
+            "source": f"src{i}",
+            "n_chars": len(t),
+        }
+        for i, t in enumerate(texts)
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows), str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+# -- triangle counting ----------------------------------------------------
+
+
+def test_triangle_planted_with_support_filter(spark, tmp_path):
+    """Parts 1-2-3 co-occur pairwise in >= 2 orders -> one triangle,
+    clustering coefficient 1.0. Part 4 touches part 1 in only ONE order:
+    below the support threshold, so it joins neither edges nor wedges."""
+    from clueso_spark.plans.relational import graph_triangle_count
+
+    orders = [
+        (100, 1), (100, 2), (100, 3),  # order 100: all three pairs once
+        (101, 1), (101, 2),            # (1,2) support 2
+        (102, 1), (102, 3),            # (1,3) support 2
+        (103, 2), (103, 3),            # (2,3) support 2
+        (104, 1), (104, 4),            # (1,4) support 1 -> filtered
+    ]
+    sf = _write_lineitem(tmp_path, orders)
+    row = graph_triangle_count(spark, sf).collect()[0]
+    assert row["n_vertices"] == 3
+    assert row["n_edges"] == 3
+    assert row["n_triangles"] == 1
+    assert row["n_wedges"] == 3  # each vertex has degree 2 -> 1 wedge each
+    assert row["clustering_coeff"] == 1.0
+
+
+# -- int8 scalar quantization ---------------------------------------------
+
+
+def test_sq_int8_identical_vector_ranks_first(spark, tmp_path):
+    """A corpus vector identical to probe 0 quantizes to the same codes
+    and must rank 1 for probe 0 with the maximal integer self-dot."""
+    from clueso_spark.plans.similarity_queries import sim_sq_int8_ann
+
+    base = [[float(((i * 7 + j * 13) % 19) - 9) for j in range(DIM)]
+            for i in range(8)]
+    vecs = base + [list(base[0])]  # vec_id 8 == probe 0 exactly
+    sf = _write_embeddings(tmp_path, vecs)
+    out = sim_sq_int8_ann(spark, sf)
+    top = {
+        r["probe_id"]: (r["vec_id"], r["qdot"])
+        for r in out.where("rk = 1").collect()
+    }
+    assert top[0][0] == 8
+    # identical codes -> the score is the (positive) self dot product
+    assert top[0][1] > 0
+
+
+# -- matryoshka truncation recall -----------------------------------------
+
+
+def test_matryoshka_prefix_only_signal_gives_full_recall(spark, tmp_path):
+    """When all signal lives in the first 8 dims (rest exactly zero),
+    every truncated ranking equals the full ranking: recall 1.0 at
+    every dim for every probe."""
+    from clueso_spark.plans.similarity_queries import sim_matryoshka_recall
+
+    vecs = []
+    for i in range(16):
+        head = [float((i * 5 + j * 3) % 11 + 1) for j in range(8)]
+        vecs.append(head + [0.0] * (DIM - 8))
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = sim_matryoshka_recall(spark, sf).collect()
+    assert len(rows) == 15  # 3 dims x 5 probes
+    assert all(r["recall"] == 1.0 for r in rows), rows
+
+
+# -- two-stage payload dedup ----------------------------------------------
+
+
+def test_payload_dedup_funnel_counts(spark, tmp_path):
+    """Two identical payloads + one same-length decoy + one unique
+    length: only the 3 length-colliders get hashed; one dup group of 2."""
+    from clueso_spark.plans.multimodal_queries import mm_payload_dedup
+
+    sf = _write_docs(tmp_path, ["aaaa", "aaaa", "bbbb", "ccccc"])
+    row = mm_payload_dedup(spark, sf).collect()[0]
+    assert row["n_payloads"] == 4
+    assert row["n_len_collision_groups"] == 1
+    assert row["n_rows_hashed"] == 3
+    assert row["n_dup_groups"] == 1
+    assert row["n_dup_rows"] == 2
+
+
+# -- LM-perplexity proxy --------------------------------------------------
+
+
+def test_perplexity_rare_tokens_are_more_surprising(spark, tmp_path):
+    """A doc of corpus-common tokens scores lower cross-entropy than a
+    doc of corpus-unique tokens; a doc repeating one token has the
+    corpus-minimal surprisal."""
+    from clueso_spark.plans.text_queries import txt_perplexity_proxy
+
+    common = "the " * 49 + "the"
+    sf = _write_docs(
+        tmp_path,
+        [
+            common,                       # doc 0: one very common token
+            "the the the cat sat here",   # doc 1: mostly common
+            "zyx wvu tsr qpo nml kji",    # doc 2: all unique tokens
+        ],
+    )
+    out = {
+        r["doc_id"]: r["xent_bits"]
+        for r in txt_perplexity_proxy(spark, sf).collect()
+    }
+    assert out[0] < out[1] < out[2]
+
+
+# -- IVF nprobe curve -----------------------------------------------------
+
+
+def test_nprobe_recall_is_monotone(spark):
+    """Candidate sets nest as nprobe grows, so recall@10 must be
+    non-decreasing in nprobe for every probe (run on the real sf0.001
+    corpus)."""
+    from clueso_spark.plans.similarity_queries import sim_ivf_nprobe_curve
+
+    rows = sim_ivf_nprobe_curve(spark, SF_DIR).collect()
+    by_probe: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], {})[r["nprobe"]] = r["recall"]
+    assert len(by_probe) == 5
+    for probe_id, curve in by_probe.items():
+        assert curve[1] <= curve[2] <= curve[4], (probe_id, curve)
