@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.plans.catalog import dec, persist_swap as _persist_swap, register
+from clueso_spark.plans.dedup_queries import _bucket_pairs
 from clueso_spark.sources.tables import load_table
 
 
@@ -2149,10 +2150,13 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_SUPPORT = 2  # parts must co-occur in >= 2 distinct orders
 
 TRIANGLE_ORACLE = f"""
-with e0 as (
-  select a.l_partkey as pa, b.l_partkey as pb
+with op as (
+  select distinct a.l_orderkey, a.l_partkey as pa, b.l_partkey as pb
   from lineitem a join lineitem b
     on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+),
+e0 as (
+  select pa, pb from op
   group by 1, 2 having count(*) >= {TRI_MIN_SUPPORT}
 ),
 deg as (
@@ -2197,16 +2201,15 @@ from tri cross join wedge
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    lj = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("pb")
-    )
+    # pair generation via ONE keyed shuffle: group parts per order
+    # (collect_set dedups within the order, making support = distinct
+    # co-orders), expand the id-ordered pair combinations map-side --
+    # the _bucket_pairs discipline. The orderkey self-join alternative
+    # scans the fact table twice and shuffles both branches; per-order
+    # fan-out here is bounded by the max basket size.
     e0 = (
-        li.join(
-            lj,
-            (F.col("l_orderkey") == F.col("o2"))
-            & (F.col("l_partkey") < F.col("pb")),
-        )
-        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        _bucket_pairs(li, ["l_orderkey"], "l_partkey", "pa", "pb")
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= TRI_MIN_SUPPORT)
         .select("pa", "pb")
