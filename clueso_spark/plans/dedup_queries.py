@@ -793,11 +793,11 @@ def _sem_k(n_vectors: int) -> int:
     """K for SemDeDup clustering: power of two >= n/target, floor 4.
     Cluster size stays ~SEM_TARGET_CLUSTER, so the within-cluster pair
     square is bounded as the corpus grows (10 B vectors -> K ~ 2^26,
-    each cluster still ~128)."""
-    return max(
-        SEM_K_FLOOR,
-        1 << max(2, math.ceil(math.log2(max(1.0, n_vectors / SEM_TARGET_CLUSTER)))),
-    )
+    each cluster still ~128). Delegates to the shared coarse-quantizer
+    sizing in similarity_queries (TARGET_CELL == SEM_TARGET_CLUSTER)."""
+    from clueso_spark.plans.similarity_queries import adaptive_k
+
+    return adaptive_k(n_vectors, floor=SEM_K_FLOOR)
 
 
 #: flat N x K assignment below this K; two-level (hierarchical) above.
@@ -811,58 +811,12 @@ SEM_HIER_MIN_K = 64
 
 
 def _sem_assign(emb: DataFrame, cents: DataFrame, k: int) -> DataFrame:
-    """Nearest-centroid assignment, hierarchical when K is large.
+    """Nearest-centroid assignment, hierarchical when K is large --
+    shared implementation in similarity_queries.assign_nearest (the
+    two-level coarse-quantizer routing); see SEM_HIER_MIN_K above."""
+    from clueso_spark.plans.similarity_queries import assign_nearest
 
-    Two-level: centroids route to their nearest of G ~ sqrt(K) super
-    seeds (a K x G product over a broadcast -- trivial), vectors route
-    to their nearest seed (N x G), then rank only the centroids of that
-    super-cell (N x K/G expected). Same squared-L2 fold as _nearest, so
-    below SEM_HIER_MIN_K the two paths agree exactly on everything."""
-    from clueso_spark.plans.similarity_queries import _DOT, _nearest
-
-    if k < SEM_HIER_MIN_K:
-        return _nearest(emb, cents)
-    g = 1 << max(1, math.ceil(math.log2(math.sqrt(k))))
-    seeds = cents.where(F.col("cid") < g).select(
-        F.col("cid").alias("gid"),
-        F.col("c").alias("gc"),
-        F.col("csq").alias("gcsq"),
-    )
-    gdist_c = (
-        F.col("csq")
-        - 2 * F.expr(_DOT.format(a="c", b="gc"))
-        + F.col("gcsq")
-    )
-    cw = Window.partitionBy("cid").orderBy("gdist", "gid")
-    c2s = (
-        cents.crossJoin(F.broadcast(seeds))
-        .withColumn("gdist", gdist_c)
-        .withColumn("grk", F.row_number().over(cw))
-        .where(F.col("grk") == 1)
-        .select("gid", "cid", "c", "csq")
-    )
-    gdist_v = (
-        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="gc")) + F.col("gcsq")
-    )
-    vw = Window.partitionBy("vec_id").orderBy("gdist", "gid")
-    v2s = (
-        emb.crossJoin(F.broadcast(seeds))
-        .withColumn("gdist", gdist_v)
-        .withColumn("grk", F.row_number().over(vw))
-        .where(F.col("grk") == 1)
-        .drop("gc", "gcsq", "gdist", "grk")
-    )
-    dist = (
-        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="c")) + F.col("csq")
-    )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    return (
-        v2s.join(F.broadcast(c2s), "gid")
-        .withColumn("dist", dist)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .drop("rk", "c", "csq", "gid")
-    )
+    return assign_nearest(emb, cents, k)
 
 
 def _sem_oracle_valid(sf_dir: str) -> bool:

@@ -15,6 +15,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -418,6 +420,85 @@ select cast(cid as bigint) as cluster_id,
 from a2
 group by cid
 """
+
+
+TARGET_CELL = 128  # expected members per coarse cell at any corpus size
+
+#: flat N x K assignment below this K; two-level (hierarchical) above.
+#: With K ~ N/TARGET_CELL, flat assign costs N*K ~ N^2/128 -- the
+#: scaling harness measured the bend. Two-level routes through
+#: ~sqrt(K) super-cells first: N*(G + K/G) ~ 2N*sqrt(K), the standard
+#: coarse-quantizer trick. Below the threshold flat is both cheaper
+#: and EXACT -- which keeps fixed-K oracles bit-for-bit at the gate's
+#: floor.
+HIER_MIN_K = 64
+
+
+def adaptive_k(n_vectors: int, floor: int = K_CLUSTERS) -> int:
+    """Coarse-quantizer K: power of two >= n/TARGET_CELL, floored.
+    Cell population stays ~TARGET_CELL as the corpus grows -- the knob
+    that keeps per-cell work flat at 10 B vectors (K ~ 2^26)."""
+    return max(
+        floor,
+        1
+        << max(
+            2, math.ceil(math.log2(max(1.0, n_vectors / TARGET_CELL)))
+        ),
+    )
+
+
+def assign_nearest(emb: DataFrame, cents: DataFrame, k: int) -> DataFrame:
+    """Nearest-centroid assignment, hierarchical when K is large.
+
+    Two-level: centroids route to their nearest of G ~ sqrt(K) super
+    seeds (a K x G product over a broadcast -- trivial), vectors route
+    to their nearest seed (N x G), then rank only the centroids of
+    that super-cell (N x K/G expected). Same squared-L2 fold as
+    _nearest, so below HIER_MIN_K the two paths agree exactly on
+    everything."""
+    if k < HIER_MIN_K:
+        return _nearest(emb, cents)
+    g = 1 << max(1, math.ceil(math.log2(math.sqrt(k))))
+    seeds = cents.where(F.col("cid") < g).select(
+        F.col("cid").alias("gid"),
+        F.col("c").alias("gc"),
+        F.col("csq").alias("gcsq"),
+    )
+    gdist_c = (
+        F.col("csq")
+        - 2 * F.expr(_DOT.format(a="c", b="gc"))
+        + F.col("gcsq")
+    )
+    cw = Window.partitionBy("cid").orderBy("gdist", "gid")
+    c2s = (
+        cents.crossJoin(F.broadcast(seeds))
+        .withColumn("gdist", gdist_c)
+        .withColumn("grk", F.row_number().over(cw))
+        .where(F.col("grk") == 1)
+        .select("gid", "cid", "c", "csq")
+    )
+    gdist_v = (
+        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="gc")) + F.col("gcsq")
+    )
+    vw = Window.partitionBy("vec_id").orderBy("gdist", "gid")
+    v2s = (
+        emb.crossJoin(F.broadcast(seeds))
+        .withColumn("gdist", gdist_v)
+        .withColumn("grk", F.row_number().over(vw))
+        .where(F.col("grk") == 1)
+        .drop("gc", "gcsq", "gdist", "grk")
+    )
+    dist = (
+        F.col("sq") - 2 * F.expr(_DOT.format(a="v", b="c")) + F.col("csq")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        v2s.join(F.broadcast(c2s), "gid")
+        .withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .drop("rk", "c", "csq", "gid")
+    )
 
 
 def _nearest(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -1385,6 +1466,15 @@ from hits
 """
 
 
+def _np_oracle_valid(sf_dir: str) -> bool:
+    """The oracle replicates the fixed K_CLUSTERS floor; valid while
+    adaptive K sits on it (N <= 512). Beyond that the driver falls back
+    to rows-only, by design (same discipline as dedup_semantic)."""
+    from clueso_spark.sources.tables import table_row_count
+
+    return adaptive_k(table_row_count(sf_dir, "embeddings")) == K_CLUSTERS
+
+
 @register(
     "sim_ivf_nprobe_curve",
     f"IVF tuning curve: recall@{TOP_K} vs nprobe in {NPROBE_STEPS} "
@@ -1392,16 +1482,24 @@ from hits
     "ranking (row_number over centroid distance, kept to max nprobe) "
     "serves every curve point; candidates come from the keyed "
     "cell-membership equi-join, so raising nprobe multiplies only the "
-    "probe-side fanout, never re-scans the corpus. This is the "
-    "measurement that picks the operating point on the recall/latency "
-    "frontier before an IVF index ships.",
+    "probe-side fanout, never re-scans the corpus. K scales as "
+    "N/TARGET_CELL (hierarchical assignment past the flat threshold), "
+    "so cell population -- and per-probe candidate cost -- stays flat "
+    "as the corpus grows; the fixed-K oracle is valid at the gate's "
+    "floor and guarded by oracle_valid. This is the measurement that "
+    "picks the operating point on the recall/latency frontier before "
+    "an IVF index ships.",
     NPROBE_ORACLE.format(KMEANS_CTES=_KMEANS_CTES, BRUTE=BRUTE_ORACLE),
     "similarity", "ann", "ivf", "evaluation",
+    oracle_valid=_np_oracle_valid,
 )
 def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.sources.tables import table_row_count
+
+    k = adaptive_k(table_row_count(sf_dir, "embeddings"))
     emb = _emb(spark, sf_dir)
-    c1 = _lloyd_c1(emb)
-    members = _nearest(emb, c1).select("vec_id", "cid", "v", "sq")
+    c1 = _lloyd_c1(emb, k=k, assign_fn=lambda e, c: assign_nearest(e, c, k))
+    members = assign_nearest(emb, c1, k).select("vec_id", "cid", "v", "sq")
     members = _persist_swap(spark, "nprobe_members", members)
     probes = emb.where(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"),
