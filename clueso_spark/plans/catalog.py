@@ -103,6 +103,7 @@ PRIORITY = [
     "agg_hll_partial_merge",
     "st_dedup_within_watermark",
     "sim_ivf_nprobe_curve",
+    "ev_markov_transitions",
     # NEW this round: two-relation as-of join, interval range join,
     # SemDeDup, exact-substring span dedup, stratified sampling,
     # blocklist filtering, PII redaction
@@ -148,7 +149,6 @@ PRIORITY = [
     "sim_lsh_ann",
     "sim_bruteforce_topk",
     "sim_ivf_cells",
-    "sim_kmeans_lloyd",
     # text / pipeline tier
     "txt_tf_df_top_terms",
     "txt_repetition_signals",
@@ -165,6 +165,7 @@ PRIORITY = [
     # --- window boundary (~50) ---------------------------------------
     # green in r3 (fresh) or double-green r2+r3 with unchanged code:
     # rotate past the window
+    "sim_kmeans_lloyd",
     "sim_pq_codes",
     "sim_residual_norms",
     "sim_ann_recall_at_k",

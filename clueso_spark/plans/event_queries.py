@@ -1191,3 +1191,58 @@ def ev_range_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("e_ts") - F.unix_micros("start_ts")
         ).alias("first_gap_us"),
     )
+
+
+@register(
+    "ev_markov_transitions",
+    "First-order event-type transition matrix per user journey: lag "
+    "the per-user event sequence ONE window pass, count (prev -> next) "
+    "pairs, and report each transition's probability against the "
+    "source state's total -- the Markov-chain summary behind "
+    "next-action prediction and funnel-drop analysis. One shuffle on "
+    "user_id for the window, one tiny |states|^2 aggregate; the "
+    "probability divides two exact bigints.",
+    """
+    with seq as (
+      select user_id, event_type,
+             lag(event_type) over (
+               partition by user_id order by ts, event_id
+             ) as prev_type
+      from events
+    ),
+    trans as (
+      select prev_type, event_type as next_type,
+             cast(count(*) as bigint) as n
+      from seq where prev_type is not null
+      group by 1, 2
+    ),
+    totals as (
+      select prev_type, sum(n) as total from trans group by prev_type
+    )
+    select t.prev_type, t.next_type, t.n,
+           t.n / cast(total as double) as p
+    from trans t join totals using (prev_type)
+    """,
+    "events", "window", "markov",
+)
+def ev_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    trans = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return (
+        trans.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n") / F.col("total").cast("double")).alias("p"),
+        )
+    )

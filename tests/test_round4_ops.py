@@ -190,3 +190,50 @@ def test_nprobe_recall_is_monotone(spark):
     assert len(by_probe) == 5
     for probe_id, curve in by_probe.items():
         assert curve[1] <= curve[2] <= curve[4], (probe_id, curve)
+
+
+# -- adaptive coarse-quantizer sizing -------------------------------------
+
+
+def test_adaptive_k_floor_and_growth():
+    """K sits on the floor through the oracle-gate corpus sizes, then
+    grows as a power of two tracking N/TARGET_CELL."""
+    from clueso_spark.plans.similarity_queries import TARGET_CELL, adaptive_k
+
+    assert adaptive_k(0) == 4
+    assert adaptive_k(500) == 4       # sf0.01: the oracle floor
+    assert adaptive_k(512) == 4
+    assert adaptive_k(5000) == 64     # sf0.1
+    for n in (10_000, 1_000_000, 10_000_000):
+        k = adaptive_k(n)
+        assert k & (k - 1) == 0       # power of two
+        assert n / k <= TARGET_CELL   # cells never exceed the target
+        assert adaptive_k(n * 10) >= k
+
+
+def test_assign_nearest_flat_path_equals_nearest(spark, tmp_path):
+    """Below HIER_MIN_K the hierarchical wrapper must BE the flat exact
+    assignment -- that identity is what keeps fixed-K oracles bit-exact
+    at the gate's floor."""
+    from clueso_spark.plans.similarity_queries import (
+        _emb,
+        _lloyd_c1,
+        _nearest,
+        assign_nearest,
+    )
+
+    vecs = [
+        [float((i * 11 + j * 5) % 13) for j in range(DIM)] for i in range(20)
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    emb = _emb(spark, sf)
+    cents = _lloyd_c1(emb, k=4)
+    flat = sorted(
+        (r["vec_id"], r["cid"])
+        for r in _nearest(emb, cents).select("vec_id", "cid").collect()
+    )
+    wrapped = sorted(
+        (r["vec_id"], r["cid"])
+        for r in assign_nearest(emb, cents, 4).select("vec_id", "cid").collect()
+    )
+    assert flat == wrapped
