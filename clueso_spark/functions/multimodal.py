@@ -125,3 +125,57 @@ def sample_bytes(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(
         sample_bytes_batches, SAMPLE_SCHEMA
     )
+
+
+#: resize contract: a fixed HxW byte grid (the stand-in for image
+#: resize; a real deployment decodes with Pillow/av in decode_media and
+#: interpolates -- the engine-side schema, Arrow batch flow, and
+#: determinism contract are identical)
+RESIZE_H = 64
+RESIZE_W = 64
+RESIZE_BYTES = RESIZE_H * RESIZE_W
+RESIZE_PAD = b" "  # ASCII pad keeps the byte-grid md5 SQL-replicable
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("n_bytes_in", LongType(), False),
+        StructField("n_bytes_out", LongType(), False),
+        StructField("resized_md5", StringType(), False),
+    ]
+)
+
+
+def resize_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+    """mapInPandas worker: normalize every payload to the fixed
+    RESIZE_H x RESIZE_W byte grid (truncate / pad -- the deterministic
+    stand-in for codec-decode + interpolate) and emit the grid's md5 so
+    the whole stage is byte-exactly verifiable from SQL."""
+    import pandas as pd
+
+    n = RESIZE_BYTES
+    for pdf in batches:
+        payloads = pdf["payload"].map(bytes)
+        resized = payloads.map(lambda b: b[:n].ljust(n, RESIZE_PAD))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "out_h": RESIZE_H,
+                "out_w": RESIZE_W,
+                "n_bytes_in": payloads.map(len).astype("int64"),
+                "n_bytes_out": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+def resize_payloads(df: DataFrame) -> DataFrame:
+    """Fixed-shape payload normalization over (doc_id, payload) in
+    Arrow batches."""
+    return df.select("doc_id", "payload").mapInPandas(
+        resize_batches, RESIZE_SCHEMA
+    )

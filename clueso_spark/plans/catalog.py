@@ -104,6 +104,7 @@ PRIORITY = [
     "st_dedup_within_watermark",
     "sim_ivf_nprobe_curve",
     "ev_markov_transitions",
+    "mm_resize_fixed",
     # NEW this round: two-relation as-of join, interval range join,
     # SemDeDup, exact-substring span dedup, stratified sampling,
     # blocklist filtering, PII redaction
@@ -150,7 +151,6 @@ PRIORITY = [
     "sim_bruteforce_topk",
     "sim_ivf_cells",
     # text / pipeline tier
-    "txt_tf_df_top_terms",
     "txt_repetition_signals",
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
@@ -165,6 +165,7 @@ PRIORITY = [
     # --- window boundary (~50) ---------------------------------------
     # green in r3 (fresh) or double-green r2+r3 with unchanged code:
     # rotate past the window
+    "txt_tf_df_top_terms",
     "sim_kmeans_lloyd",
     "sim_pq_codes",
     "sim_residual_norms",

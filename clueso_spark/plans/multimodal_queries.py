@@ -208,3 +208,36 @@ def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hash_n))
         .crossJoin(F.broadcast(dup_n))
     )
+
+
+MM_RESIZE_ORACLE = """
+select doc_id,
+       cast(64 as bigint) as out_h,
+       cast(64 as bigint) as out_w,
+       cast(strlen(text) as bigint) as n_bytes_in,
+       cast(4096 as bigint) as n_bytes_out,
+       md5(rpad(substr(text, 1, 4096), 4096, ' ')) as resized_md5
+from documents
+"""
+
+
+@register(
+    "mm_resize_fixed",
+    "Resize plumbing: every payload normalized to a fixed 64x64 byte "
+    "grid in Arrow-batched mapInPandas -- truncate/pad stands in for "
+    "codec-decode + interpolate (no media libs in the runtime; a "
+    "deployment swaps decode_media in without touching the engine "
+    "side). The stage is map-only (embarrassingly parallel at any "
+    "scale) and the grid md5 makes the byte transform SQL-replicable, "
+    "so the Python boundary itself is hash-verified. Corpus text is "
+    "ASCII, so byte-level truncation equals SQL substr; a multibyte "
+    "corpus would pin the contract at the byte layer only.",
+    MM_RESIZE_ORACLE,
+    "multimodal", "mapinpandas", "resize",
+)
+def mm_resize_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.multimodal import resize_payloads
+
+    return resize_payloads(
+        attach_payload(load_table(spark, sf_dir, "documents"))
+    )
