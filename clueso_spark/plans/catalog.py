@@ -105,6 +105,7 @@ PRIORITY = [
     "sim_ivf_nprobe_curve",
     "ev_markov_transitions",
     "mm_resize_fixed",
+    "sim_mmr_rerank",
     # NEW this round: two-relation as-of join, interval range join,
     # SemDeDup, exact-substring span dedup, stratified sampling,
     # blocklist filtering, PII redaction
@@ -149,7 +150,6 @@ PRIORITY = [
     # similarity tier
     "sim_lsh_ann",
     "sim_bruteforce_topk",
-    "sim_ivf_cells",
     # text / pipeline tier
     "txt_repetition_signals",
     "pipeline_contamination_check",
@@ -165,6 +165,7 @@ PRIORITY = [
     # --- window boundary (~50) ---------------------------------------
     # green in r3 (fresh) or double-green r2+r3 with unchanged code:
     # rotate past the window
+    "sim_ivf_cells",
     "txt_tf_df_top_terms",
     "sim_kmeans_lloyd",
     "sim_pq_codes",

@@ -1564,3 +1564,202 @@ def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits") / F.lit(float(TOP_K))).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified re-ranking: the retrieval stage between ANN shortlist
+# and the user -- greedily trade relevance against redundancy. The
+# greedy argmax is inherently sequential, so the iteration is unrolled
+# into a FIXED number of plan rounds (the PageRank trick): every score
+# is a double computed from identical operands in both engines, which
+# keeps the whole greedy trajectory hash-verifiable.
+# ---------------------------------------------------------------------------
+
+MMR_K = 5     # diversified picks per probe
+MMR_LAM = 0.7  # relevance weight; (1 - LAM) penalizes redundancy
+
+
+def _mmr_step_sql(t: int) -> str:
+    prev = ", ".join(f"sel{i}" for i in range(1, t))
+    prev_union = " union all ".join(
+        f"select probe_id, vec_id from sel{i}" for i in range(1, t)
+    )
+    return f"""
+rem{t} as (
+  select c.probe_id, c.vec_id, c.rel
+  from cand c
+  where not exists (
+    select 1 from ({prev_union}) s
+    where s.probe_id = c.probe_id and s.vec_id = c.vec_id
+  )
+),
+sc{t} as (
+  select r.probe_id, r.vec_id, r.rel,
+         {MMR_LAM} * r.rel - {round(1 - MMR_LAM, 10)} * max(s.sim) as score
+  from rem{t} r
+  join sims s on s.probe_id = r.probe_id and s.va = r.vec_id
+  join ({prev_union}) p
+    on p.probe_id = r.probe_id and s.vb = p.vec_id
+  group by r.probe_id, r.vec_id, r.rel
+),
+sel{t} as (
+  select probe_id, vec_id, score, {t} as step from (
+    select probe_id, vec_id, score,
+           row_number() over (partition by probe_id
+                              order by score desc, vec_id) as rk
+    from sc{t}) where rk = 1
+)"""
+
+
+MMR_ORACLE = f"""
+with e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v, list_dot_product(v, v) sq from e),
+probes as (select vec_id as probe_id, v as pv, sq as psq from n
+           where vec_id < {N_PROBES}),
+ranked as (
+  select probe_id, vec_id, cos, v, sq,
+         row_number() over (partition by probe_id
+                            order by cos desc, vec_id) as rk
+  from (
+    select probe_id, vec_id,
+           list_dot_product(pv, v) / (sqrt(psq) * sqrt(sq)) as cos,
+           v, sq
+    from probes join n on vec_id <> probe_id
+  )
+),
+cand as (select probe_id, vec_id, cos as rel, v, sq
+         from ranked where rk <= {TOP_K}),
+sims as (
+  select a.probe_id, a.vec_id as va, b.vec_id as vb,
+         list_dot_product(a.v, b.v) / (sqrt(a.sq) * sqrt(b.sq)) as sim
+  from cand a join cand b
+    on a.probe_id = b.probe_id and a.vec_id <> b.vec_id
+),
+sel1 as (
+  select probe_id, vec_id, rel as score, 1 as step from (
+    select probe_id, vec_id, rel,
+           row_number() over (partition by probe_id
+                              order by rel desc, vec_id) as rk
+    from cand) where rk = 1
+),
+{",".join(_mmr_step_sql(t).strip() for t in range(2, MMR_K + 1))}
+select probe_id, cast(step as bigint) as step, vec_id,
+       round(score, 6) as mmr_score
+from ({" union all ".join(f"select * from sel{t}" for t in range(1, MMR_K + 1))})
+"""
+
+
+@register(
+    "sim_mmr_rerank",
+    f"MMR diversified re-ranking: from each probe's exact top-{TOP_K} "
+    f"shortlist, greedily pick {MMR_K} results maximizing "
+    f"{MMR_LAM}*relevance - {round(1 - MMR_LAM, 2)}*max-similarity-to-"
+    "already-picked -- the stage between ANN shortlist and the user "
+    "that stops near-duplicate hits crowding the page. The greedy "
+    "argmax is sequential by nature, so it unrolls into MMR_K fixed "
+    "plan rounds over the BROADCAST shortlist (tiny: probes x k rows; "
+    "the corpus is touched only by the shortlist build) -- and every "
+    "score divides/multiplies identical doubles in both engines, so "
+    "the full greedy trajectory is hash-verified, not approximated.",
+    MMR_ORACLE,
+    "similarity", "rerank", "mmr", "iterative",
+)
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    probes = F.broadcast(
+        emb.where(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("v").alias("pv"),
+            F.col("sq").alias("psq"),
+        )
+    )
+    cos = F.expr(_DOT.format(a="pv", b="v")) / (
+        F.sqrt(F.col("psq")) * F.sqrt(F.col("sq"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    cand = (
+        probes.join(emb, F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("rel"), "v", "sq")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .drop("rk")
+    )
+    cand = _persist_swap(spark, "mmr_cand", cand)
+    b = cand.select(
+        F.col("probe_id").alias("b_probe"),
+        F.col("vec_id").alias("vb"),
+        F.col("v").alias("bv"),
+        F.col("sq").alias("bsq"),
+    )
+    sim = F.expr(_DOT.format(a="v", b="bv")) / (
+        F.sqrt(F.col("sq")) * F.sqrt(F.col("bsq"))
+    )
+    sims = (
+        cand.join(
+            b,
+            (F.col("probe_id") == F.col("b_probe"))
+            & (F.col("vec_id") != F.col("vb")),
+        )
+        .select(
+            "probe_id", F.col("vec_id").alias("va"), "vb", sim.alias("sim")
+        )
+    )
+    sims = _persist_swap(spark, "mmr_sims", sims)
+    wsel = Window.partitionBy("probe_id").orderBy(
+        F.col("score").desc(), F.col("vec_id")
+    )
+    sel = (
+        cand.select("probe_id", "vec_id", F.col("rel").alias("score"))
+        .withColumn("rk", F.row_number().over(wsel))
+        .where(F.col("rk") == 1)
+        .select("probe_id", "vec_id", "score", F.lit(1).alias("step"))
+    )
+    picked = sel
+    for t in range(2, MMR_K + 1):
+        remaining = cand.join(
+            picked.select("probe_id", "vec_id"), ["probe_id", "vec_id"], "left_anti"
+        )
+        srn = sims.select(
+            F.col("probe_id").alias("s_probe"), "va", "vb", "sim"
+        )
+        scored = (
+            remaining.select("probe_id", "vec_id", "rel")
+            .join(
+                srn,
+                (F.col("probe_id") == F.col("s_probe"))
+                & (F.col("vec_id") == F.col("va")),
+            )
+            .join(
+                picked.select(
+                    F.col("probe_id").alias("p_probe"),
+                    F.col("vec_id").alias("p_vec"),
+                ),
+                (F.col("probe_id") == F.col("p_probe"))
+                & (F.col("vb") == F.col("p_vec")),
+            )
+            .groupBy("probe_id", "vec_id", "rel")
+            .agg(F.max("sim").alias("msim"))
+            .select(
+                "probe_id",
+                "vec_id",
+                (
+                    F.lit(MMR_LAM) * F.col("rel")
+                    - F.lit(round(1 - MMR_LAM, 10)) * F.col("msim")
+                ).alias("score"),
+            )
+        )
+        pick = (
+            scored.withColumn("rk", F.row_number().over(wsel))
+            .where(F.col("rk") == 1)
+            .select("probe_id", "vec_id", "score", F.lit(t).alias("step"))
+        )
+        picked = picked.unionByName(pick)
+    return picked.select(
+        "probe_id",
+        F.col("step").cast("bigint").alias("step"),
+        "vec_id",
+        F.round("score", 6).alias("mmr_score"),
+    )

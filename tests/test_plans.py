@@ -97,6 +97,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "mm_payload_dedup",  # four 1-row funnel counters broadcast
         "agg_hll_partial_merge",  # 1-row global exact-count broadcast
         "sim_ivf_nprobe_curve",  # K centroids + probe fanout broadcast
+        "sim_mmr_rerank",  # probes broadcast for the shortlist build
     }
     offenders = {}
     for name, cq in registry.items():

@@ -237,3 +237,38 @@ def test_assign_nearest_flat_path_equals_nearest(spark, tmp_path):
         for r in assign_nearest(emb, cents, 4).select("vec_id", "cid").collect()
     )
     assert flat == wrapped
+
+
+# -- MMR diversified rerank -------------------------------------------------
+
+
+def test_mmr_skips_near_duplicate_of_first_pick(spark, tmp_path):
+    """Two candidate clusters at 45 degrees from the probe: step 1 takes
+    cluster A's best; step 2 must pass over A's near-copy (nearly the
+    same raw relevance) and take cluster B instead -- the reorder MMR
+    exists for. (When every candidate is parallel to the probe, max-sim
+    mirrors relevance and MMR degenerates to the relevance order -- the
+    clusters make the two signals diverge.)"""
+    from clueso_spark.plans.similarity_queries import sim_mmr_rerank
+
+    def vec(entries):
+        v = [0.0] * DIM
+        for i, x in entries:
+            v[i] = x
+        return v
+
+    p = vec([(0, 1.0)])                       # probe direction
+    a1 = vec([(0, 1.0), (1, 1.0)])            # cluster A: rel ~.707
+    a2 = vec([(0, 1.0), (1, 1.02)])           # A's near-copy, rel ~.700
+    b = vec([(0, 1.0), (32, 1.0)])            # cluster B: rel ~.707,
+    #                                           sim(b, a1) = 0.5
+    filler = [
+        vec([(40 + i, 0.1), (50, 0.01)]) for i in range(8)
+    ]  # rel ~0, fills the top-10
+    vecs = [p] + [vec([(10 + i, 1.0)]) for i in range(4)]  # probes 1-4
+    vecs += [a1, a2, b] + filler              # vec ids 5, 6, 7, 8..15
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = sim_mmr_rerank(spark, sf).where("probe_id = 0").collect()
+    by_step = {r["step"]: r["vec_id"] for r in rows}
+    assert by_step[1] == 5                    # cluster A's best
+    assert by_step[2] == 7                    # cluster B, not the near-copy
