@@ -65,14 +65,19 @@ HEADLINE = [
     "sim_ivfpq_ann",
     "sim_ivfpq_rerank",
     "sim_sq_int8_ann",
+    "sim_ivf_nprobe_curve",
+    "sim_mmr_rerank",
     # multimodal tier (Arrow mapInPandas + metadata-only agg)
     "mm_binary_featurize",
+    "mm_payload_dedup",
+    "mm_resize_fixed",
     "mm_modality_stats",
     # streaming tier (stateful + windowed)
     "st_stateful_latest",
     "st_windowed_counts",
     # time-series
     "ev_gap_fill_forward",
+    "ev_markov_transitions",
 ]
 
 
