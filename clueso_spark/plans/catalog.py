@@ -87,7 +87,11 @@ QUERY_MODULES = [
 #: queries keep registration order after the block.
 #:
 #: ROTATION POLICY for the next round: once round 4's rows land, every
-#: registered query has carried a driver-verified row at least once.
+#: registered query has carried a driver-verified row at least once
+#: (r2 u r3 = 98 distinct greens; the 35 never-verified -- 29 new in
+#: round 4 plus the 6 r3 stragglers -- all sit inside this window,
+#: pinned by tests/test_entry.py::
+#: test_every_never_verified_query_is_inside_driver_window).
 #: From round 5 on, promote (a) anything new/changed, then (b) the
 #: entries whose last driver row is OLDEST, demoting the freshest greens.
 PRIORITY = [

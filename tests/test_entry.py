@@ -109,3 +109,24 @@ def test_catalog_survives_non_utc_session(spark):
         ]
     finally:
         spark.conf.set(tz_key, original)
+
+
+def test_every_never_verified_query_is_inside_driver_window(spark):
+    """Rotation-policy invariant, mechanically: any catalog query that
+    has NO row in any recorded CORRECTNESS_r*.json must sit inside the
+    driver's 50-slot verification window, so the union of driver rounds
+    converges to full-catalog coverage instead of silently stranding
+    new registrations past the boundary."""
+    import glob
+    import json
+
+    verified: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        verified |= set(json.load(open(path)))
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    stranded = [n for n in names if n not in verified and n not in window]
+    assert not stranded, (
+        f"{len(stranded)} never-driver-verified queries outside the "
+        f"window: {stranded}"
+    )
