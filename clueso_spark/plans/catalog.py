@@ -110,6 +110,7 @@ PRIORITY = [
     "ev_markov_transitions",
     "mm_resize_fixed",
     "sim_mmr_rerank",
+    "pipeline_pretraining_funnel",
     # NEW this round: two-relation as-of join, interval range join,
     # SemDeDup, exact-substring span dedup, stratified sampling,
     # blocklist filtering, PII redaction

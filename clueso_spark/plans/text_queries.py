@@ -1311,3 +1311,261 @@ def txt_tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id", "doc_id", F.round("cos", 6).alias("cosine"), "rk"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The whole curation pipeline as ONE query: quality gate -> perplexity
+# band -> exact dedup -> MinHash near-dedup -> train split ->
+# decontamination -> mixture balancing, reported as a survivor funnel.
+# ---------------------------------------------------------------------------
+
+FUNNEL_XENT_MAX = 4.95  # drop the high-surprisal tail (CCNet-style)
+
+
+def _funnel_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import _MINHASH_ORACLE
+
+    stages = [
+        (0, "input", "base"),
+        (1, "quality", "q1"),
+        (2, "perplexity", "s2"),
+        (3, "exact_dedup", "s3"),
+        (4, "near_dedup", "s4"),
+        (5, "train_split", "s5"),
+        (6, "decontaminated", "s6"),
+        (7, "mixture_balanced", "s7"),
+    ]
+    counts = "\nunion all\n".join(
+        f"select cast({i} as bigint) as stage, '{name}' as stage_name,"
+        f" cast(count(*) as bigint) as n_docs,"
+        f" cast(coalesce(sum(n_chars), 0) as bigint) as n_chars from {rel}"
+        for i, name, rel in stages
+    )
+    return f"""
+with base as (
+  select doc_id, source, n_chars, text, string_split(text, ' ') w,
+         cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8)) as bigint)
+           % 100 as pct
+  from documents
+),
+q1 as (
+  select * from base
+  where len(list_filter(w, x -> x in ({_SW})))::double / len(w) > 0.05
+    and len(list_distinct(w))::double / len(w) > 0.2
+    and n_chars >= 100
+),
+tok as (select doc_id, unnest(w) as term from base),
+tf as (select term, count(*) as c from tok group by term),
+tot as (select cast(round(log2(sum(c)) * 1000000) as bigint) as l_total
+        from tf),
+lpt as (select term, cast(round(log2(c) * 1000000) as bigint) as lp from tf),
+px as (
+  select doc_id, (n * l_total - s) / (n * 1000000.0) as xent
+  from (select doc_id, count(*) as n, sum(lp) as s
+        from tok join lpt using (term) group by doc_id)
+  cross join tot
+),
+s2 as (select q1.* from q1 join px using (doc_id)
+       where xent <= {FUNNEL_XENT_MAX}),
+s3 as (
+  select doc_id, source, n_chars, text, w, pct from (
+    select s2.*,
+           min(doc_id) over (partition by md5(lower(trim(text)))) as mn
+    from s2)
+  where doc_id = mn
+),
+losers as (select distinct doc_b as doc_id from ({_MINHASH_ORACLE})),
+s4 as (select * from s3
+       where doc_id not in (select doc_id from losers)),
+s5 as (select * from s4 where pct < 80),
+g as (
+  select doc_id,
+         case when len(w) < 3 then []
+              else list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) end
+           as grams
+  from base
+),
+testg as (
+  select distinct unnest(g.grams) as gram
+  from g join base using (doc_id) where base.pct >= 90
+),
+sgr as (select s5.doc_id, unnest(g.grams) as gram
+        from s5 join g using (doc_id)),
+hits as (select doc_id, count(*) as n_hit
+         from sgr join testg using (gram) group by doc_id),
+ng as (select s5.doc_id, len(g.grams) as n_grams
+       from s5 join g using (doc_id)),
+contam as (
+  select ng.doc_id from ng join hits using (doc_id)
+  where n_grams > 0 and n_hit::double / n_grams > 0.8
+),
+s6 as (select * from s5
+       where doc_id not in (select doc_id from contam)),
+stats as (select source, sum(n_chars) as cb from s6 group by source),
+mmin as (select min(cb) as min_chars from stats),
+thr as (select source, least(10000, min_chars * 10000 // cb)
+          as threshold_bp
+        from stats cross join mmin),
+s7 as (
+  select s6.* from s6 join thr using (source)
+  where cast(('0x' || substr(md5('mix_' || cast(doc_id as varchar)), 1, 8))
+             as bigint) % 10000 < threshold_bp
+)
+{counts}
+"""
+
+
+@register(
+    "pipeline_pretraining_funnel",
+    "The COMPLETE curation pipeline as one lazy plan, reported as a "
+    "survivor funnel: input -> cheap quality gate -> unigram-LM "
+    f"perplexity band (xent <= {FUNNEL_XENT_MAX} bits) -> exact dedup "
+    "(md5 group min) -> MinHash-LSH near-dedup (drop verified losers) "
+    "-> content-hash train split -> test-set n-gram decontamination -> "
+    "source-mixture balancing. Every stage count is an exact bigint, "
+    "so the end-to-end composition -- not just each operator alone -- "
+    "is hash-verified cross-engine. Scale: stages compose as filters "
+    "over one persisted base projection; the corpus-wide movements are "
+    "the same keyed shuffles each operator pays standalone (term "
+    "count, band join, gram join, source stats), no new ones.",
+    _funnel_oracle(),
+    "pipeline", "funnel", "composition",
+)
+def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.text import stopword_count
+    from clueso_spark.plans.dedup_queries import dedup_minhash_lsh
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    base = docs.select(
+        "doc_id", "source", "n_chars", "text", "w", pct.alias("pct")
+    )
+    base = _persist_swap(spark, "funnel_base", base)
+    n_tok = F.size("w")
+    q1 = base.where(
+        (stopword_count("w").cast("double") / n_tok > 0.05)
+        & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
+        & (F.col("n_chars") >= 100)
+    )
+    tok = base.select("doc_id", F.explode("w").alias("term"))
+    tf = tok.groupBy("term").agg(F.count("*").alias("c"))
+    tot = tf.agg(
+        F.round(F.log2(F.sum("c")) * 1e6).cast("bigint").alias("l_total")
+    )
+    lpt = tf.select(
+        "term", F.round(F.log2("c") * 1e6).cast("bigint").alias("lp")
+    )
+    px = (
+        tok.join(F.broadcast(lpt), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.sum("lp").alias("s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (
+                (F.col("n") * F.col("l_total") - F.col("s"))
+                / (F.col("n") * F.lit(1000000.0))
+            ).alias("xent"),
+        )
+    )
+    s2 = q1.join(
+        px.where(F.col("xent") <= FUNNEL_XENT_MAX).select("doc_id"), "doc_id"
+    )
+    wfp = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    s3 = (
+        s2.withColumn("mn", F.min("doc_id").over(wfp))
+        .where(F.col("doc_id") == F.col("mn"))
+        .drop("mn")
+    )
+    losers = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(losers, "doc_id", "left_anti")
+    s5 = s4.where(F.col("pct") < 80)
+    s5 = _persist_swap(spark, "funnel_s5", s5)
+    grams = F.array_distinct(F.transform(word_shingles("w", 3), F.md5))
+    g = base.select("doc_id", F.col("pct").alias("g_pct"), grams.alias("grams"))
+    testg = (
+        g.where(F.col("g_pct") >= 90)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    sg = s5.select("doc_id").join(g, "doc_id").select(
+        "doc_id", F.size("grams").alias("n_grams"), "grams"
+    )
+    hits = (
+        sg.select("doc_id", F.explode("grams").alias("gram"))
+        .join(testg, "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    contam = (
+        sg.join(hits, "doc_id")
+        .where(
+            (F.col("n_grams") > 0)
+            & (F.col("n_hit").cast("double") / F.col("n_grams") > 0.8)
+        )
+        .select("doc_id")
+    )
+    s6 = s5.join(contam, "doc_id", "left_anti")
+    s6 = _persist_swap(spark, "funnel_s6", s6)
+    stats = s6.groupBy("source").agg(F.sum("n_chars").alias("cb"))
+    mmin = stats.agg(F.min("cb").alias("min_chars"))
+    thr = stats.crossJoin(F.broadcast(mmin)).select(
+        "source",
+        F.expr("least(10000, min_chars * 10000 div cb)").alias(
+            "threshold_bp"
+        ),
+    )
+    mix_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    s7 = (
+        s6.join(F.broadcast(thr), "source")
+        .where(mix_hash < F.col("threshold_bp"))
+    )
+    stages = [
+        (0, "input", base),
+        (1, "quality", q1),
+        (2, "perplexity", s2),
+        (3, "exact_dedup", s3),
+        (4, "near_dedup", s4),
+        (5, "train_split", s5),
+        (6, "decontaminated", s6),
+        (7, "mixture_balanced", s7),
+    ]
+    parts = [
+        df.agg(
+            F.lit(i).cast("bigint").alias("stage"),
+            F.lit(name).alias("stage_name"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("n_chars"),
+        )
+        for i, name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

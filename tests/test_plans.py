@@ -98,6 +98,7 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "agg_hll_partial_merge",  # 1-row global exact-count broadcast
         "sim_ivf_nprobe_curve",  # K centroids + probe fanout broadcast
         "sim_mmr_rerank",  # probes broadcast for the shortlist build
+        "pipeline_pretraining_funnel",  # 1-row LM-total + min-stratum broadcasts
     }
     offenders = {}
     for name, cq in registry.items():
