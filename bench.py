@@ -44,6 +44,7 @@ HEADLINE = [
     "pipeline_contamination_check",
     "pipeline_mixture_reweight",
     "pipeline_stratified_sample",
+    "pipeline_pretraining_funnel",
     "txt_pii_redaction",
     # dedup tier (all four blocking strategies; ngram headline is the
     # group-level report, pairs is its debug view)
