@@ -272,3 +272,21 @@ def test_mmr_skips_near_duplicate_of_first_pick(spark, tmp_path):
     by_step = {r["step"]: r["vec_id"] for r in rows}
     assert by_step[1] == 5                    # cluster A's best
     assert by_step[2] == 7                    # cluster B, not the near-copy
+
+
+# -- end-to-end curation funnel -------------------------------------------
+
+
+def test_pretraining_funnel_is_monotone(spark):
+    """Every stage filters a subset of the previous stage's survivors,
+    so doc and char counts must be non-increasing down the funnel, with
+    a non-degenerate final corpus (run on the real sf0.001 corpus)."""
+    from clueso_spark.plans.text_queries import pipeline_pretraining_funnel
+
+    rows = pipeline_pretraining_funnel(spark, SF_DIR).collect()
+    by = {r["stage"]: (r["n_docs"], r["n_chars"]) for r in rows}
+    assert sorted(by) == list(range(8))
+    for i in range(7):
+        assert by[i][0] >= by[i + 1][0], (i, by)
+        assert by[i][1] >= by[i + 1][1], (i, by)
+    assert by[7][0] > 0
