@@ -15,23 +15,60 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: numeric/temporal keys land as 8-byte numpy values in the collected
+#: pandas frame (plus a small amortized share of python-int boxing in
+#: the union-find dict, over VERTICES not edges) -- 16 B is generous.
+#: Variable-width keys (string/binary) become per-value python objects;
+#: their width is MEASURED off the persisted pair list and padded with
+#: CPython object overhead (sys.getsizeof('') == 49).
+_NUMERIC_KEY_BYTES = 16
+_PY_OBJ_OVERHEAD = 56
+
+
+def _avg_row_bytes(pair_list: DataFrame) -> float:
+    """Estimated driver-side bytes per collected (u, v) row."""
+    aggs, fixed = [], 0.0
+    for f in pair_list.schema.fields:
+        if f.dataType.typeName() in (
+            "byte", "short", "integer", "long", "float", "double",
+            "date", "timestamp", "timestamp_ntz", "boolean", "decimal",
+        ):
+            fixed += _NUMERIC_KEY_BYTES
+        else:
+            aggs.append(
+                F.avg(F.length(F.col(f.name).cast("binary"))).alias(f.name)
+            )
+    if aggs:
+        row = pair_list.agg(*aggs).first()
+        fixed += sum((row[i] or 0.0) + _PY_OBJ_OVERHEAD for i in range(len(aggs)))
+    return fixed
+
+
 def connected_components(
     pairs: DataFrame,
     src: str,
     dst: str,
     max_rounds: int = 50,
     driver_threshold: int = 2_000_000,
+    driver_threshold_bytes: int = 128 * 2**20,
 ) -> DataFrame:
     """Return ``(vertex, component)`` for every vertex appearing in
     ``pairs``; ``component`` is the minimum vertex id reachable from the
-    vertex.
+    vertex (ordinary ``<`` on the key type -- lexicographic for strings).
 
-    Hybrid execution: an edge list under ``driver_threshold`` is solved
-    with driver-side union-find (one collect; converging a few hundred
-    edges through multi-round Spark jobs is pure scheduling overhead --
-    measured 7.7 s -> ~0 for the LSH pair graph at sf0.1). Larger graphs
-    run the distributed min-label propagation loop to fixpoint (bounded
-    by ``max_rounds`` as a runaway guard -- hitting it raises rather
+    Hybrid execution: an edge list under ``driver_threshold`` rows AND
+    ``driver_threshold_bytes`` estimated collected bytes is solved with
+    driver-side union-find (one collect; converging a few hundred edges
+    through multi-round Spark jobs is pure scheduling overhead --
+    measured 7.7 s -> ~0 for the LSH pair graph at sf0.1). The byte
+    guard prices the KEYS, not just the rows: 2 M bigint edges is
+    ~30 MB, but 2 M edges of 200-char string keys is ~1 GB, so wide
+    string-keyed graphs take the distributed path at a row count where
+    integer graphs still fit (widths come from fixed dtype sizes, or a
+    measured avg byte length for variable-width keys -- one cheap agg
+    over the already-persisted pair list). Larger graphs run the
+    distributed min-label propagation loop to fixpoint (bounded by
+    ``max_rounds`` as a runaway guard -- hitting it raises rather
     than returning wrong labels). Dedup pair graphs are sparse by
     construction (LSH emits near-clique clusters), so the driver path
     covers most real corpora; the distributed path is the 100 TB
@@ -45,14 +82,27 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = pair_list.count()
-    if n_pairs <= driver_threshold:
+    if (
+        n_pairs <= driver_threshold
+        and n_pairs * _avg_row_bytes(pair_list) <= driver_threshold_bytes
+    ):
         # driver path: pull the directed pairs through Arrow (one
         # columnar transfer; per-Row collect() measured ~3x slower at
         # 600 k edges) and union-find in python. No symmetrization:
-        # union(a, b) is already direction-free.
+        # union(a, b) is already direction-free. tolist() hands back
+        # native python values (int for int64, str for object/string),
+        # keeping the API type-generic -- no int() narrowing.
         spark = pairs.sparkSession
-        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
-        pdf = pair_list.toPandas()
+        arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+        prev_arrow = spark.conf.get(arrow_key, None)
+        spark.conf.set(arrow_key, "true")
+        try:
+            pdf = pair_list.toPandas()
+        finally:
+            if prev_arrow is None:
+                spark.conf.unset(arrow_key)
+            else:
+                spark.conf.set(arrow_key, prev_arrow)
         pair_list.unpersist()
         parent: dict = {}
 
@@ -62,9 +112,7 @@ def connected_components(
                 x = parent[x]
             return x
 
-        for a, b in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-            a = int(a)
-            b = int(b)
+        for a, b in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

@@ -76,137 +76,118 @@ QUERY_MODULES = [
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-4 rotation, per the round-3 policy:
-#: (1) the 16 queries NEW this round (as-of/range joins, SemDeDup,
-#: exact-substring, sampling/blocklist/PII, streaming as-of, CMS,
-#: PageRank, the TPC-H completion tier) come first; (2) the six r3
-#: stragglers that have never carried a driver row; (3) everything
-#: refactored this round (shared helpers, hierarchical assign);
-#: (4) one-per-family representatives fill the window; the freshest
-#: r3 greens rotate past the boundary -- nothing is dropped, unlisted
-#: queries keep registration order after the block.
-#:
-#: ROTATION POLICY for the next round: once round 4's rows land, every
-#: registered query has carried a driver-verified row at least once
-#: (r2 u r3 = 98 distinct greens; the 35 never-verified -- 29 new in
-#: round 4 plus the 6 r3 stragglers -- all sit inside this window,
-#: pinned by tests/test_entry.py::
-#: test_every_never_verified_query_is_inside_driver_window).
-#: From round 5 on, promote (a) anything new/changed, then (b) the
-#: entries whose last driver row is OLDEST, demoting the freshest greens.
+#: part of the contract. Round-5 rotation, executing the round-4 policy
+#: as written ("promote (a) anything new/changed, then (b) the entries
+#: whose last driver row is OLDEST, demoting the freshest greens"):
+#: (1) the five queries whose code changed this round -- the vocab
+#: broadcasts un-forced (txt_perplexity_proxy, txt_tfidf_topk_similar,
+#: pipeline_pretraining_funnel), the minhash core refactored to accept a
+#: shared token relation (dedup_minhash_lsh), and the connected-
+#: components byte-guard/dtype changes (dedup_connected_components);
+#: (2) 45 of the 47 queries whose only green row is from r2 (the
+#: relational/setop/scalar/window/subquery tier), refreshing the oldest
+#: rows in the union. The two r2 leftovers (profile_lineitem,
+#: sort_limit_top_orders -- the two most trivial plans, untouched since
+#: r2) sit first past the boundary for round-6 promotion, followed by
+#: the r3 greens (next-oldest, round-6's refresh cohort) and the
+#: freshest r4 greens last. Union stays 134/134 with no row older than
+#: two rounds; tests/test_entry.py pins both invariants mechanically.
 PRIORITY = [
-    # NEW this session: LM-perplexity scoring, sparse TF-IDF top-k,
-    # triangle counting, int8 SQ ANN, matryoshka recall, payload dedup,
-    # HLL partial/merge, watermarked streaming dedup
+    # (1) changed this round -- re-verify first
     "txt_perplexity_proxy",
     "txt_tfidf_topk_similar",
-    "graph_triangle_count",
-    "sim_sq_int8_ann",
-    "sim_matryoshka_recall",
-    "mm_payload_dedup",
-    "agg_hll_partial_merge",
-    "st_dedup_within_watermark",
-    "sim_ivf_nprobe_curve",
-    "ev_markov_transitions",
-    "mm_resize_fixed",
-    "sim_mmr_rerank",
     "pipeline_pretraining_funnel",
-    # NEW this round: two-relation as-of join, interval range join,
-    # SemDeDup, exact-substring span dedup, stratified sampling,
-    # blocklist filtering, PII redaction
-    "ev_asof_attribution",
-    "ev_range_interval_join",
-    "dedup_semantic",
-    "dedup_exact_substring",
-    "pipeline_stratified_sample",
-    "pipeline_domain_blocklist",
-    "txt_pii_redaction",
-    "st_asof_attribution",
-    "txt_cms_heavy_hitters",
-    "graph_pagerank_copurchase",
-    # NEW this round: TPC-H completion tier (the remaining queries the
-    # trimmed schema can express)
-    "q4_priority_check",
-    "q8_market_share",
-    "q15_top_supplier",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # never driver-verified (registered past r3's window) + new/changed
-    "sim_ivfpq_rerank",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_pairs",
-    "sim_ivfpq_ann",
-    "st_sliding_counts",
-    # streaming_queries.py took timezone-pin + epoch-window parity fixes
-    # this round -- re-verify the flagship stateful path alongside them
-    "st_stateful_latest",
-    "ev_anomaly_zscore",
-    "agg_exact_median",
-    "txt_fingerprints",
-    "txt_regex_token_count",
-    # refactored this round (shared bucket-pair/persist helpers, footer
-    # sizing, ingest drop-metrics) -- re-verify
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
     "dedup_connected_components",
-    "pipeline_curated_corpus",
-    "ev_engine_latest",
-    # similarity tier
-    "sim_lsh_ann",
-    "sim_bruteforce_topk",
-    # text / pipeline tier
-    "txt_repetition_signals",
-    "pipeline_contamination_check",
-    "pipeline_mixture_reweight",
-    # multimodal tier
-    "mm_binary_featurize",
-    "mm_frame_sample",
-    "mm_modality_stats",
-    "mm_fixed_shape_features",
-    # streaming tier representatives
-    "st_windowed_counts",
-    "st_stream_stream_join",
-    # --- window boundary (~50) ---------------------------------------
-    # green in r3 (fresh) or double-green r2+r3 with unchanged code:
-    # rotate past the window
+    # (2) oldest greens: only driver row is r2 -- refresh 45 of 47
+    "ev_latest_no_tombstone",
+    "ev_latest_dense_rank",
+    "ev_predicate_search",
+    "ev_keyset_page",
+    "ev_json_props",
+    "ev_hourly_rollup",
+    "ev_pivot_user_activity",
+    "ev_range_join_attribution",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_nation_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipmode",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "join_inner_big_orders",
+    "join_left_order_counts",
+    "join_semi_urgent_customers",
+    "join_anti_no_urgent_orders",
+    "join_full_outer_nation_profile",
+    "agg_cube_flag_status",
+    "agg_rollup_priority_status",
+    "agg_grouping_sets",
+    "agg_distinct_counts",
+    "agg_price_histogram",
+    "window_rank_top_balances",
+    "window_ntile_quartiles",
+    "window_lag_reorder_gap",
+    "window_rolling_spend",
+    "setop_union_schema_aligned",
+    "setop_intersect_buyers",
+    "setop_intersect_all_multiset",
+    "setop_except_urgent_only",
+    "subquery_above_avg",
+    "subquery_exists_not_exists",
+    "scalar_function_showcase",
+    "scalar_date_functions",
+    "scalar_null_semantics",
+    "unpivot_lineitem_measures",
+    "pipeline_quality_audit",
+    # --- window boundary (50) ----------------------------------------
+    # r2 leftovers: first in line for round 6
+    "profile_lineitem",
+    "sort_limit_top_orders",
+    # r3 greens: next-oldest, round-6 refresh cohort
     "sim_ivf_cells",
-    "txt_tf_df_top_terms",
     "sim_kmeans_lloyd",
     "sim_pq_codes",
     "sim_residual_norms",
     "sim_ann_recall_at_k",
     "sim_ivf_kmeans_ann",
-    "pipeline_train_test_split",
-    "pipeline_doc_chunking",
-    "pipeline_sequence_packing",
-    "dedup_exact_summary",
+    "txt_tf_df_top_terms",
     "txt_token_stats",
     "txt_lang_stats",
     "txt_top_bigrams",
     "txt_quality_score",
     "txt_langid_heuristic",
+    "pipeline_train_test_split",
+    "pipeline_doc_chunking",
+    "pipeline_sequence_packing",
+    "dedup_exact_summary",
     "st_dedup_replay",
     "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
     "ev_latest_state",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
     "ev_skew_salted_agg",
     "ev_sessionize",
     "ev_asof_last_purchase",
-    "window_time_range_frame",
     "ev_gap_fill_forward",
     "ev_version_filter",
     "ev_message_flatten",
     "ev_result_projection",
     "ev_isin_subpartitions",
+    "window_time_range_frame",
     "agg_approx_count_distinct",
     "agg_approx_percentile",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "ev_keyset_page",
-    "window_rolling_spend",
+    "mm_frame_sample",
+    "mm_fixed_shape_features",
+    # r4 greens: freshest, rotate last (remainder keeps registration
+    # order after this block -- nothing is dropped)
 ]
 
 

@@ -142,15 +142,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("w", tokens())
-        .where(F.size("w") >= 3)  # cheap pre-filter, not size(ss) > 0
     )
-    sets = docs.select(
+    return minhash_pairs(spark, docs)
+
+
+def minhash_pairs(
+    spark: SparkSession, docs: DataFrame, slot: str = "minhash_sets"
+) -> DataFrame:
+    """Core MinHash+LSH pair pipeline over any ``(doc_id, w)`` tokenized
+    relation -> verified ``(doc_a, doc_b, jaccard)`` pairs.
+
+    Taking the tokenized relation (rather than a path) lets composed
+    pipelines -- pipeline_pretraining_funnel -- feed their already
+    persisted token projection instead of re-scanning and re-tokenizing
+    the corpus for the near-dedup stage (at 100 TB that second full
+    corpus scan is the single largest avoidable cost in the funnel).
+    ``slot`` names the persist slot so a composed caller and the
+    standalone query never evict each other's intermediates.
+    """
+    sets = docs.where(F.size("w") >= 3).select(  # cheap pre-filter
         "doc_id", F.array_distinct(word_shingles("w", 3)).alias("ss")
     )
     # two consumers read the shingle sets (the band branch below and the
     # verification join at the end); persist so tokenize+shingle runs
     # ONCE instead of twice (per-session slot bookkeeping: _persist_swap)
-    sets = _persist_swap(spark, "minhash_sets", sets)
+    sets = _persist_swap(spark, slot, sets)
     # hash every shingle FOUR times (4 x 32 hex = 16 disjoint 8-hex
     # slices); each band ANDs r=2 independent minhashes (min over two
     # slices, concatenated) -- 4 md5 + 16 substrings per shingle, not 16

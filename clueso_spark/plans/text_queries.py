@@ -1142,9 +1142,12 @@ from pd cross join tot
     "(round(log2(c)*1e6)) so the per-doc sum is an EXACT bigint "
     "aggregate -- order-independent, engine-independent -- and the "
     "final division's operands are identical in both engines. Scale: "
-    "the vocabulary is sublinear in corpus size, so the term->logprob "
-    "table BROADCASTS; the only shuffles are the term count and the "
-    "per-doc sum.",
+    "the vocabulary is sublinear but NOT bounded (Heaps' law puts the "
+    "raw token vocab at 1e8-1e9 terms at 100 TB), so the term->logprob "
+    "map joins on term WITHOUT a broadcast hint -- AQE broadcasts it "
+    "from measured runtime size while it is genuinely small and "
+    "shuffle-joins past that; the shuffles are the term count, the "
+    "scoring join, and the per-doc sum, all keyed.",
     PPLX_ORACLE,
     "text", "quality", "language-model",
 )
@@ -1161,8 +1164,10 @@ def txt_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     lp = tf.select(
         "term", F.round(F.log2("c") * 1e6).cast("bigint").alias("lp")
     )
+    # no broadcast hint: lp is vocabulary-sized (unbounded at 100 TB);
+    # AQE picks broadcast vs shuffle from the aggregate's runtime size
     pd = (
-        tok.join(F.broadcast(lp), "term")
+        tok.join(lp, "term")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -1232,8 +1237,11 @@ from ranked where rk <= {TFIDF_TOP_K}
     f"Sparse TF-IDF top-{TFIDF_TOP_K} similarity search for "
     f"{TFIDF_N_PROBES} probe documents through an inverted-index join: "
     "tf-idf postings per (doc, term); the probes' postings are tiny and "
-    "BROADCAST, so the corpus posting list is scanned once with no "
-    "all-pairs expansion -- the sparse-vector sibling of "
+    "BROADCAST (bounded by k probes x doc length), while the "
+    "vocabulary-sized term->df map joins on term with NO hint -- AQE "
+    "broadcasts it only while it is actually small -- so the corpus "
+    "posting list is scanned once with no all-pairs expansion: the "
+    "sparse-vector sibling of "
     "sim_bruteforce_topk. Weights are micro-scaled bigints (smoothed "
     "idf log2(1 + N/df)), so dots and norms are exact integer "
     "aggregates and the cosine divides identical operands in both "
@@ -1250,9 +1258,11 @@ def txt_tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tc = tok.groupBy("doc_id", "term").agg(F.count("*").alias("c"))
     dl = tc.groupBy("doc_id").agg(F.sum("c").alias("n"))
     dfreq = tc.groupBy("term").agg(F.count("*").alias("df"))
+    # dl is per-doc (corpus-sized) and dfreq is vocabulary-sized: both
+    # join plainly on their keys; only the 1-row corpus count broadcasts
     post = (
         tc.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(nn))
         .select(
             "doc_id",
@@ -1291,8 +1301,10 @@ def txt_tfidf_topk_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("probe_id", "doc_id")
         .agg(F.sum(F.col("p_w") * F.col("w")).alias("dot"))
     )
+    # probe norms: filter to the k probes BEFORE broadcasting -- the
+    # unfiltered norms relation is corpus-sized
     np_ = F.broadcast(
-        norms.select(
+        norms.where(F.col("doc_id") < TFIDF_N_PROBES).select(
             F.col("doc_id").alias("probe_id"), F.col("nsq").alias("nsq_p")
         )
     )
@@ -1426,15 +1438,19 @@ s7 as (
     "source-mixture balancing. Every stage count is an exact bigint, "
     "so the end-to-end composition -- not just each operator alone -- "
     "is hash-verified cross-engine. Scale: stages compose as filters "
-    "over one persisted base projection; the corpus-wide movements are "
-    "the same keyed shuffles each operator pays standalone (term "
-    "count, band join, gram join, source stats), no new ones.",
+    "over ONE persisted base projection -- the embedded MinHash stage "
+    "consumes it too (minhash_pairs on the persisted tokens, not a "
+    "second corpus scan+tokenize); the term->logprob map joins plainly "
+    "on term (AQE broadcasts it only while the vocab is actually "
+    "small); the corpus-wide movements are the same keyed shuffles "
+    "each operator pays standalone (term count, band join, gram join, "
+    "source stats), no new ones.",
     _funnel_oracle(),
     "pipeline", "funnel", "composition",
 )
 def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.text import stopword_count
-    from clueso_spark.plans.dedup_queries import dedup_minhash_lsh
+    from clueso_spark.plans.dedup_queries import minhash_pairs
 
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -1464,8 +1480,12 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     lpt = tf.select(
         "term", F.round(F.log2("c") * 1e6).cast("bigint").alias("lp")
     )
+    # plain equi-join on term (NOT a forced broadcast): the vocabulary
+    # grows with the corpus (Heaps' law -> 1e8-1e9 terms at 100 TB), so
+    # AQE picks the strategy from the aggregate's actual runtime size --
+    # broadcast while the vocab is small, shuffle join once it isn't
     px = (
-        tok.join(F.broadcast(lpt), "term")
+        tok.join(lpt, "term")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"), F.sum("lp").alias("s"))
         .crossJoin(F.broadcast(tot))
@@ -1486,8 +1506,11 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") == F.col("mn"))
         .drop("mn")
     )
+    # near-dedup runs over the PERSISTED base projection (own persist
+    # slot, so the standalone dedup_minhash_lsh query and the funnel
+    # never evict each other) -- not a second scan+tokenize of the corpus
     losers = (
-        dedup_minhash_lsh(spark, sf_dir)
+        minhash_pairs(spark, base, slot="funnel_minhash_sets")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

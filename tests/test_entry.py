@@ -39,36 +39,84 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-def test_never_driver_verified_tier_registers_first(spark):
+#: round-5 rotation: queries whose CODE changed this round (vocab
+#: broadcasts un-forced, minhash core refactor, connected-components
+#: byte guard) -- must re-verify inside the driver window
+CHANGED_THIS_ROUND = (
+    "txt_perplexity_proxy",
+    "txt_tfidf_topk_similar",
+    "pipeline_pretraining_funnel",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+)
+
+#: the <=2 oldest-green queries the 50-slot window cannot fit this
+#: round; first in line next round (trivial, untouched-since-r2 plans)
+ROTATION_LEFTOVERS = ("profile_lineitem", "sort_limit_top_orders")
+
+
+def _latest_green_rounds() -> tuple[dict[str, int], int]:
+    """(query -> most recent CORRECTNESS round with a row, max round)."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    max_round = 0
+    paths = glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+    assert paths, "no CORRECTNESS_r*.json artifacts found in repo root"
+    for path in paths:
+        rnd = int(re.search(r"_r(\d+)", os.path.basename(path)).group(1))
+        rows = json.load(open(path))
+        if rows:
+            max_round = max(max_round, rnd)
+        for name in rows:
+            latest[name] = max(latest.get(name, 0), rnd)
+    return latest, max_round
+
+
+def test_round5_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (50 per
-    round); the round-4 rotation contract: the six queries that had never
-    carried a driver row, everything added or semantically changed this
-    round, and every refactored query must all land inside the first 50
-    registration slots, with every family represented."""
+    round). Round-5 contract: everything whose code changed this round
+    re-verifies inside the window, and the window's remaining slots go
+    to the queries whose last driver row is OLDEST (>= 45 of the
+    r2-only set), so no green row in the union ever ages past two
+    rounds."""
     names = list(entrymod.queries())[:50]
-    for family in ("dedup_", "sim_", "txt_", "mm_", "st_", "pipeline_"):
-        n = sum(1 for q in names if q.startswith(family))
-        assert n >= 3, f"{family} underrepresented in driver window: {n}"
-    for must in (
-        # round-3 stragglers: first-ever driver rows
-        "sim_ivfpq_ann",
-        "st_sliding_counts",
-        "ev_anomaly_zscore",
-        "agg_exact_median",
-        "txt_fingerprints",
-        "txt_regex_token_count",
-        # new or semantically changed this round
-        "sim_ivfpq_rerank",
-        "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_pairs",
-        # refactored paths re-verifying
-        "dedup_minhash_lsh",
-        "dedup_connected_components",
-        "dedup_embedding_cosine",
-        "pipeline_curated_corpus",
-        "ev_engine_latest",
-    ):
-        assert must in names, f"{must} missing from driver window"
+    for must in CHANGED_THIS_ROUND:
+        assert must in names, f"changed query {must} missing from window"
+    latest, max_round = _latest_green_rounds()
+    oldest = min(latest.values())
+    stale = [q for q, r in latest.items() if r == oldest]
+    refreshed = sum(1 for q in stale if q in names)
+    assert refreshed >= min(45, len(stale)), (
+        f"only {refreshed} of the {len(stale)} oldest-green queries are "
+        "inside the driver window"
+    )
+
+
+def test_no_query_outside_window_has_stale_green(spark):
+    """Mechanical form of the 'no row older than two rounds' rotation
+    invariant: every registered query OUTSIDE the 50-slot window must
+    carry a green row from one of the two most recent recorded driver
+    rounds -- anything older must be in the window being refreshed (or
+    be a documented leftover)."""
+    latest, max_round = _latest_green_rounds()
+    names = list(entrymod.queries())
+    window = set(names[:50])
+    stale_outside = [
+        n
+        for n in names
+        if n not in window
+        and n not in ROTATION_LEFTOVERS
+        and latest.get(n, 0) < max_round - 1
+    ]
+    assert not stale_outside, (
+        f"queries outside the window with rows older than two rounds: "
+        f"{stale_outside}"
+    )
 
 
 def test_streaming_queries_rerun_in_same_session(spark):
@@ -117,12 +165,8 @@ def test_every_never_verified_query_is_inside_driver_window(spark):
     driver's 50-slot verification window, so the union of driver rounds
     converges to full-catalog coverage instead of silently stranding
     new registrations past the boundary."""
-    import glob
-    import json
-
-    verified: set[str] = set()
-    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
-        verified |= set(json.load(open(path)))
+    latest, _ = _latest_green_rounds()
+    verified = set(latest)
     names = list(entrymod.queries())
     window = set(names[:50])
     stranded = [n for n in names if n not in verified and n not in window]

@@ -178,6 +178,69 @@ def test_connected_components_matches_union_find(spark, edges):
     assert distributed == expected
 
 
+def test_connected_components_string_keys_stay_generic(spark):
+    """The API is type-generic: string vertex ids flow through the
+    driver union-find path without numeric narrowing, and the component
+    id is the lexicographic minimum. Also pins the arrow-conf hygiene:
+    the collect must not permanently flip the session's arrow setting."""
+    from clueso_spark.functions.graph import connected_components
+
+    arrow_key = "spark.sql.execution.arrow.pyspark.enabled"
+    prev = spark.conf.get(arrow_key, None)
+    spark.conf.set(arrow_key, "false")
+    try:
+        df = spark.createDataFrame(
+            [("bb", "aa"), ("bb", "cc"), ("zz", "yy")], "a string, b string"
+        )
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, "a", "b").collect()
+        }
+        assert got == {
+            "aa": "aa", "bb": "aa", "cc": "aa", "yy": "yy", "zz": "yy"
+        }
+        assert spark.conf.get(arrow_key) == "false", (
+            "connected_components leaked its arrow conf override"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(arrow_key)
+        else:
+            spark.conf.set(arrow_key, prev)
+
+
+def test_connected_components_wide_string_keys_take_distributed_path(
+    spark, monkeypatch
+):
+    """Byte guard: an edge count that fits the driver path with bigint
+    keys must NOT collect when the keys are wide strings -- the guard
+    prices rows x measured key width, not rows alone. toPandas is
+    patched to fail, so the test proves the driver path was skipped."""
+    from clueso_spark.functions.graph import connected_components
+
+    edges = [
+        (f"left_{'x' * 200}_{i:04d}", f"right_{'x' * 200}_{i:04d}")
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(edges, "a string, b string")
+
+    def _no_collect(self, *args, **kwargs):
+        raise AssertionError("driver collect path used despite byte guard")
+
+    monkeypatch.setattr(type(df), "toPandas", _no_collect)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            df, "a", "b", driver_threshold_bytes=10_000
+        ).collect()
+    }
+    expected = {}
+    for left, right in edges:
+        expected[left] = left  # 'left_' < 'right_' lexicographically
+        expected[right] = left
+    assert got == expected
+
+
 # -- blocked dedup soundness (plans/dedup_queries.py) ---------------------
 
 docs_strategy = st.lists(
