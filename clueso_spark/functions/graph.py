@@ -130,11 +130,22 @@ def connected_components(
     )
     edges.count()
     pair_list.unpersist()
-    labels = (
+
+    # per-round lineage cut. localCheckpoint blocks live on executors; a
+    # lost executor mid-iteration fails the query. When the session has a
+    # reliable checkpoint dir configured (sc.setCheckpointDir -- the 100 TB
+    # deployment posture), use real checkpoints so iteration state survives
+    # executor loss; locally the executor IS the driver, so localCheckpoint
+    # is equivalent and avoids the write.
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+
+    def cut(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable else df.localCheckpoint()
+
+    labels = cut(
         edges.select(F.col("u").alias("vertex"))
         .distinct()
         .withColumn("label", F.col("vertex"))
-        .localCheckpoint()
     )
     for _ in range(max_rounds):
         nbr = (
@@ -150,9 +161,7 @@ def connected_components(
             ),
         )
         changed = merged.where(F.col("new_label") < F.col("label")).count()
-        labels = merged.select(
-            "vertex", F.col("new_label").alias("label")
-        ).localCheckpoint()
+        labels = cut(merged.select("vertex", F.col("new_label").alias("label")))
         if changed == 0:
             edges.unpersist()
             return labels.select("vertex", F.col("label").alias("component"))

@@ -1717,7 +1717,15 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") == 1)
         .select("probe_id", "vec_id", "score", F.lit(1).alias("step"))
     )
-    picked = sel
+    # greedy state lives on the DRIVER as plain rows: |probes| x MMR_K is
+    # bounded by construction (an MMR rerank feeds a results page, so both
+    # factors are UI-sized constants), and each round's plan then joins a
+    # LocalRelation against the persisted cand/sims -- no localCheckpoint,
+    # so a lost executor costs a recompute from lineage instead of failing
+    # the query, and round t's plan never embeds rounds 1..t-1 (the 2^t
+    # lineage blowup the checkpoint previously guarded against).
+    picked_rows = sel.collect()
+    picked = spark.createDataFrame(picked_rows, sel.schema)
     for t in range(2, MMR_K + 1):
         remaining = cand.join(
             picked.select("probe_id", "vec_id"), ["probe_id", "vec_id"], "left_anti"
@@ -1756,13 +1764,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") == 1)
             .select("probe_id", "vec_id", "score", F.lit(t).alias("step"))
         )
-        # cut lineage per round (the connected-components discipline):
-        # each round references `picked` twice, so without the
-        # checkpoint round t re-evaluates rounds 1..t-1 on both
-        # branches -- ~2^t plan growth (measured 10 s at sf0.1; the
-        # checkpointed loop runs in ~2 s). The data is |probes| x t
-        # rows, so the eager materialization is trivial.
-        picked = picked.unionByName(pick).localCheckpoint()
+        picked_rows.extend(pick.collect())
+        picked = spark.createDataFrame(picked_rows, sel.schema)
     return picked.select(
         "probe_id",
         F.col("step").cast("bigint").alias("step"),

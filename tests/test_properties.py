@@ -241,6 +241,35 @@ def test_connected_components_wide_string_keys_take_distributed_path(
     assert got == expected
 
 
+def test_connected_components_reliable_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster deployment posture),
+    the distributed loop must cut lineage through RELIABLE checkpoints
+    and still converge to the same labels."""
+    from clueso_spark.functions.graph import connected_components
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 8)], "a bigint, b bigint"
+        )
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(
+                df, "a", "b", driver_threshold=0
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    finally:
+        # clear the dir so later tests keep the local-mode path
+        # (private[spark] var -> public setter in bytecode)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None)
+        )
+        assert sc.getCheckpointDir() is None
+
+
 # -- blocked dedup soundness (plans/dedup_queries.py) ---------------------
 
 docs_strategy = st.lists(

@@ -42,15 +42,44 @@ def plan_metrics(plan: str) -> dict[str, int]:
 def audit(registry, spark) -> dict[str, dict[str, int]]:
     from pyspark.sql import DataFrame
 
+    tracker = spark.sparkContext.statusTracker()
+
+    def _multi_task_jobs(job_ids) -> int:
+        # every spark.read pays a 1-task footer/listing job at build; only
+        # multi-task jobs mean the query actually MATERIALIZED data during
+        # construction (driver union-find, per-round greedy collects)
+        n = 0
+        for j in job_ids:
+            ji = tracker.getJobInfo(j)
+            if ji is None:
+                continue
+            widths = [
+                si.numTasks
+                for si in (tracker.getStageInfo(s) for s in ji.stageIds)
+                if si is not None
+            ]
+            if widths and max(widths) > 1:
+                n += 1
+        return n
+
     out: dict[str, dict[str, int]] = {}
     for name, cq in registry.items():
         if name.startswith("st_"):
             continue  # streaming queries execute on build; no static plan
+        jobs_before = set(tracker.getJobIdsForGroup(None))
         df: DataFrame = cq.spark(spark, SF_DIR)
+        # queries that materialize during CONSTRUCTION leave most of their
+        # cost outside the final static plan -- the scan/exchange budget is
+        # blind to it, so the audit marks them instead of silently
+        # recording 0s
+        eager_jobs = _multi_task_jobs(
+            set(tracker.getJobIdsForGroup(None)) - jobs_before
+        )
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
         out[name] = plan_metrics(plan)
+        out[name]["eager_jobs"] = eager_jobs
         # codegen spans only annotate the simple-mode plan (`*(n)` prefixes)
         simple = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "simple"
@@ -81,17 +110,22 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     metrics = audit(all_queries(), spark)
 
-    hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg"]
+    hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
     print(" ".join(f"{h:>6s}" if i else f"{h:32s}" for i, h in enumerate(hdr)))
     for name, m in metrics.items():
         print(
             f"{name:32s} {m['scans']:6d} {m['exchanges']:6d} "
             f"{m['broadcast_hash_joins']:6d} {m['sort_merge_joins']:6d} "
-            f"{m['bnl_joins']:6d} {m['cartesian']:6d} {m['codegen_spans']:6d}"
+            f"{m['bnl_joins']:6d} {m['cartesian']:6d} {m['codegen_spans']:6d} "
+            f"{m['eager_jobs']:6d}"
         )
     if args.write:
         budgets = {
-            name: {"scans": m["scans"], "exchanges": m["exchanges"]}
+            name: {
+                "scans": m["scans"],
+                "exchanges": m["exchanges"],
+                **({"eager_jobs": m["eager_jobs"]} if m["eager_jobs"] else {}),
+            }
             for name, m in metrics.items()
         }
         with open(BUDGET_PATH, "w") as f:

@@ -141,6 +141,18 @@ def build_skewed(spark, k: int, out_dir: str) -> None:
     for p in parts[1:]:
         out = out.unionByName(p)
     out.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    # materialized per-user dim table: reading the dim from disk (instead
+    # of deriving it from the fact inline) is both the realistic join
+    # shape AND the one AQE's skew split can act on -- a fused
+    # distinct/aggregate between the dim's shuffle and the join defeats
+    # the OptimizeSkewedJoin pattern match (see tests/test_skew.py)
+    (
+        out.select("user_id")
+        .distinct()
+        .withColumn("seg", F.pmod("user_id", F.lit(10)))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/users.parquet")
+    )
 
 
 def run_skew(spark, sf_dir: str) -> dict[str, float]:
@@ -197,12 +209,12 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
     assert maxby.count() == n and salted.count() == n, "dedup variants disagree"
 
     # hot-key join: fact x per-user dim, broadcast disabled so the join
-    # actually shuffles on the hot key; AQE skew-join split on vs off
-    dim = (
-        ev.select("user_id")
-        .distinct()
-        .withColumn("seg", F.pmod("user_id", F.lit(10)))
-    )
+    # actually shuffles on the hot key; AQE skew-join split on vs off.
+    # The dim is READ FROM DISK: deriving it inline from ev would fuse a
+    # distinct-aggregate between the dim shuffle and the join, and
+    # OptimizeSkewedJoin only matches an SMJ whose both sides read their
+    # ShuffleQueryStage directly (tests/test_skew.py pins this)
+    dim = spark.read.parquet(f"{sf_dir}/users.parquet")
     joined = ev.join(dim.hint("merge"), "user_id").groupBy("seg").agg(
         F.count("*").alias("n")
     )
@@ -218,6 +230,16 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         key = f"join_aqe_skew_{'on' if skew_flag == 'true' else 'off'}"
         timings[key] = t(joined)
+    # stage-final variant: the raw join with NO fused consumer above it.
+    # This is the shape AQE actually splits on this Spark version
+    # (SortMergeJoin(skew=true) + AQEShuffleRead skewed, pinned by
+    # tests/test_skew.py); the fused join->groupBy above is the shape it
+    # declines, which is why the row above shows no split.
+    raw_join = ev.join(dim.hint("merge"), "user_id")
+    for skew_flag in ("true", "false"):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_flag)
+        key = f"join_aqe_stage_final_{'on' if skew_flag == 'true' else 'off'}"
+        timings[key] = t(raw_join)
     # the deterministic manual cure: split the join on the known hot key
     # -- broadcast the hot key's dim rows against its fact slice, plain
     # keyed join for the rest, union. (The production pattern when hot
