@@ -1437,14 +1437,17 @@ s7 as (
     "-> content-hash train split -> test-set n-gram decontamination -> "
     "source-mixture balancing. Every stage count is an exact bigint, "
     "so the end-to-end composition -- not just each operator alone -- "
-    "is hash-verified cross-engine. Scale: stages compose as filters "
-    "over ONE persisted base projection -- the embedded MinHash stage "
-    "consumes it too (minhash_pairs on the persisted tokens, not a "
-    "second corpus scan+tokenize); the term->logprob map joins plainly "
-    "on term (AQE broadcasts it only while the vocab is actually "
-    "small); the corpus-wide movements are the same keyed shuffles "
-    "each operator pays standalone (term count, band join, gram join, "
-    "source stats), no new ones.",
+    "is hash-verified cross-engine. Scale: the heavy columns live ONLY "
+    "in one persisted base projection (tokenize, quality HOF, term "
+    "stream, shingles, grams -- one pass each; the embedded MinHash "
+    "stage consumes it too, not a second corpus scan), while every "
+    "stage persists a SLIM per-doc relation (metadata + fingerprint) "
+    "so no stage-count branch re-evaluates an upstream join or window; "
+    "the term->logprob map joins plainly on term (AQE broadcasts it "
+    "only while the vocab is actually small); the corpus-wide "
+    "movements are the same keyed shuffles each operator pays "
+    "standalone (term count, band join, gram join, source stats), no "
+    "new ones.",
     _funnel_oracle(),
     "pipeline", "funnel", "composition",
 )
@@ -1467,11 +1470,22 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _persist_swap(spark, "funnel_base", base)
     n_tok = F.size("w")
+    # stage relations from here on are SLIM -- per-doc metadata plus the
+    # exact-dup fingerprint, never the text/token arrays: the heavy
+    # columns are read only from the persisted base (quality filter,
+    # term stream, shingles, grams -- one pass each), so persisting each
+    # stage costs O(n_docs) driver-of-metadata, not O(corpus). Each
+    # stage persists because it feeds BOTH its own funnel-count branch
+    # and the next stage -- without the persist every later branch
+    # re-evaluates the whole prefix (the r4 funnel paid the perplexity
+    # join 3x and the fingerprint window 2x that way).
+    slim = ["doc_id", "source", "n_chars", "pct"]
     q1 = base.where(
         (stopword_count("w").cast("double") / n_tok > 0.05)
         & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
         & (F.col("n_chars") >= 100)
-    )
+    ).select(*slim, F.md5(F.lower(F.trim("text"))).alias("fp"))
+    q1 = _persist_swap(spark, "funnel_q1", q1)
     tok = base.select("doc_id", F.explode("w").alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("c"))
     tot = tf.agg(
@@ -1500,12 +1514,16 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = q1.join(
         px.where(F.col("xent") <= FUNNEL_XENT_MAX).select("doc_id"), "doc_id"
     )
-    wfp = Window.partitionBy(F.md5(F.lower(F.trim("text"))))
+    s2 = _persist_swap(spark, "funnel_s2", s2)
+    # exact dedup over the persisted fingerprint (computed once in q1,
+    # no text re-hash)
+    wfp = Window.partitionBy("fp")
     s3 = (
         s2.withColumn("mn", F.min("doc_id").over(wfp))
         .where(F.col("doc_id") == F.col("mn"))
         .drop("mn")
     )
+    s3 = _persist_swap(spark, "funnel_s3", s3)
     # near-dedup runs over the PERSISTED base projection (own persist
     # slot, so the standalone dedup_minhash_lsh query and the funnel
     # never evict each other) -- not a second scan+tokenize of the corpus
@@ -1515,6 +1533,7 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     s4 = s3.join(losers, "doc_id", "left_anti")
+    s4 = _persist_swap(spark, "funnel_s4", s4)
     s5 = s4.where(F.col("pct") < 80)
     s5 = _persist_swap(spark, "funnel_s5", s5)
     grams = F.array_distinct(F.transform(word_shingles("w", 3), F.md5))

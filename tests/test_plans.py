@@ -104,6 +104,9 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
     for name, cq in registry.items():
         if name.startswith("st_"):
             continue  # streaming queries execute on build; shape pinned elsewhere
+        # fresh shapes: a cached subtree from an earlier query could HIDE
+        # a BNLJ inside an InMemoryRelation (or surface a different one)
+        spark.catalog.clearCache()
         plan = plan_of(cq.spark(spark, SF_DIR))
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
@@ -229,6 +232,10 @@ def test_exchange_budgets_hold(spark, registry):
         for name, cq in registry.items():
             if name.startswith("st_") or name not in budgets:
                 continue
+            # budgets record FRESH plan shapes: clear the cache so an
+            # earlier test's persisted subtree can't be substituted as an
+            # InMemoryRelation (plan metrics would become order-dependent)
+            spark.catalog.clearCache()
             plan = plan_of(cq.spark(spark, SF_DIR))
             m = plan_metrics(plan)
             b = budgets[name]

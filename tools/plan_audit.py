@@ -66,6 +66,11 @@ def audit(registry, spark) -> dict[str, dict[str, int]]:
     for name, cq in registry.items():
         if name.startswith("st_"):
             continue  # streaming queries execute on build; no static plan
+        # audit the FRESH plan shape: Spark's CacheManager substitutes
+        # InMemoryRelation for any subtree an earlier query persisted
+        # (plan-equality match), which would make scan/exchange counts
+        # depend on audit order
+        spark.catalog.clearCache()
         jobs_before = set(tracker.getJobIdsForGroup(None))
         df: DataFrame = cq.spark(spark, SF_DIR)
         # queries that materialize during CONSTRUCTION leave most of their
