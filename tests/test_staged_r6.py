@@ -1,0 +1,113 @@
+"""Parity gate for the round-6 STAGED operators (plans/staged_r6.py).
+
+Runs the exact driver comparison -- row count + schema + order-
+insensitive value hash against the DuckDB oracle -- at sf0.001 and
+sf0.01, so each staged query is proven green BEFORE round 6 promotes it
+into the registry and the driver's verification window.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clueso_spark.plans.parity import compare, duckdb_connect
+from clueso_spark.plans.staged_r6 import STAGED, promote
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_parity(spark, name, sf_dir):
+    cq = STAGED[name]
+    df = cq.spark(spark, sf_dir)
+    if cq.oracle_valid is not None and not cq.oracle_valid(sf_dir):
+        assert df.count() >= 0
+        return
+    con = duckdb_connect(sf_dir)
+    res = compare(name, df, cq.oracle, con)
+    assert res.ok, (name, res.detail)
+
+
+def test_staged_rows_nonempty(spark):
+    """Every staged query returns at least one row at sf0.01 (the
+    driver's smoke bar for registered queries)."""
+    for name, cq in sorted(STAGED.items()):
+        assert cq.spark(spark, SF_DIRS[1]).count() > 0, name
+
+
+_DOC_NAMES = [n for n in STAGED if n != "sim_knn_join"]
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_staged_empty_corpus_does_not_crash(spark, tmp_path):
+    """Empty inputs: scalar aggs produce their null/zero row, per-doc
+    projections produce zero rows -- never an exception (div-by-zero in
+    retention/slope must null out, not raise)."""
+    sf = str(tmp_path / "sf_empty")
+    _write_docs(spark, sf, [])
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    for name, cq in sorted(STAGED.items()):
+        rows = cq.spark(spark, sf).collect()
+        assert isinstance(rows, list), name
+
+
+def test_staged_unicode_corpus_parity(spark, tmp_path):
+    """Non-ASCII corpora (accents, CJK, emoji) flow through the
+    md5/log2/length chains identically on both engines -- Spark and
+    DuckDB both count code points and hash UTF-8 bytes."""
+    import duckdb
+
+    from clueso_spark.plans.parity import compare
+
+    docs = []
+    words = ["héllo", "wörld", "漢字", "👍", "naïve", "crème", "the", "a"]
+    for i in range(24):
+        w = [words[(i + j) % len(words)] for j in range(5 + i % 7)]
+        text = " ".join(w)
+        docs.append((i, text, "multi", f"src{i % 3}", len(text)))
+    sf = str(tmp_path / "sf_uni")
+    _write_docs(spark, sf, docs)
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB globs the part files
+    con.sql(
+        "create view documents as "
+        f"select * from '{sf}/documents.parquet/*.parquet'"
+    )
+    for name in _DOC_NAMES:
+        cq = STAGED[name]
+        res = compare(name, cq.spark(spark, sf), cq.oracle, con)
+        assert res.ok, (name, res.detail)
+
+
+def test_staged_names_do_not_collide_with_registry():
+    from clueso_spark.plans.catalog import all_queries
+
+    live = set(all_queries())
+    overlap = live & set(STAGED)
+    assert not overlap, overlap
+
+
+def test_promote_registers_everything():
+    """promote() (the round-6 hook) must land every staged query in the
+    live registry with its oracle intact; undone afterwards so this
+    round's registry (and the rotation invariants) stay untouched."""
+    from clueso_spark.plans.catalog import REGISTRY
+
+    before = set(REGISTRY)
+    try:
+        promote()
+        for name, cq in STAGED.items():
+            assert REGISTRY[name] is cq
+            assert cq.oracle is None or "select" in cq.oracle.lower()
+    finally:
+        for name in set(REGISTRY) - before:
+            del REGISTRY[name]

@@ -329,7 +329,10 @@ def main() -> int:
         )
         return 0
 
-    registry = all_queries()
+    # staged (round-6) operators are curve-eligible before registration
+    from clueso_spark.plans.staged_r6 import STAGED
+
+    registry = {**all_queries(), **STAGED}
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
