@@ -36,7 +36,9 @@ def test_staged_rows_nonempty(spark):
         assert cq.spark(spark, SF_DIRS[1]).count() > 0, name
 
 
-_DOC_NAMES = [n for n in STAGED if n != "sim_knn_join"]
+_DOC_NAMES = [
+    n for n in STAGED if n not in ("sim_knn_join", "sim_range_search")
+]
 
 
 def _write_docs(spark, path, rows):
@@ -86,6 +88,36 @@ def test_staged_unicode_corpus_parity(spark, tmp_path):
         cq = STAGED[name]
         res = compare(name, cq.spark(spark, sf), cq.oracle, con)
         assert res.ok, (name, res.detail)
+
+
+#: staged queries whose BroadcastNestedLoopJoin is sanctioned by design:
+#: a literal threshold ladder / 1-row scalar totals broadcast against
+#: the corpus -- never an all-pairs corpus square
+_SANCTIONED_BNLJ = {
+    "pipeline_length_filter_curve",  # 7-row literal ladder broadcast
+    "pipeline_token_budget_mix",  # 1-row corpus-totals broadcast
+    "pipeline_ccnet_buckets",  # 1-row LM-total scalar broadcast
+}
+
+
+def test_staged_plan_shapes(spark):
+    """Scale-shape gate for the staged tier (the registered catalog's
+    test_no_query_has_unsanctioned_cartesian_product, applied here):
+    no CartesianProduct anywhere; BNLJ only where a bounded literal /
+    1-row side is broadcast by design."""
+    from tests.test_plans import plan_of
+
+    offenders = {}
+    for name, cq in sorted(STAGED.items()):
+        spark.catalog.clearCache()
+        plan = plan_of(cq.spark(spark, SF_DIRS[0]))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif (
+            "BroadcastNestedLoopJoin" in plan and name not in _SANCTIONED_BNLJ
+        ):
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
 
 
 def test_staged_names_do_not_collide_with_registry():

@@ -48,8 +48,11 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{BASE}/events.parquet")
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
 
     doc_parts, emb_parts, ev_parts = [], [], []
+    ord_parts, li_parts = [], []
     for i in range(k):
         # copy-prefix every word -> zero cross-copy token overlap, so each
         # copy carries its own duplicate clusters (workload ~ linear in K)
@@ -97,6 +100,34 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
                 "props",
             )
         )
+        # disjoint key shifts keep every copy's co-purchase graph (and
+        # per-order baskets) separate, so graph workloads grow linearly
+        # in K instead of densifying one merged graph
+        ord_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
+                (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
+                "o_orderstatus",
+                "o_totalprice",
+                "o_orderdate",
+                "o_orderpriority",
+            )
+        )
+        li_parts.append(
+            li.select(
+                (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
+                (F.col("l_partkey") + i * 10_000_000).alias("l_partkey"),
+                (F.col("l_suppkey") + i * 1_000_000).alias("l_suppkey"),
+                "l_linenumber",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+                "l_tax",
+                "l_returnflag",
+                "l_linestatus",
+                "l_shipdate",
+            )
+        )
 
     def union_all(parts):
         out = parts[0]
@@ -112,6 +143,12 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     )
     union_all(ev_parts).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet"
+    )
+    union_all(ord_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/orders.parquet"
+    )
+    union_all(li_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/lineitem.parquet"
     )
 
 
