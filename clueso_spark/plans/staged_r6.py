@@ -663,3 +663,471 @@ def txt_quality_classifier_proxy(
         score.alias("score_scaled"),
         (score >= _QC_KEEP_MIN).cast("bigint").alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter Jaccard dedup (AllPairs/PPJoin, Bayardo et al. 2007):
+# candidate pairs from the df-ordered PREFIX of each word set instead of
+# a sketch block. Guaranteed recall: under one global (df, term) order,
+# any pair with Jaccard >= t shares a term inside both docs'
+# floor((1-t)*|set|)+1 prefixes -- so unlike the simhash block
+# (dedup_ngram_jaccard) no true pair can be missed. Also scores
+# CONTAINMENT (|A∩B|/min) -- the asymmetric quote-inclusion signal
+# Jaccard dilutes.
+# ---------------------------------------------------------------------------
+
+_PREFIX_TAU = 0.8  # Jaccard threshold; prefix length = floor(n/5) + 1
+
+
+@_stage(
+    "dedup_prefix_jaccard",
+    "Prefix-filter near-dup pairs (AllPairs/PPJoin): global (df, term) "
+    "order -> per-doc prefix of floor(|set|/5)+1 rarest terms -> "
+    "candidates share a prefix term -> exact word-set Jaccard >= "
+    f"{_PREFIX_TAU} + containment. LOSSLESS candidate generation (the "
+    "prefix theorem), vs the sketch block's probabilistic recall. "
+    "Scale: df is a map-side partial agg; prefixes explode only the "
+    "~(1-t) rarest fraction of each set, and rarity bounds bucket "
+    "fan-out -- the classic hot-term caveat (a low-df corpus degrades "
+    "toward more candidates) is the documented trade for exact recall.",
+    f"""
+    with s as (select doc_id, list_distinct(string_split(text, ' ')) ws
+               from documents),
+    tok as (select doc_id, unnest(ws) as term, len(ws) as n from s),
+    df as (select term, cast(count(*) as bigint) as df from tok
+           group by term),
+    pr as (
+      select doc_id, term from (
+        select doc_id, term, n,
+               row_number() over (partition by doc_id
+                                  order by df, term) as rk
+        from tok join df using (term))
+      where rk <= n // 5 + 1
+    ),
+    cand as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from pr a join pr b on a.term = b.term and a.doc_id < b.doc_id
+    ),
+    scored as (
+      select doc_a, doc_b,
+             len(list_intersect(x.ws, y.ws))::double
+               / len(list_distinct(x.ws || y.ws)) as jaccard,
+             len(list_intersect(x.ws, y.ws))::double
+               / least(len(x.ws), len(y.ws)) as containment
+      from cand join s x on doc_a = x.doc_id
+                join s y on doc_b = y.doc_id
+    )
+    select doc_a, doc_b, round(jaccard, 6) as jaccard,
+           round(containment, 6) as containment
+    from scored where jaccard >= {_PREFIX_TAU}
+    """,
+    "dedup", "jaccard", "prefix-filter", "containment",
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+    from clueso_spark.plans.dedup_queries import _bucket_pairs
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    # three consumers (df build, prefix build, both verify sides) read
+    # the distinct word sets; persist so tokenization runs once
+    sets = persist_swap(
+        spark,
+        "prefix_sets",
+        docs.select("doc_id", F.array_distinct("w").alias("ws")),
+    )
+    tok = sets.select(
+        "doc_id", F.explode("ws").alias("term"), F.size("ws").alias("n")
+    )
+    dfreq = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    # per-doc prefix: sort the (df, term) pairs with ONE array fold
+    # instead of a row_number window -- the groupBy re-keys on doc_id
+    # anyway, and sort_array of a <=set-size array is map-side work
+    pref = (
+        tok.join(dfreq, "term")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "term"))
+            ).alias("ranked")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(ranked, 1, n div 5 + 1), "
+                       "r -> r.term)")
+            ).alias("term"),
+        )
+    )
+    cand = _bucket_pairs(pref, ["term"], "doc_id", "doc_a", "doc_b").distinct()
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+    jac = inter / F.size(F.array_union("ws_a", "ws_b"))
+    cont = inter / F.least(F.size("ws_a"), F.size("ws_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .where(F.col("jaccard") >= _PREFIX_TAU)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality signal: per-doc Shannon entropy over the
+# [a-z], space, other alphabet -- the cheap gibberish/boilerplate
+# detector. Zero shuffles: the histogram comes from 27 replace-count
+# passes over the text (map-only), never a per-character explode (which
+# would push the corpus's entire character stream through an exchange).
+# ---------------------------------------------------------------------------
+
+_ENT_SCALE = 1_000_000
+
+
+def _l2(expr: str) -> str:
+    """1e-6-scaled log2 as exact bigint (engine-shared formula)."""
+    return f"cast(round(log2({expr}) * {_ENT_SCALE}) as bigint)"
+
+
+@_stage(
+    "txt_char_entropy",
+    "Per-document character-level Shannon entropy over the [a-z]/space/"
+    "other alphabet, as an exact 1e-6-scaled bigint: E = (n*L(n) - "
+    "sum c_i*L(c_i)) div n with L = round(log2*1e6) -- the float-sum "
+    "order problem never exists. Scale: map-only (27 replace-count "
+    "passes build the histogram; no per-char explode), zero shuffles.",
+    f"""
+    with c as (
+      select doc_id, length(text) as n,
+             list_transform(range(97, 123),
+                            i -> length(text)
+                                 - length(replace(text, chr(i::int), '')))
+               as cl,
+             length(text) - length(replace(text, ' ', '')) as sp
+      from documents
+    ),
+    f as (select doc_id, n,
+                 list_concat(cl, [sp, n - cast(list_sum(cl) as int) - sp])
+                   as allc
+          from c where n > 0),
+    e as (select doc_id, n,
+                 list_sum(list_transform(list_filter(allc, x -> x > 0),
+                                         x -> x * {_l2("x")})) as s
+          from f)
+    select doc_id, cast(n as bigint) as n_chars_total,
+           cast((n * {_l2("n")} - s) // n as bigint) as entropy_scaled,
+           cast((n * {_l2("n")} - s) // n as bigint) / {_ENT_SCALE}.0
+             as entropy
+    from e
+    """,
+    "text", "quality", "projection",
+)
+def txt_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cl = (
+        "transform(sequence(97, 122), "
+        "i -> length(text) - length(replace(text, char(i), '')))"
+    )
+    sp = "(length(text) - length(replace(text, ' ', '')))"
+    allc = (
+        f"concat({cl}, array({sp}, "
+        f"length(text) - aggregate({cl}, 0, (a, b) -> a + b) - {sp}))"
+    )
+    base = docs.selectExpr(
+        "doc_id", "length(text) as n", f"{allc} as allc"
+    ).where("n > 0")
+    s = (
+        "aggregate(filter(allc, x -> x > 0), 0L, "
+        f"(acc, x) -> acc + x * {_l2('x')})"
+    )
+    ent = f"cast((n * {_l2('n')} - {s}) div n as bigint)"
+    return base.selectExpr(
+        "doc_id",
+        "cast(n as bigint) as n_chars_total",
+        f"{ent} as entropy_scaled",
+        f"cast({ent} as double) / cast({_ENT_SCALE} as double) as entropy",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity per source: corpus-level type/token ratio (distinct
+# terms over total tokens) plus the exact-scaled mean of per-doc TTRs --
+# the vocabulary-collapse detector for generated/templated corpora.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "txt_lexical_diversity",
+    "Per-source lexical diversity: corpus type-token ratio (distinct "
+    "terms / total tokens) and the exact 1e-6-scaled mean of per-doc "
+    "TTRs (bigint sum + integer division -- order-insensitive). Scale: "
+    "per-doc ratios are map-only; types need ONE (source, term) "
+    "distinct shuffle; everything else partial-aggregates on source.",
+    """
+    with t as (select source, string_split(text, ' ') as w from documents),
+    d as (select source, len(w) as nt,
+                 cast(round(len(list_distinct(w)) * 1000000.0 / len(w))
+                      as bigint) as ttr_s
+          from t),
+    a as (select source, cast(count(*) as bigint) as n_docs,
+                 cast(sum(nt) as bigint) as n_tokens,
+                 cast(sum(ttr_s) as bigint) as ttr_sum
+          from d group by source),
+    ty as (select source, cast(count(*) as bigint) as n_types from (
+             select distinct source, unnest(w) as term from t)
+           group by source)
+    select source, n_docs, n_tokens, n_types,
+           round(n_types::double / n_tokens, 6) as corpus_ttr,
+           cast(ttr_sum // n_docs as bigint) as mean_doc_ttr_scaled
+    from a join ty using (source)
+    """,
+    "text", "profiling", "aggregate",
+)
+def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    nt = F.size("w")
+    ttr_s = F.round(
+        F.size(F.array_distinct("w")) * F.lit(1000000.0) / nt
+    ).cast("bigint")
+    a = (
+        docs.select("source", nt.alias("nt"), ttr_s.alias("ttr_s"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("n_tokens"),
+            F.sum("ttr_s").cast("bigint").alias("ttr_sum"),
+        )
+    )
+    ty = (
+        docs.select("source", F.explode(F.array_distinct("w")).alias("term"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_types"))
+    )
+    return a.join(ty, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6)
+        .alias("corpus_ttr"),
+        F.expr("ttr_sum div n_docs").cast("bigint")
+        .alias("mean_doc_ttr_scaled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Keep-best-in-cluster dedup: exact normalized-text clusters keep their
+# highest-quality member (the quality-classifier score, doc_id
+# tie-break) -- the canonical-selection stage every dedup pipeline runs
+# after clustering, reported per source.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "pipeline_dedup_keep_best",
+    "Canonical selection: md5(lower(trim(text))) exact clusters keep "
+    "the highest-quality member (txt_quality_classifier_proxy's "
+    "1e-6-scaled linear score, min doc_id tie-break); per-source kept/"
+    "dropped document and char counts. Scale: one fingerprint-keyed "
+    "window whose partitions are duplicate clusters (bounded), then a "
+    "partial-aggregated groupBy(source).",
+    f"""
+    with t as (select doc_id, source, n_chars, length(text) as lc,
+                      md5(lower(trim(text))) as fp,
+                      string_split(text, ' ') as w
+               from documents),
+    f as (select doc_id, source, n_chars, fp,
+                 cast(round((2.0 * (len(list_filter(w, x -> x in ({_SW})))::double / len(w))
+                             + 1.5 * (len(list_distinct(w))::double / len(w))
+                             - 0.25 * ((lc - len(w) + 1)::double / len(w) - 4.5))
+                            * 1000000) as bigint) as score
+          from t),
+    r as (select doc_id, source, n_chars, score,
+                 row_number() over (partition by fp
+                                    order by score desc, doc_id) as rk
+          from f)
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when rk = 1 then 1 else 0 end) as bigint) as n_kept,
+           cast(sum(case when rk = 1 then 0 else 1 end) as bigint)
+             as n_dropped,
+           cast(sum(case when rk = 1 then 0 else n_chars end) as bigint)
+             as chars_dropped
+    from r group by source
+    """,
+    "dedup", "pipeline", "quality",
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    n_tok = F.size("w")
+    sw_ratio = stopword_count("w").cast("double") / n_tok
+    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_tok
+    mwl = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    score = F.round(
+        (
+            F.lit(2.0) * sw_ratio
+            + F.lit(1.5) * uniq_ratio
+            - F.lit(0.25) * (mwl - F.lit(4.5))
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("fp").orderBy(F.col("score").desc(), "doc_id")
+    r = docs.select(
+        "doc_id", "source", "n_chars", fp.alias("fp"), score.alias("score")
+    ).withColumn("rk", F.row_number().over(w))
+    kept = F.col("rk") == 1
+    return r.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(kept, 0).otherwise(F.col("n_chars")))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cosine range search: every vector's neighbor count within a cosine
+# radius through the banded hyperplane LSH index -- the
+# radius-neighbor-graph build (DBSCAN-style density, near-dup fanout
+# audits), complementing sim_knn_join's fixed-k variant.
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = 0.4  # cosine radius; matches dedup_embedding_cosine's bar
+
+
+def _range_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import (
+        EMB_BANDS,
+        EMB_PLANES_PER_BAND,
+    )
+    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
+
+    band_selects = []
+    for k in range(EMB_BANDS):
+        planes = ", ".join(
+            _lsh_plane_sql(p, "v")
+            for p in range(
+                k * EMB_PLANES_PER_BAND, (k + 1) * EMB_PLANES_PER_BAND
+            )
+        )
+        band_selects.append(
+            f"select vec_id, {k} as band, concat({planes}) as bucket from e"
+        )
+    bands_sql = "\n  union all ".join(band_selects)
+    return f"""
+    with e as (select vec_id,
+                      list_transform(embedding, x -> cast(x as double)) v
+               from embeddings),
+    n as (select vec_id, v, list_dot_product(v, v) as sq from e),
+    bands as (
+      {bands_sql}
+    ),
+    cand as (
+      select distinct a.vec_id as vec_id, b.vec_id as neighbor_id
+      from bands a join bands b
+        on a.band = b.band and a.bucket = b.bucket
+           and a.vec_id <> b.vec_id
+    ),
+    scored as (
+      select cand.vec_id,
+             list_dot_product(x.v, y.v) / (sqrt(x.sq) * sqrt(y.sq)) as cos
+      from cand join n x on cand.vec_id = x.vec_id
+                join n y on cand.neighbor_id = y.vec_id
+    )
+    select vec_id,
+           cast(count(*) as bigint) as n_neighbors,
+           round(max(cos), 6) as max_cosine
+    from scored where cos >= {_RANGE_TAU}
+    group by vec_id
+    """
+
+
+@_stage(
+    "sim_range_search",
+    f"Cosine range search: per-vector neighbor count within cos >= "
+    f"{_RANGE_TAU} through the banded random-hyperplane LSH index "
+    "(dedup_embedding_cosine's verified construction) -- the radius-"
+    "neighbor-graph / density-audit build complementing sim_knn_join's "
+    "fixed-k variant. Scale: ONE keyed shuffle on (band,bucket) for "
+    "candidates, two planner-sized equi-joins to re-attach vectors, "
+    "partial-aggregated count per vector.",
+    _range_oracle(),
+    "similarity", "ann", "lsh", "aggregate",
+    oracle_valid=_knn_oracle_valid,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.vectors import (
+        lsh_bucket,
+        squared_norm,
+        to_double_array,
+    )
+    from clueso_spark.plans.dedup_queries import (
+        EMB_BANDS,
+        _bucket_pairs,
+        _emb_planes,
+    )
+    from clueso_spark.sources.tables import table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", to_double_array("embedding").alias("v")
+    )
+    planes = _emb_planes(table_row_count(sf_dir, "embeddings"))
+    bands = [
+        lsh_bucket("embedding", planes, 64, first_plane=k * planes).alias(
+            f"bk{k}"
+        )
+        for k in range(EMB_BANDS)
+    ]
+    stack_args = ", ".join(f"{k}, bk{k}" for k in range(EMB_BANDS))
+    long = emb.select("vec_id", *bands).select(
+        "vec_id",
+        F.expr(f"stack({EMB_BANDS}, {stack_args}) as (band, bucket)"),
+    )
+    half = _bucket_pairs(
+        long, ["band", "bucket"], "vec_id", "vec_a", "vec_b"
+    ).distinct()
+    cand = half.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor_id")
+    ).unionByName(
+        half.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+        )
+    )
+    n = emb.withColumn("sq", squared_norm("v")).select("vec_id", "v", "sq")
+    x = n.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("vx"),
+        F.col("sq").alias("sqx"),
+    )
+    y = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vy"),
+        F.col("sq").alias("sqy"),
+    )
+    cos = F.expr(
+        "aggregate(zip_with(vx, vy, (a, b) -> a * b), 0D,"
+        " (acc, t) -> acc + t)"
+    ) / (F.sqrt(F.col("sqx")) * F.sqrt(F.col("sqy")))
+    return (
+        cand.join(x, "vec_id")
+        .join(y, "neighbor_id")
+        .select("vec_id", cos.alias("cos"))
+        .where(F.col("cos") >= _RANGE_TAU)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_neighbors"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+    )
