@@ -92,7 +92,7 @@ QUERY_MODULES = [
 #: the r3 greens (next-oldest, round-6's refresh cohort) and the
 #: freshest r4 greens last. Union stays 134/134 with no row older than
 #: two rounds; tests/test_entry.py pins both invariants mechanically.
-#: Round-6 note: seven staged operators (plans/staged_r6.py, pytest
+#: Round-6 note: twelve staged operators (plans/staged_r6.py, pytest
 #: parity-gated at two SFs) await promotion -- call staged_r6.promote()
 #: and list them HERE at the top of the window alongside the round-6
 #: refresh cohort (the r3-only greens + the two r2 leftovers below).

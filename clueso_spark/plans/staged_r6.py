@@ -666,118 +666,114 @@ def txt_quality_classifier_proxy(
 
 
 # ---------------------------------------------------------------------------
-# Prefix-filter Jaccard dedup (AllPairs/PPJoin, Bayardo et al. 2007):
-# candidate pairs from the df-ordered PREFIX of each word set instead of
-# a sketch block. Guaranteed recall: under one global (df, term) order,
-# any pair with Jaccard >= t shares a term inside both docs'
-# floor((1-t)*|set|)+1 prefixes -- so unlike the simhash block
-# (dedup_ngram_jaccard) no true pair can be missed. Also scores
-# CONTAINMENT (|A∩B|/min) -- the asymmetric quote-inclusion signal
-# Jaccard dilutes.
+# Containment near-dedup: asymmetric overlap |A∩B|/min(|A|,|B|) over the
+# verified adaptive simhash block -- the quote-inclusion / subset-dup
+# signal symmetric Jaccard dilutes.
+#
+# Design note (negative result, caught by the scaling harness): the
+# first cut used AllPairs/PPJoin prefix filtering (Bayardo et al. 2007,
+# df-ordered prefixes, provably lossless candidates). On THIS corpus
+# family it is degenerate: the synthetic vocabulary is ~31 terms with
+# df ~ N/1.3, so "rarest-term" prefixes collapse into a handful of
+# corpus-sized buckets and the pair expansion goes quadratic (the x10
+# curve run effectively hung single-task). Prefix filtering's cost
+# bound REQUIRES a rarity tail (Zipfian df); the sketch block's bucket
+# count scales with N by construction (_ngram_bits), so containment
+# scoring rides the same block dedup_ngram_jaccard already verifies.
 # ---------------------------------------------------------------------------
 
-_PREFIX_TAU = 0.8  # Jaccard threshold; prefix length = floor(n/5) + 1
+_CONT_TAU = 0.9  #: containment threshold
 
 
-@_stage(
-    "dedup_prefix_jaccard",
-    "Prefix-filter near-dup pairs (AllPairs/PPJoin): global (df, term) "
-    "order -> per-doc prefix of floor(|set|/5)+1 rarest terms -> "
-    "candidates share a prefix term -> exact word-set Jaccard >= "
-    f"{_PREFIX_TAU} + containment. LOSSLESS candidate generation (the "
-    "prefix theorem), vs the sketch block's probabilistic recall. "
-    "Scale: df is a map-side partial agg; prefixes explode only the "
-    "~(1-t) rarest fraction of each set, and rarity bounds bucket "
-    "fan-out -- the classic hot-term caveat (a low-df corpus degrades "
-    "toward more candidates) is the documented trade for exact recall.",
-    f"""
-    with s as (select doc_id, list_distinct(string_split(text, ' ')) ws
-               from documents),
-    tok as (select doc_id, unnest(ws) as term, len(ws) as n from s),
-    df as (select term, cast(count(*) as bigint) as df from tok
-           group by term),
-    pr as (
-      select doc_id, term from (
-        select doc_id, term, n,
-               row_number() over (partition by doc_id
-                                  order by df, term) as rk
-        from tok join df using (term))
-      where rk <= n // 5 + 1
-    ),
+def _containment_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import _SIMHASH_SKETCH_SQL
+
+    return f"""
+    with {_SIMHASH_SKETCH_SQL},
     cand as (
-      select distinct a.doc_id as doc_a, b.doc_id as doc_b
-      from pr a join pr b on a.term = b.term and a.doc_id < b.doc_id
+      select a.doc_id as doc_a, b.doc_id as doc_b
+      from sk a join sk b on a.simhash = b.simhash and a.doc_id < b.doc_id
     ),
+    s as (select doc_id, list_distinct(string_split(text, ' ')) as ws
+          from documents),
     scored as (
       select doc_a, doc_b,
              len(list_intersect(x.ws, y.ws))::double
-               / len(list_distinct(x.ws || y.ws)) as jaccard,
+               / least(len(x.ws), len(y.ws)) as containment,
              len(list_intersect(x.ws, y.ws))::double
-               / least(len(x.ws), len(y.ws)) as containment
+               / len(list_distinct(x.ws || y.ws)) as jaccard
       from cand join s x on doc_a = x.doc_id
                 join s y on doc_b = y.doc_id
     )
-    select doc_a, doc_b, round(jaccard, 6) as jaccard,
-           round(containment, 6) as containment
-    from scored where jaccard >= {_PREFIX_TAU}
-    """,
-    "dedup", "jaccard", "prefix-filter", "containment",
-)
-def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.catalog import persist_swap
-    from clueso_spark.plans.dedup_queries import _bucket_pairs
+    select doc_a, doc_b, round(containment, 6) as containment,
+           round(jaccard, 6) as jaccard
+    from scored where containment >= {_CONT_TAU}
+    """
 
+
+def _containment_oracle_valid(sf_dir: str) -> bool:
+    """Oracle replicates the 16-bit floor sketch (same domain guard as
+    dedup_ngram_jaccard)."""
+    from clueso_spark.plans.dedup_queries import _ngram_oracle_valid
+
+    return _ngram_oracle_valid(sf_dir)
+
+
+@_stage(
+    "dedup_containment",
+    "Containment near-dup pairs: adaptive-width word-set simhash block "
+    "(the dedup_ngram_jaccard construction) -> exact asymmetric overlap "
+    f"|A∩B|/min >= {_CONT_TAU} inside each bucket, jaccard carried for "
+    "comparison -- catches subset/quote-inclusion dups whose symmetric "
+    "Jaccard stays low. Scale: ONE keyed shuffle on the sketch whose "
+    "bucket count grows with N (_ngram_bits); two planner-sized "
+    "equi-joins re-attach word sets. See the module design note for why "
+    "prefix filtering was rejected on this corpus family.",
+    _containment_oracle(),
+    "dedup", "containment", "simhash",
+    oracle_valid=_containment_oracle_valid,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+    from clueso_spark.plans.dedup_queries import (
+        _bucket_pairs,
+        _ngram_bits,
+        _simhash_sketches,
+    )
+    from clueso_spark.sources.tables import table_row_count
+
+    bits = _ngram_bits(table_row_count(sf_dir, "documents"))
     docs = (
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("w", tokens())
     )
-    # three consumers (df build, prefix build, both verify sides) read
-    # the distinct word sets; persist so tokenization runs once
+    # three consumers (sketch branch, both verify sides) read the
+    # distinct word sets; persist so tokenization runs once
     sets = persist_swap(
         spark,
-        "prefix_sets",
+        "containment_sets",
         docs.select("doc_id", F.array_distinct("w").alias("ws")),
     )
-    tok = sets.select(
-        "doc_id", F.explode("ws").alias("term"), F.size("ws").alias("n")
+    sk = _simhash_sketches(
+        sets.select("doc_id", F.col("ws").alias("w")), bits
     )
-    dfreq = tok.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    # per-doc prefix: sort the (df, term) pairs with ONE array fold
-    # instead of a row_number window -- the groupBy re-keys on doc_id
-    # anyway, and sort_array of a <=set-size array is map-side work
-    pref = (
-        tok.join(dfreq, "term")
-        .groupBy("doc_id", "n")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "term"))
-            ).alias("ranked")
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(slice(ranked, 1, n div 5 + 1), "
-                       "r -> r.term)")
-            ).alias("term"),
-        )
-    )
-    cand = _bucket_pairs(pref, ["term"], "doc_id", "doc_a", "doc_b").distinct()
+    cand = _bucket_pairs(sk, ["simhash"], "doc_id", "doc_a", "doc_b")
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
-    jac = inter / F.size(F.array_union("ws_a", "ws_b"))
     cont = inter / F.least(F.size("ws_a"), F.size("ws_b"))
+    jac = inter / F.size(F.array_union("ws_a", "ws_b"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.round(jac, 6).alias("jaccard"),
             F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= _PREFIX_TAU)
+        .where(F.col("containment") >= _CONT_TAU)
     )
 
 
@@ -1130,4 +1126,248 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_neighbors"),
             F.round(F.max("cos"), 6).alias("max_cosine"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed top-k: per 1-hour event-time window, the 3 most
+# active users -- the live-leaderboard shape. The streaming stage is the
+# windowed count (partial-aggregated, watermark-boundable); the top-k
+# rank runs post-drain in two stages (salted local top-k, then a final
+# rank over <= 64*k survivors per window) so no single task ever ranks
+# a whole window's user population.
+# ---------------------------------------------------------------------------
+
+_TOPK_K = 3
+_TOPK_SALT = 64
+
+
+@_stage(
+    "st_windowed_topk",
+    "Structured Streaming leaderboard: readStream -> 1-hour tumbling "
+    f"window x user count -> complete-mode memory sink; top-{_TOPK_K} "
+    "users per window ranked post-drain in two stages (salted local "
+    f"top-k over {_TOPK_SALT} buckets, final rank over the bounded "
+    "survivor set) -- no task ranks a full window population. Oracle: "
+    "availableNow over a static file source makes the streamed counts "
+    "equal the batch counts by construction.",
+    f"""
+    with c as (
+      select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               as window_start,
+             user_id, cast(count(*) as bigint) as n_events
+      from events group by 1, 2
+    ),
+    r as (select *, row_number() over (partition by window_start
+                                       order by n_events desc, user_id)
+                      as rk
+          from c)
+    select window_start, user_id, n_events, cast(rk as bigint) as rk
+    from r where rk <= {_TOPK_K}
+    """,
+    "streaming", "window", "topk",
+)
+def st_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.streaming_queries import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    sink_name = "st_windowed_topk_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    counts = spark.table(sink_name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "user_id",
+        "n_events",
+    )
+    # stage 1: local top-k inside (window, salt) -- each rank partition
+    # sees ~1/SALT of the window's users
+    ws = Window.partitionBy("window_start", "_salt").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    survivors = (
+        counts.withColumn("_salt", F.pmod("user_id", F.lit(_TOPK_SALT)))
+        .withColumn("_rk", F.row_number().over(ws))
+        .where(F.col("_rk") <= _TOPK_K)
+        .drop("_salt", "_rk")
+    )
+    # stage 2: exact rank over <= SALT*k survivors per window
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "user_id"
+    )
+    return survivors.withColumn(
+        "rk", F.row_number().over(w).cast("bigint")
+    ).where(F.col("rk") <= _TOPK_K)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: per-user recency/frequency/monetary quintiles over
+# purchase events, reported as segment cells -- the classic marketing/
+# engagement cube, here as the exact-verifiable ntile form.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_rfm_segmentation",
+    "RFM segmentation over purchase events: per-user recency (exact "
+    "day diff vs the corpus max date), frequency, decimal-exact "
+    "monetary; ntile(5) quintiles per axis (deterministic tie order), "
+    "segment-cell counts + monetary totals. Scale note: the ntile "
+    "windows sort the per-USER relation (orders of magnitude smaller "
+    "than events, all partial-aggregated first); at extreme user "
+    "cardinality the quantile cuts come from approx_percentile instead "
+    "-- ntile is the exact-verifiable form (window_ntile_quartiles "
+    "precedent).",
+    """
+    with p as (select user_id, ts, cast(value as decimal(12,2)) as v
+               from events where event_type = 'purchase'),
+    mx as (select max(cast(ts as date)) as dmax from p),
+    u as (select user_id,
+                 date_diff('day', max(cast(ts as date)), (select dmax from mx))
+                   as recency_days,
+                 cast(count(*) as bigint) as frequency,
+                 sum(v) as monetary
+          from p group by user_id),
+    q as (select user_id,
+                 ntile(5) over (order by recency_days, user_id) as r_q,
+                 ntile(5) over (order by frequency desc, user_id) as f_q,
+                 ntile(5) over (order by monetary desc, user_id) as m_q,
+                 monetary
+          from u)
+    select cast(r_q as bigint) as r_q, cast(f_q as bigint) as f_q,
+           cast(m_q as bigint) as m_q,
+           cast(count(*) as bigint) as n_users,
+           cast(sum(monetary) as double) as monetary_total
+    from q group by 1, 2, 3
+    """,
+    "events", "aggregate", "window", "segmentation",
+)
+def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", dec("value").alias("v")
+    )
+    u = p.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("dlast"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum("v").alias("monetary"),
+    )
+    mx = u.agg(F.max("dlast").alias("dmax"))
+    u = u.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("dmax", "dlast").alias("recency_days"),
+        "frequency",
+        "monetary",
+    )
+    q = u.select(
+        "user_id",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+        .alias("m_q"),
+    )
+    return q.groupBy(
+        F.col("r_q").cast("bigint").alias("r_q"),
+        F.col("f_q").cast("bigint").alias("f_q"),
+        F.col("m_q").cast("bigint").alias("m_q"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("monetary").cast("double").alias("monetary_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence node similarity: part-part Jaccard over order baskets --
+# the item-item collaborative-similarity build. Basket sizes are bounded
+# (a TPC-H order holds <= 7 lines), so the per-basket pair expansion is
+# O(basket^2) with a small constant, the same contract as the LSH bucket
+# fan-outs.
+# ---------------------------------------------------------------------------
+
+_NODE_SIM_TOP = 20
+
+
+@_stage(
+    "graph_node_similarity",
+    "Item-item co-occurrence similarity: distinct (order, part) baskets "
+    "-> in-basket pair expansion (ONE keyed shuffle on order, bounded "
+    "basket fan-out) -> pair co-counts joined to part degrees -> exact "
+    f"Jaccard co/(da+db-co), global top-{_NODE_SIM_TOP} via "
+    "TakeOrderedAndProject (never a full sort). Deterministic total "
+    "order (jaccard desc, part_a, part_b).",
+    f"""
+    with b as (select distinct l_orderkey, l_partkey from lineitem),
+    d as (select l_partkey, cast(count(*) as bigint) as deg from b
+          group by 1),
+    p as (select a.l_partkey as pa, c.l_partkey as pb,
+                 cast(count(*) as bigint) as co
+          from b a join b c
+            on a.l_orderkey = c.l_orderkey and a.l_partkey < c.l_partkey
+          group by 1, 2),
+    j as (select pa, pb, co, x.deg as da, y.deg as db,
+                 co::double / (x.deg + y.deg - co) as jac
+          from p join d x on pa = x.l_partkey
+                join d y on pb = y.l_partkey)
+    select pa as part_a, pb as part_b, co as n_co_orders,
+           da as deg_a, db as deg_b, round(jac, 6) as jaccard
+    from j order by jac desc, pa, pb limit {_NODE_SIM_TOP}
+    """,
+    "graph", "similarity", "join", "topk",
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.dedup_queries import _bucket_pairs
+
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    pairs = _bucket_pairs(
+        b, ["l_orderkey"], "l_partkey", "part_a", "part_b"
+    ).groupBy("part_a", "part_b").agg(
+        F.count("*").cast("bigint").alias("n_co_orders")
+    )
+    deg = b.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("deg").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("deg").alias("deg_b")
+    )
+    jac = F.col("n_co_orders").cast("double") / (
+        F.col("deg_a") + F.col("deg_b") - F.col("n_co_orders")
+    )
+    return (
+        pairs.join(da, "part_a")
+        .join(db, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co_orders",
+            "deg_a",
+            "deg_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        .limit(_NODE_SIM_TOP)
     )

@@ -36,9 +36,16 @@ def test_staged_rows_nonempty(spark):
         assert cq.spark(spark, SF_DIRS[1]).count() > 0, name
 
 
-_DOC_NAMES = [
-    n for n in STAGED if n not in ("sim_knn_join", "sim_range_search")
-]
+#: staged ops whose input is not the documents table (embeddings /
+#: events / lineitem) -- excluded from the documents-only corpus tests
+_NON_DOC = {
+    "sim_knn_join",
+    "sim_range_search",
+    "st_windowed_topk",
+    "ev_rfm_segmentation",
+    "graph_node_similarity",
+}
+_DOC_NAMES = [n for n in STAGED if n not in _NON_DOC]
 
 
 def _write_docs(spark, path, rows):
@@ -52,11 +59,39 @@ def test_staged_empty_corpus_does_not_crash(spark, tmp_path):
     """Empty inputs: scalar aggs produce their null/zero row, per-doc
     projections produce zero rows -- never an exception (div-by-zero in
     retention/slope must null out, not raise)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     sf = str(tmp_path / "sf_empty")
     _write_docs(spark, sf, [])
     spark.createDataFrame(
         [], "vec_id bigint, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+    # events/lineitem consumers sniff the parquet footer driver-side
+    # (events_stream, load_table), so these must be single FILES with
+    # real schemas, not Spark output directories
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        f"{sf}/events.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_partkey": pa.array([], pa.int64()),
+            }
+        ),
+        f"{sf}/lineitem.parquet",
+    )
     for name, cq in sorted(STAGED.items()):
         rows = cq.spark(spark, sf).collect()
         assert isinstance(rows, list), name
@@ -97,6 +132,7 @@ _SANCTIONED_BNLJ = {
     "pipeline_length_filter_curve",  # 7-row literal ladder broadcast
     "pipeline_token_budget_mix",  # 1-row corpus-totals broadcast
     "pipeline_ccnet_buckets",  # 1-row LM-total scalar broadcast
+    "ev_rfm_segmentation",  # 1-row corpus-max-date scalar broadcast
 }
 
 
