@@ -2,7 +2,7 @@
 """Local correctness gate: run every catalog query against its DuckDB
 oracle at sf0.01, the same comparison the round driver performs.
 
-Usage: python tools/check_correctness.py [--sf-dir DIR] [name ...]
+Usage: python tools/check_correctness.py [--sf-dir DIR] [--staged] [name ...]
 Exit code 0 iff every checked query matches (rows-only queries must run).
 """
 
@@ -15,6 +15,11 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="also check the pre-registration tier (plans/staged_r6.py)",
+    )
     ap.add_argument("names", nargs="*", help="subset of query names")
     args = ap.parse_args()
 
@@ -25,6 +30,10 @@ def main() -> int:
     spark = get_spark(
         "check-correctness", **{"spark.sql.shuffle.partitions": "8"}
     )
+    if args.staged:
+        from clueso_spark.plans.staged_r6 import promote
+
+        promote()
     results = run_catalog(spark, args.sf_dir, args.names or None)
     n_fail = 0
     for r in results:
