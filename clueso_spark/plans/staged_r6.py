@@ -324,7 +324,6 @@ def _knn_oracle_valid(sf_dir: str) -> bool:
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (
         lsh_bucket,
-        squared_norm,
         to_double_array,
     )
     from clueso_spark.plans.dedup_queries import (
@@ -352,24 +351,46 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _bucket_pairs(
         long, ["band", "bucket"], "vec_id", "vec_a", "vec_b"
     ).distinct()
-    # symmetrize: the neighbor graph is directed (each side ranks the
-    # other), so each undirected candidate pair contributes both arcs
-    cand = half.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor_id")
+    # score each UNDIRECTED pair once (cos is symmetric), then emit both
+    # arcs of the directed neighbor graph from the scored rows -- halves
+    # the vector-attach join volume vs symmetrizing before scoring
+    scored = _score_half_pairs(emb, half)
+    directed = scored.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cos",
     ).unionByName(
-        half.select(
+        scored.select(
             F.col("vec_b").alias("vec_id"),
             F.col("vec_a").alias("neighbor_id"),
+            "cos",
         )
     )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        directed.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= KNN_K)
+        .select(
+            "vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk"
+        )
+    )
+
+
+def _score_half_pairs(emb: DataFrame, half: DataFrame) -> DataFrame:
+    """Exact cosine for each undirected candidate pair ``(vec_a, vec_b)``
+    via two planner-sized equi-joins re-attaching the vectors."""
+    from clueso_spark.functions.vectors import squared_norm
+
     n = emb.withColumn("sq", squared_norm("v")).select("vec_id", "v", "sq")
     x = n.select(
-        F.col("vec_id").alias("vec_id"),
+        F.col("vec_id").alias("vec_a"),
         F.col("v").alias("vx"),
         F.col("sq").alias("sqx"),
     )
     y = n.select(
-        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec_id").alias("vec_b"),
         F.col("v").alias("vy"),
         F.col("sq").alias("sqy"),
     )
@@ -377,17 +398,9 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "aggregate(zip_with(vx, vy, (a, b) -> a * b), 0D,"
         " (acc, t) -> acc + t)"
     ) / (F.sqrt(F.col("sqx")) * F.sqrt(F.col("sqy")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id")
-    )
     return (
-        cand.join(x, "vec_id")
-        .join(y, "neighbor_id")
-        .select("vec_id", "neighbor_id", cos.alias("cos"))
-        .withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= KNN_K)
-        .select(
-            "vec_id", "neighbor_id", F.round("cos", 6).alias("cosine"), "rk"
+        half.join(x, "vec_a").join(y, "vec_b").select(
+            "vec_a", "vec_b", cos.alias("cos")
         )
     )
 
@@ -1065,7 +1078,6 @@ def _range_oracle() -> str:
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (
         lsh_bucket,
-        squared_norm,
         to_double_array,
     )
     from clueso_spark.plans.dedup_queries import (
@@ -1093,39 +1105,17 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     half = _bucket_pairs(
         long, ["band", "bucket"], "vec_id", "vec_a", "vec_b"
     ).distinct()
-    cand = half.select(
-        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor_id")
-    ).unionByName(
-        half.select(
-            F.col("vec_b").alias("vec_id"),
-            F.col("vec_a").alias("neighbor_id"),
-        )
-    )
-    n = emb.withColumn("sq", squared_norm("v")).select("vec_id", "v", "sq")
-    x = n.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("v").alias("vx"),
-        F.col("sq").alias("sqx"),
-    )
-    y = n.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("v").alias("vy"),
-        F.col("sq").alias("sqy"),
-    )
-    cos = F.expr(
-        "aggregate(zip_with(vx, vy, (a, b) -> a * b), 0D,"
-        " (acc, t) -> acc + t)"
-    ) / (F.sqrt(F.col("sqx")) * F.sqrt(F.col("sqy")))
-    return (
-        cand.join(x, "vec_id")
-        .join(y, "neighbor_id")
-        .select("vec_id", cos.alias("cos"))
-        .where(F.col("cos") >= _RANGE_TAU)
-        .groupBy("vec_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_neighbors"),
-            F.round(F.max("cos"), 6).alias("max_cosine"),
-        )
+    # score each undirected pair once, FILTER at the threshold, then
+    # emit both arcs from the (much smaller) surviving set -- the
+    # pre-scoring symmetrization would double the join volume and defer
+    # the radius filter past it
+    scored = _score_half_pairs(emb, half).where(F.col("cos") >= _RANGE_TAU)
+    directed = scored.select(
+        F.col("vec_a").alias("vec_id"), "cos"
+    ).unionByName(scored.select(F.col("vec_b").alias("vec_id"), "cos"))
+    return directed.groupBy("vec_id").agg(
+        F.count("*").cast("bigint").alias("n_neighbors"),
+        F.round(F.max("cos"), 6).alias("max_cosine"),
     )
 
 
