@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import STOPWORDS, tokens, word_shingles
@@ -146,6 +146,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, docs)
 
 
+def minhash_band_sigs(ss_col: str = "ss") -> Column:
+    """The 8 r=2 banded minhash signatures of a shingle-set column as ONE
+    array fold (see the inline rationale in minhash_pairs: 4 md5s per
+    shingle in argument position, minima paired into band sigs while the
+    accumulator is still a lambda variable). Factored so asymmetric
+    consumers -- the staged incremental index-probe dedup -- share the
+    exact signature family the registered oracle replicates."""
+    return F.expr(
+        f"""aggregate(
+             transform({ss_col}, s -> concat(md5(s), md5(concat('~', s)),
+                                       md5(concat('#', s)), md5(concat('@', s)))),
+             array_repeat('g', 16),
+             (acc, h) -> zip_with(acc,
+               transform(sequence(0, 15),
+                         k -> substring(h, cast(k * 8 + 1 as int), 8)),
+               (m, c) -> least(m, c)),
+             acc -> transform(sequence(0, {N_BANDS - 1}),
+               b -> concat(element_at(acc, cast(2 * b + 1 as int)),
+                           element_at(acc, cast(2 * b + 2 as int)))))"""
+    )
+
+
 def minhash_pairs(
     spark: SparkSession, docs: DataFrame, slot: str = "minhash_sets"
 ) -> DataFrame:
@@ -189,19 +211,7 @@ def minhash_pairs(
     # while `acc` is still a lambda variable -- pairing in a later
     # projection would reference the fold column 8-16 times and re-inline
     # (re-run) the whole fold per reference
-    sigs = F.expr(
-        f"""aggregate(
-             transform(ss, s -> concat(md5(s), md5(concat('~', s)),
-                                       md5(concat('#', s)), md5(concat('@', s)))),
-             array_repeat('g', 16),
-             (acc, h) -> zip_with(acc,
-               transform(sequence(0, 15),
-                         k -> substring(h, cast(k * 8 + 1 as int), 8)),
-               (m, c) -> least(m, c)),
-             acc -> transform(sequence(0, {N_BANDS - 1}),
-               b -> concat(element_at(acc, cast(2 * b + 1 as int)),
-                           element_at(acc, cast(2 * b + 2 as int)))))"""
-    )
+    sigs = minhash_band_sigs()
     # band rows stay (doc_id, band, sig) -- the 8x explode must NOT carry
     # the shingle arrays, or the band shuffle payload multiplies by 8
     long = sets.select("doc_id", sigs.alias("sigs")).select(

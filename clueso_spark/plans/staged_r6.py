@@ -1361,3 +1361,148 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(_NODE_SIM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (index-probe) near-dedup: dedup a NEW ingest batch against
+# an existing corpus index -- the continuous-ingestion production shape,
+# where the index side's banded minhash signatures are precomputed and
+# stored, and each ingest computes signatures only for the new batch.
+# Here the 80/20 split is derived from the doc_id hash (the same
+# deterministic split pipeline_contamination_check verifies); the
+# signature family is minhash_band_sigs, byte-identical to the one the
+# registered dedup_minhash_lsh oracle replicates.
+# ---------------------------------------------------------------------------
+
+_INCR_TAU = 0.5  #: same verification bar as dedup_minhash_lsh
+
+
+def _incremental_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import N_BANDS
+
+    return f"""
+    with t as (select doc_id,
+                      cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                           as bigint) % 100 as pct,
+                      string_split(text, ' ') as w
+               from documents),
+    sh as (
+      select distinct doc_id, pct,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingle
+      from t where len(w) >= 3
+    ),
+    bands as (
+      select doc_id, pct, b.range as band,
+             min(substr(md5(shingle) || md5('~' || shingle)
+                        || md5('#' || shingle) || md5('@' || shingle),
+                        cast(b.range * 16 + 1 as int), 8))
+             || min(substr(md5(shingle) || md5('~' || shingle)
+                           || md5('#' || shingle) || md5('@' || shingle),
+                           cast(b.range * 16 + 9 as int), 8)) as sig
+      from sh cross join range({N_BANDS}) b
+      group by doc_id, pct, b.range
+    ),
+    cand as (
+      select distinct n.doc_id as new_id, i.doc_id as index_id
+      from bands n join bands i on n.band = i.band and n.sig = i.sig
+      where n.pct >= 80 and i.pct < 80
+    ),
+    sets as (select doc_id, list(shingle) as ss from sh group by doc_id),
+    sc as (
+      select new_id, index_id,
+             len(list_intersect(x.ss, y.ss))::double
+               / len(list_distinct(x.ss || y.ss)) as jaccard
+      from cand join sets x on new_id = x.doc_id
+                join sets y on index_id = y.doc_id
+    ),
+    v as (select * from sc where jaccard >= {_INCR_TAU}),
+    r as (select new_id, index_id, jaccard,
+                 row_number() over (partition by new_id
+                                    order by jaccard desc, index_id) as rk
+          from v),
+    agg as (select new_id, cast(count(*) as bigint) as n_index_matches
+            from v group by new_id)
+    select agg.new_id as doc_id, n_index_matches,
+           r.index_id as best_match_id,
+           round(r.jaccard, 6) as best_jaccard
+    from agg join r on agg.new_id = r.new_id and r.rk = 1
+    """
+
+
+@_stage(
+    "dedup_incremental_minhash",
+    "Incremental index-probe near-dedup: the new-batch side (hash-split "
+    "20%) probes the existing corpus index (80%) on (band, sig) using "
+    "the EXACT banded-minhash family dedup_minhash_lsh verifies "
+    f"(minhash_band_sigs); exact Jaccard >= {_INCR_TAU} confirms; per "
+    "new doc: match count, best index match, best Jaccard. Scale: the "
+    "continuous-ingestion shape -- at 100 TB the index signatures are "
+    "precomputed and stored, each ingest computes signatures for the "
+    "new batch only, the probe join is keyed on (band, sig), and "
+    "verification fetches only candidate index docs' shingle sets by "
+    "key (the corpus is never rescanned).",
+    _incremental_oracle(),
+    "dedup", "minhash", "lsh", "incremental",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+    from clueso_spark.plans.dedup_queries import minhash_band_sigs
+
+    from clueso_spark.functions.text import word_shingles
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    pct = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sets = persist_swap(
+        spark,
+        "incremental_sets",
+        docs.where(F.size("w") >= 3).select(
+            "doc_id",
+            pct.alias("pct"),
+            F.array_distinct(word_shingles("w", 3)).alias("ss"),
+        ),
+    )
+    long = sets.select(
+        "doc_id", "pct", minhash_band_sigs().alias("sigs")
+    ).select("doc_id", "pct", F.posexplode("sigs").alias("band", "sig"))
+    idx = long.where(F.col("pct") < 80).select(
+        F.col("doc_id").alias("index_id"), "band", "sig"
+    )
+    new = long.where(F.col("pct") >= 80).select(
+        F.col("doc_id").alias("new_id"), "band", "sig"
+    )
+    cand = new.join(idx, ["band", "sig"]).select("new_id", "index_id").distinct()
+    x = sets.select(F.col("doc_id").alias("new_id"), F.col("ss").alias("ss_n"))
+    y = sets.select(
+        F.col("doc_id").alias("index_id"), F.col("ss").alias("ss_i")
+    )
+    jac = F.size(F.array_intersect("ss_n", "ss_i")).cast("double") / F.size(
+        F.array_union("ss_n", "ss_i")
+    )
+    v = (
+        cand.join(x, "new_id")
+        .join(y, "index_id")
+        .select("new_id", "index_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _INCR_TAU)
+    )
+    w = Window.partitionBy("new_id").orderBy(
+        F.col("jaccard").desc(), "index_id"
+    )
+    r = v.withColumn("rk", F.row_number().over(w)).where(F.col("rk") == 1)
+    agg = v.groupBy("new_id").agg(
+        F.count("*").cast("bigint").alias("n_index_matches")
+    )
+    return agg.join(r, "new_id").select(
+        F.col("new_id").alias("doc_id"),
+        "n_index_matches",
+        F.col("index_id").alias("best_match_id"),
+        F.round("jaccard", 6).alias("best_jaccard"),
+    )
