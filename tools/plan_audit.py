@@ -96,6 +96,13 @@ def audit(registry, spark) -> dict[str, dict[str, int]]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--write", action="store_true")
+    ap.add_argument(
+        "--staged",
+        action="store_true",
+        help="include the pre-registration tier (plans/staged_r6.py); "
+        "extra budget keys are inert until promotion, when the budget "
+        "gate picks them up automatically",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, "/root/repo")
@@ -113,7 +120,12 @@ def main() -> int:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    metrics = audit(all_queries(), spark)
+    registry = dict(all_queries())
+    if args.staged:
+        from clueso_spark.plans.staged_r6 import STAGED
+
+        registry.update(STAGED)
+    metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
     print(" ".join(f"{h:>6s}" if i else f"{h:32s}" for i, h in enumerate(hdr)))
