@@ -58,13 +58,86 @@ def _stage(
 def promote() -> None:
     """Round-6 hook: move every staged query into the live registry.
 
-    Call AFTER the round-6 rotation window has slots for them (each
-    promoted name must also be appended to plans/catalog.py PRIORITY
-    inside the 50-query driver window, per the rotation invariants)."""
+    Call AFTER the round-6 rotation window has slots for them. The full
+    promotion checklist (catalog.py's round-6 note has the window math):
+      1. each promoted name goes into plans/catalog.py PRIORITY inside
+         the 50-query driver window (ROUND6_WINDOW below is the
+         precomputed list, rotation-invariant-compliant);
+      2. plan budgets: already pre-recorded in tests/plan_budgets.json
+         (tools/plan_audit.py --staged --write) -- the budget gate
+         picks them up automatically on registration;
+      3. add the heavier ops (dedup_incremental_minhash, sim_knn_join,
+         sim_range_search, dedup_containment) to bench.py HEADLINE so
+         the driver's per-round bench tracks them."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
         REGISTRY[name] = cq
+
+
+#: Precomputed round-6 driver window (50 slots), executing the rotation
+#: policy with the cohorts known today: 16 staged (never verified, must
+#: enter) + the 2 r2 leftovers + 32 of the 37 r3-only greens; the 5
+#: deferred r3 rows are listed in catalog.py's round-6 note. Derived
+#: from CORRECTNESS_r01-04 + the committed r5 window; if round 5's
+#: driver artifact diverges from the committed PRIORITY prefix,
+#: recompute before use.
+ROUND6_WINDOW = [
+    # staged tier (verification-first: never driver-verified)
+    "txt_gopher_quality_rules",
+    "pipeline_ccnet_buckets",
+    "sim_knn_join",
+    "pipeline_token_budget_mix",
+    "txt_zipf_slope",
+    "pipeline_length_filter_curve",
+    "txt_quality_classifier_proxy",
+    "dedup_containment",
+    "txt_char_entropy",
+    "txt_lexical_diversity",
+    "pipeline_dedup_keep_best",
+    "sim_range_search",
+    "st_windowed_topk",
+    "ev_rfm_segmentation",
+    "graph_node_similarity",
+    "dedup_incremental_minhash",
+    # r2 leftovers (oldest greens anywhere)
+    "profile_lineitem",
+    "sort_limit_top_orders",
+    # r3 cohort: 32 of 37 (5 trivial/stable rows deferred to round 7,
+    # see catalog.py round-6 note)
+    "sim_ivf_cells",
+    "sim_kmeans_lloyd",
+    "sim_pq_codes",
+    "sim_residual_norms",
+    "sim_ann_recall_at_k",
+    "sim_ivf_kmeans_ann",
+    "txt_tf_df_top_terms",
+    "txt_token_stats",
+    "txt_lang_stats",
+    "txt_top_bigrams",
+    "txt_quality_score",
+    "txt_langid_heuristic",
+    "pipeline_train_test_split",
+    "pipeline_doc_chunking",
+    "pipeline_sequence_packing",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
+    "ev_latest_state",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_skew_salted_agg",
+    "ev_sessionize",
+    "ev_asof_last_purchase",
+    "ev_gap_fill_forward",
+    "window_time_range_frame",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "mm_frame_sample",
+    "mm_fixed_shape_features",
+    "mm_modality_stats",
+]
 
 
 # ---------------------------------------------------------------------------
