@@ -92,17 +92,19 @@ QUERY_MODULES = [
 #: the r3 greens (next-oldest, round-6's refresh cohort) and the
 #: freshest r4 greens last. Union stays 134/134 with no row older than
 #: two rounds; tests/test_entry.py pins both invariants mechanically.
-#: Round-6 note: SIXTEEN staged operators (plans/staged_r6.py, pytest
+#: Round-6 note: EIGHTEEN staged operators (plans/staged_r6.py, pytest
 #: parity-gated at two SFs) await promotion -- call staged_r6.promote()
-#: and list them HERE at the top of the window. Concrete round-6 window
-#: math (50 slots): 16 staged (never driver-verified, must enter) + the
-#: 2 r2 leftovers (profile_lineitem, sort_limit_top_orders) + 32 of the
-#: 37 r3-only greens = 50. Defer the 5 most trivial/stable r3 rows
+#: and list them HERE at the top of the window (staged_r6.ROUND6_WINDOW
+#: is the precomputed 50-name list). Concrete round-6 window math
+#: (50 slots): 18 staged (never driver-verified, must enter) + the
+#: 2 r2 leftovers (profile_lineitem, sort_limit_top_orders) + 30 of the
+#: 37 r3-only greens = 50. Defer the 7 most trivial/stable r3 rows
 #: (suggested: ev_message_flatten, ev_result_projection,
-#: ev_version_filter, ev_isin_subpartitions, dedup_exact_summary --
-#: fixed-projection / isin / count shapes untouched since r2-r3) to
-#: round 7's window, which then has 45+ free slots for them plus any
-#: round-6 code changes.
+#: ev_version_filter, ev_isin_subpartitions, dedup_exact_summary,
+#: agg_approx_count_distinct, agg_approx_percentile -- fixed-projection
+#: / isin / single-agg shapes untouched since r2-r3) to round 7's
+#: window, which then has 45+ free slots for them plus any round-6 code
+#: changes.
 PRIORITY = [
     # (1) changed this round -- re-verify first
     "txt_perplexity_proxy",

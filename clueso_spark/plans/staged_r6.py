@@ -100,10 +100,12 @@ ROUND6_WINDOW = [
     "ev_rfm_segmentation",
     "graph_node_similarity",
     "dedup_incremental_minhash",
+    "txt_bigram_perplexity",
+    "pipeline_dedup_cluster_stats",
     # r2 leftovers (oldest greens anywhere)
     "profile_lineitem",
     "sort_limit_top_orders",
-    # r3 cohort: 32 of 37 (5 trivial/stable rows deferred to round 7,
+    # r3 cohort: 30 of 37 (7 trivial/stable rows deferred to round 7,
     # see catalog.py round-6 note)
     "sim_ivf_cells",
     "sim_kmeans_lloyd",
@@ -132,8 +134,6 @@ ROUND6_WINDOW = [
     "ev_asof_last_purchase",
     "ev_gap_fill_forward",
     "window_time_range_frame",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
     "mm_frame_sample",
     "mm_fixed_shape_features",
     "mm_modality_stats",
@@ -1578,4 +1578,177 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_index_matches",
         F.col("index_id").alias("best_match_id"),
         F.round("jaccard", 6).alias("best_jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated BIGRAM perplexity: one modeling step from the unigram
+# proxy toward CCNet's KenLM -- P(w2|w1) = 3/4 * c12/c1 + 1/4 * c2/N,
+# which as a single fraction is (3*c12*N + c2*c1) / (4*c1*N): numerator
+# and denominator are exact bigints, so the per-token log2 stays in the
+# established L(int) = round(log2*1e6) discipline and the float-sum
+# order problem never exists. Self-scored (counts from the same corpus),
+# so every scored bigram has c12 >= 1 -- no zero-probability smoothing
+# case. At petascale the bigint products (c12*N ~ 1e26) move to
+# decimal(38,0), the same note as pipeline_token_budget_mix.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "txt_bigram_perplexity",
+    "Interpolated bigram LM cross-entropy per document (lambda=3/4 "
+    "bigram, 1/4 unigram backoff), all-integer scaled-log2 arithmetic: "
+    "per-token contribution L(4*c1*N) - L(3*c12*N + c2*c1), exact "
+    "bigint sums, one integer division per doc. Scale: bigram/unigram "
+    "count tables partial-aggregate map-side and join plainly on their "
+    "keys (AQE sizes them; the vocab-broadcast lesson from round 4 "
+    "applied from the start); the scoring stream is the corpus's bigram "
+    "stream, linear in tokens.",
+    """
+    with base as (select doc_id, string_split(text, ' ') as w
+                  from documents),
+    bg as (select doc_id, w[i] as w1, w[i+1] as w2
+           from (select doc_id, w, unnest(range(1, len(w))) as i from base)
+           where len(w) >= 2),
+    c12 as (select w1, w2, cast(count(*) as bigint) as c12 from bg
+            group by w1, w2),
+    c1 as (select w1, cast(count(*) as bigint) as c1 from bg group by w1),
+    c2 as (select w2, cast(count(*) as bigint) as c2 from bg group by w2),
+    tot as (select cast(count(*) as bigint) as n from bg),
+    scored as (
+      select doc_id,
+             cast(round(log2(4 * c1 * n) * 1000000) as bigint)
+             - cast(round(log2(3 * c12 * n + c2 * c1) * 1000000) as bigint)
+               as lp
+      from bg join c12 using (w1, w2) join c1 using (w1) join c2 using (w2)
+      cross join tot
+    ),
+    px as (select doc_id, cast(count(*) as bigint) as n_bigrams,
+                  cast(sum(lp) as bigint) as s
+           from scored group by doc_id)
+    select doc_id, n_bigrams,
+           cast(s // n_bigrams as bigint) as xent_scaled,
+           cast(s // n_bigrams as bigint) / cast(1000000 as double) as xent
+    from px
+    """,
+    "text", "language-model", "quality",
+)
+def txt_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    bg = (
+        docs.where(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(w, 1, size(w) - 1), "
+                    "slice(w, 2, size(w) - 1), "
+                    "(a, b) -> struct(a as w1, b as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    # FIVE consumers read the bigram stream (three count branches, the
+    # total, the scoring join's probe side) -- persist so the corpus is
+    # tokenized and zipped into bigrams once, not five times
+    bg = persist_swap(spark, "bigram_stream", bg)
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
+    c2 = bg.groupBy("w2").agg(F.count("*").cast("bigint").alias("c2"))
+    tot = bg.agg(F.count("*").cast("bigint").alias("n"))
+    l2 = lambda e: f"cast(round(log2({e}) * 1000000) as bigint)"
+    lp = F.expr(f"{l2('4 * c1 * n')} - {l2('3 * c12 * n + c2 * c1')}")
+    px = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").cast("bigint").alias("s"),
+        )
+    )
+    xs = F.expr("s div n_bigrams").cast("bigint")
+    return px.select(
+        "doc_id",
+        "n_bigrams",
+        xs.alias("xent_scaled"),
+        (xs.cast("double") / F.lit(1000000.0)).alias("xent"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster-size statistics: the corpus-health histogram every
+# dedup run reports -- how many families of each size, how many docs
+# they tie up -- composed from the verified minhash pair machinery and
+# the same connected-components the group-level dedup queries use.
+# ---------------------------------------------------------------------------
+
+
+def _cluster_stats_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import _MINHASH_ORACLE
+
+    return f"""
+    with recursive pairs as ({_MINHASH_ORACLE}),
+    edges as (
+      select doc_a as u, doc_b as v from pairs
+      union
+      select doc_b as u, doc_a as v from pairs
+    ),
+    verts as (select distinct u from edges),
+    reach as (
+      select u, u as v from verts
+      union
+      select r.u, e.v from reach r join edges e on r.v = e.u
+    ),
+    comp as (select u as doc_id, min(v) as component from reach group by u),
+    sizes as (select component, cast(count(*) as bigint) as cluster_size
+              from comp group by component)
+    select cluster_size,
+           cast(count(*) as bigint) as n_clusters,
+           cast(sum(cluster_size) as bigint) as n_docs_total
+    from sizes group by cluster_size
+    """
+
+
+@_stage(
+    "pipeline_dedup_cluster_stats",
+    "Near-dup cluster-size histogram: verified MinHash+LSH pairs -> "
+    "connected components -> families per size and docs tied up -- the "
+    "dedup-run health report. Scale: composition of two verified "
+    "primitives (minhash_pairs' one banded shuffle; the byte-guarded "
+    "hybrid connected components), then a partial-aggregated histogram "
+    "over the per-component sizes.",
+    _cluster_stats_oracle(),
+    "dedup", "pipeline", "aggregate", "minhash",
+)
+def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.dedup_queries import (
+        _component_groups,
+        minhash_pairs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    pairs = minhash_pairs(spark, docs, slot="cluster_stats_sets").select(
+        "doc_a", "doc_b"
+    )
+    groups = _component_groups(pairs)
+    return groups.groupBy(
+        F.col("n_docs").alias("cluster_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("n_docs").cast("bigint").alias("n_docs_total"),
     )

@@ -133,6 +133,7 @@ _SANCTIONED_BNLJ = {
     "pipeline_token_budget_mix",  # 1-row corpus-totals broadcast
     "pipeline_ccnet_buckets",  # 1-row LM-total scalar broadcast
     "ev_rfm_segmentation",  # 1-row corpus-max-date scalar broadcast
+    "txt_bigram_perplexity",  # 1-row bigram-total scalar broadcast
 }
 
 
