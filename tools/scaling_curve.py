@@ -41,17 +41,42 @@ DEFAULT_QUERIES = [
 BASE = "/root/testdata/sf0.1"
 
 
+def _write_events_single_file(k: int, out_dir: str) -> None:
+    """xK events replica as a single parquet file (disjoint id shifts),
+    ts column copied with its physical type untouched."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(f"{BASE}/events.parquet")
+    parts = []
+    for i in range(k):
+        t2 = t.set_column(
+            t.schema.get_field_index("event_id"),
+            "event_id",
+            pc.add(t["event_id"], i * 1_000_000_000),
+        )
+        t2 = t2.set_column(
+            t2.schema.get_field_index("user_id"),
+            "user_id",
+            pc.add(t2["user_id"], i * 1_000_000),
+        )
+        parts.append(t2)
+    pq.write_table(pa.concat_tables(parts), f"{out_dir}/events.parquet")
+
+
 def build_scaled(spark, k: int, out_dir: str) -> None:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{BASE}/events.parquet")
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
 
-    doc_parts, emb_parts, ev_parts = [], [], []
+    doc_parts, emb_parts = [], []
     ord_parts, li_parts = [], []
     for i in range(k):
         # copy-prefix every word -> zero cross-copy token overlap, so each
@@ -88,16 +113,6 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
                     if shift
                     else F.col("embedding")
                 ).alias("embedding"),
-            )
-        )
-        ev_parts.append(
-            ev.select(
-                (F.col("event_id") + i * 1_000_000_000).alias("event_id"),
-                "ts",
-                (F.col("user_id") + i * 1_000_000).alias("user_id"),
-                "event_type",
-                "value",
-                "props",
             )
         )
         # disjoint key shifts keep every copy's co-purchase graph (and
@@ -141,9 +156,12 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     union_all(emb_parts).write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
-    union_all(ev_parts).write.mode("overwrite").parquet(
-        f"{out_dir}/events.parquet"
-    )
+    # events goes out as ONE parquet file via pyarrow (not a Spark
+    # directory): the streaming source (events_stream) sniffs the
+    # footer of a single file exactly like the driver-generated
+    # testdata, which makes the st_* tier curve-eligible; the original
+    # ts physical type (nanos or us) is preserved byte-for-byte
+    _write_events_single_file(k, out_dir)
     union_all(ord_parts).write.mode("overwrite").parquet(
         f"{out_dir}/orders.parquet"
     )
