@@ -180,3 +180,31 @@ def test_promote_registers_everything():
     finally:
         for name in set(REGISTRY) - before:
             del REGISTRY[name]
+
+
+def test_round6_promotion_rehearsal():
+    """Dry-run the round-6 promotion: promote() must register every
+    staged query without name clashes, ROUND6_WINDOW must be exactly the
+    50-slot driver window with every never-verified (staged) query
+    inside it, and every window name must resolve in the post-promotion
+    registry -- the same invariants tests/test_entry.py enforces on the
+    live PRIORITY, checked BEFORE round 6 flips the switch."""
+    from clueso_spark.plans.catalog import REGISTRY, all_queries
+    from clueso_spark.plans.staged_r6 import ROUND6_WINDOW, promote
+
+    pre = dict(all_queries())
+    try:
+        promote()
+        post = dict(REGISTRY)
+        assert set(post) == set(pre) | set(STAGED)
+        assert len(ROUND6_WINDOW) == 50
+        assert len(set(ROUND6_WINDOW)) == 50
+        # never-driver-verified queries must all sit inside the window
+        assert set(STAGED) <= set(ROUND6_WINDOW)
+        unresolvable = [n for n in ROUND6_WINDOW if n not in post]
+        assert not unresolvable, unresolvable
+    finally:
+        # promotion mutates the module-level registry; restore so test
+        # order can't leak staged names into the live-catalog tests
+        REGISTRY.clear()
+        REGISTRY.update(pre)
