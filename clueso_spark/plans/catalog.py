@@ -99,12 +99,16 @@ QUERY_MODULES = [
 #: (50 slots): 18 staged (never driver-verified, must enter) + the
 #: 2 r2 leftovers (profile_lineitem, sort_limit_top_orders) + 30 of the
 #: 37 r3-only greens = 50. Defer the 7 most trivial/stable r3 rows
-#: (suggested: ev_message_flatten, ev_result_projection,
-#: ev_version_filter, ev_isin_subpartitions, dedup_exact_summary,
-#: agg_approx_count_distinct, agg_approx_percentile -- fixed-projection
-#: / isin / single-agg shapes untouched since r2-r3) to round 7's
-#: window, which then has 45+ free slots for them plus any round-6 code
-#: changes.
+#: (staged_r6.ROUND6_LEFTOVERS: ev_message_flatten,
+#: ev_result_projection, ev_version_filter, ev_isin_subpartitions,
+#: dedup_exact_summary, agg_approx_count_distinct, agg_approx_percentile
+#: -- fixed-projection / isin / single-agg shapes untouched since
+#: r2-r3): round 6 copies that list into tests/test_entry.py
+#: ROTATION_LEFTOVERS (the stale-green invariant exempts only documented
+#: leftovers) and they head round 7's refresh cohort. At 152 registered
+#: queries the 50-slot window with a two-round horizon covers 150, so a
+#: standing ~7-name leftover debt is the honest steady state (the
+#: rehearsal test simulates and pins exactly this arithmetic).
 PRIORITY = [
     # (1) changed this round -- re-verify first
     "txt_perplexity_proxy",

@@ -76,12 +76,18 @@ def promote() -> None:
 
 
 #: Precomputed round-6 driver window (50 slots), executing the rotation
-#: policy with the cohorts known today: 16 staged (never verified, must
-#: enter) + the 2 r2 leftovers + 32 of the 37 r3-only greens; the 5
-#: deferred r3 rows are listed in catalog.py's round-6 note. Derived
-#: from CORRECTNESS_r01-04 + the committed r5 window; if round 5's
-#: driver artifact diverges from the committed PRIORITY prefix,
-#: recompute before use.
+#: policy with the cohorts known today: 18 staged (never verified, must
+#: enter) + the 2 r2 leftovers + 30 of the 37 r3-only greens. The 7
+#: deferred r3 rows (ROUND6_LEFTOVERS below) MUST be written into
+#: tests/test_entry.py ROTATION_LEFTOVERS when round 6 flips the window
+#: -- the stale-green invariant exempts only documented leftovers, and
+#: at 152 registered queries a 50-slot window with a two-round
+#: freshness horizon covers 150, so a standing ~7-name leftover debt is
+#: the honest arithmetic (it rolls forward each round; the alternative
+#: is relaxing the horizon to three rounds). Derived from
+#: CORRECTNESS_r01-04 + the committed r5 window; if round 5's driver
+#: artifact diverges from the committed PRIORITY prefix, recompute
+#: before use.
 ROUND6_WINDOW = [
     # staged tier (verification-first: never driver-verified)
     "txt_gopher_quality_rules",
@@ -138,6 +144,19 @@ ROUND6_WINDOW = [
     "mm_fixed_shape_features",
     "mm_modality_stats",
 ]
+
+#: the 7 r3-green rows the round-6 window cannot fit; round 6 copies
+#: this list into tests/test_entry.py ROTATION_LEFTOVERS (the invariant
+#: exemption), and they head round 7's refresh cohort
+ROUND6_LEFTOVERS = (
+    "ev_message_flatten",
+    "ev_result_projection",
+    "ev_version_filter",
+    "ev_isin_subpartitions",
+    "dedup_exact_summary",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+)
 
 
 # ---------------------------------------------------------------------------
@@ -699,6 +718,34 @@ def pipeline_length_filter_curve(
 
 _QC_KEEP_MIN = 350000  # keep if scaled score >= 0.35
 
+#: the fixed-weight linear score as a shared SQL fragment (DuckDB side);
+#: pipeline_dedup_keep_best's oracle embeds the same formula
+_QC_SCORE_SQL = (
+    "cast(round((2.0 * (len(list_filter(w, x -> x in ({sw})))::double"
+    " / len(w)) + 1.5 * (len(list_distinct(w))::double / len(w))"
+    " - 0.25 * ((lc - len(w) + 1)::double / len(w) - 4.5))"
+    " * 1000000) as bigint)"
+).format(sw=_SW)
+
+
+def _qc_score_scaled() -> "F.Column":
+    """The fixed-weight linear quality score (1e-6-scaled bigint) over a
+    tokenized documents relation with column ``w`` -- THE one definition
+    both txt_quality_classifier_proxy and pipeline_dedup_keep_best's
+    canonical selection use (a weight tweak must move both together)."""
+    n_tok = F.size("w")
+    sw_ratio = stopword_count("w").cast("double") / n_tok
+    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_tok
+    mwl = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    return F.round(
+        (
+            F.lit(2.0) * sw_ratio
+            + F.lit(1.5) * uniq_ratio
+            - F.lit(0.25) * (mwl - F.lit(4.5))
+        )
+        * F.lit(1000000.0)
+    ).cast("bigint")
+
 
 @_stage(
     "txt_quality_classifier_proxy",
@@ -732,18 +779,7 @@ def txt_quality_classifier_proxy(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
-    n_tok = F.size("w")
-    sw_ratio = stopword_count("w").cast("double") / n_tok
-    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_tok
-    mwl = (F.length("text") - n_tok + 1).cast("double") / n_tok
-    score = F.round(
-        (
-            F.lit(2.0) * sw_ratio
-            + F.lit(1.5) * uniq_ratio
-            - F.lit(0.25) * (mwl - F.lit(4.5))
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _qc_score_scaled()
     return docs.select(
         "doc_id",
         score.alias("score_scaled"),
@@ -820,6 +856,13 @@ def _containment_oracle_valid(sf_dir: str) -> bool:
     oracle_valid=_containment_oracle_valid,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOTE (round-6 consolidation): the block construction below
+    # mirrors dedup_queries._ngram_pairs (sets persist -> sketch ->
+    # _bucket_pairs -> two-sided attach) with only the metric/threshold
+    # differing. It is NOT factored into dedup_queries THIS round
+    # because that would change dedup_ngram_jaccard's code outside its
+    # verification window (rotation invariant); fold both onto one
+    # parameterized scorer when the ngram tier rotates in (round 6).
     from clueso_spark.plans.catalog import persist_swap
     from clueso_spark.plans.dedup_queries import (
         _bucket_pairs,
@@ -850,16 +893,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
     cont = inter / F.least(F.size("ws_a"), F.size("ws_b"))
     jac = inter / F.size(F.array_union("ws_a", "ws_b"))
+    # filter on the UNROUNDED score (the oracle does), round only in
+    # the output projection -- a true containment in [tau-5e-7, tau)
+    # would otherwise round up past the threshold on one engine only
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
+        .select("doc_a", "doc_b", cont.alias("c"), jac.alias("j"))
+        .where(F.col("c") >= _CONT_TAU)
         .select(
             "doc_a",
             "doc_b",
-            F.round(cont, 6).alias("containment"),
-            F.round(jac, 6).alias("jaccard"),
+            F.round("c", 6).alias("containment"),
+            F.round("j", 6).alias("jaccard"),
         )
-        .where(F.col("containment") >= _CONT_TAU)
     )
 
 
@@ -1028,10 +1075,7 @@ def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                       string_split(text, ' ') as w
                from documents),
     f as (select doc_id, source, n_chars, fp,
-                 cast(round((2.0 * (len(list_filter(w, x -> x in ({_SW})))::double / len(w))
-                             + 1.5 * (len(list_distinct(w))::double / len(w))
-                             - 0.25 * ((lc - len(w) + 1)::double / len(w) - 4.5))
-                            * 1000000) as bigint) as score
+                 {_QC_SCORE_SQL} as score
           from t),
     r as (select doc_id, source, n_chars, score,
                  row_number() over (partition by fp
@@ -1050,18 +1094,7 @@ def txt_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
-    n_tok = F.size("w")
-    sw_ratio = stopword_count("w").cast("double") / n_tok
-    uniq_ratio = F.size(F.array_distinct("w")).cast("double") / n_tok
-    mwl = (F.length("text") - n_tok + 1).cast("double") / n_tok
-    score = F.round(
-        (
-            F.lit(2.0) * sw_ratio
-            + F.lit(1.5) * uniq_ratio
-            - F.lit(0.25) * (mwl - F.lit(4.5))
-        )
-        * F.lit(1000000.0)
-    ).cast("bigint")
+    score = _qc_score_scaled()
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     w = Window.partitionBy("fp").orderBy(F.col("score").desc(), "doc_id")
     r = docs.select(
@@ -1429,10 +1462,20 @@ def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_co_orders",
             "deg_a",
             "deg_b",
-            F.round(jac, 6).alias("jaccard"),
+            jac.alias("j"),
         )
-        .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
+        # rank/limit on the UNROUNDED similarity (as the oracle does);
+        # round only in the final projection
+        .orderBy(F.col("j").desc(), "part_a", "part_b")
         .limit(_NODE_SIM_TOP)
+        .select(
+            "part_a",
+            "part_b",
+            "n_co_orders",
+            "deg_a",
+            "deg_b",
+            F.round("j", 6).alias("jaccard"),
+        )
     )
 
 
@@ -1663,8 +1706,7 @@ def txt_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1 = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c1"))
     c2 = bg.groupBy("w2").agg(F.count("*").cast("bigint").alias("c2"))
     tot = bg.agg(F.count("*").cast("bigint").alias("n"))
-    l2 = lambda e: f"cast(round(log2({e}) * 1000000) as bigint)"
-    lp = F.expr(f"{l2('4 * c1 * n')} - {l2('3 * c12 * n + c2 * c1')}")
+    lp = F.expr(f"{_l2('4 * c1 * n')} - {_l2('3 * c12 * n + c2 * c1')}")
     px = (
         bg.join(c12, ["w1", "w2"])
         .join(c1, "w1")

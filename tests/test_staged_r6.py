@@ -186,11 +186,23 @@ def test_round6_promotion_rehearsal():
     """Dry-run the round-6 promotion: promote() must register every
     staged query without name clashes, ROUND6_WINDOW must be exactly the
     50-slot driver window with every never-verified (staged) query
-    inside it, and every window name must resolve in the post-promotion
-    registry -- the same invariants tests/test_entry.py enforces on the
-    live PRIORITY, checked BEFORE round 6 flips the switch."""
-    from clueso_spark.plans.catalog import REGISTRY, all_queries
-    from clueso_spark.plans.staged_r6 import ROUND6_WINDOW, promote
+    inside it, every window name must resolve in the post-promotion
+    registry, AND -- the part a name check alone misses -- the
+    stale-green aging invariant (test_entry.py's
+    test_no_query_outside_window_has_stale_green) must CLOSE under the
+    planned window + ROUND6_LEFTOVERS, simulating round 5's artifact as
+    the committed PRIORITY prefix."""
+    from clueso_spark.plans.catalog import (
+        PRIORITY,
+        REGISTRY,
+        all_queries,
+    )
+    from clueso_spark.plans.staged_r6 import (
+        ROUND6_LEFTOVERS,
+        ROUND6_WINDOW,
+        promote,
+    )
+    from tests.test_entry import _latest_green_rounds
 
     pre = dict(all_queries())
     try:
@@ -203,6 +215,21 @@ def test_round6_promotion_rehearsal():
         assert set(STAGED) <= set(ROUND6_WINDOW)
         unresolvable = [n for n in ROUND6_WINDOW if n not in post]
         assert not unresolvable, unresolvable
+        # aging invariant under the plan: simulate CORRECTNESS_r05 as
+        # the committed 50-slot PRIORITY prefix, then require every
+        # post-promotion query outside the round-6 window to be fresh
+        # (green in round >= max-1 = 4) or a documented leftover
+        latest, _ = _latest_green_rounds()
+        for n in PRIORITY[:50]:
+            latest[n] = 5
+        stale = [
+            n
+            for n in post
+            if n not in set(ROUND6_WINDOW)
+            and n not in ROUND6_LEFTOVERS
+            and latest.get(n, 0) < 4
+        ]
+        assert not stale, stale
     finally:
         # promotion mutates the module-level registry; restore so test
         # order can't leak staged names into the live-catalog tests
