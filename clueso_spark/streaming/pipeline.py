@@ -19,6 +19,26 @@ from clueso_spark.sources.store import MetadataStore
 from clueso_spark.streaming.ingest import parse_events
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The exact option map the Kafka source is configured with
+    (ref: MetadataIngestionPipeline.scala:162-168 sets the same four:
+    bootstrap servers, subscribed topic, earliest offsets, tolerate
+    retention-expired offsets). Pure so the wiring is unit-testable in
+    environments with no broker or connector jar -- the sandbox runs
+    every pipeline test through the file-source stand-in, exactly as
+    the reference's own tests do (CluesoMergingAndQueryingSpec:34-38)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "failOnDataLoss": "false",
+    }
+
+
 def kafka_event_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -28,10 +48,9 @@ def kafka_event_stream(
     """Kafka source (ref: MetadataIngestionPipeline.scala:162-168)."""
     return (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("failOnDataLoss", "false")
+        .options(
+            **kafka_source_options(bootstrap_servers, topic, starting_offsets)
+        )
         .load()
     )
 

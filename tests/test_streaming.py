@@ -96,3 +96,21 @@ def test_exactly_once_and_full_lifecycle(spark, store, tmp_path):
         MetadataQuery(b, "userMd.`x-amz-meta-v` = '2'")
     ).collect()
     assert [r["key"] for r in updated] == ["k1"]
+
+
+def test_kafka_source_options_reference_parity():
+    """The Kafka wiring (unexercisable here: no broker/connector in the
+    sandbox) is pinned at the option-map level against the reference's
+    source config (MetadataIngestionPipeline.scala:162-168): subscribe
+    by topic, earliest offsets by default, survive retention-expired
+    offsets instead of failing the query."""
+    from clueso_spark.streaming.pipeline import kafka_source_options
+
+    opts = kafka_source_options("broker1:9092,broker2:9092", "metadata-topic")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "metadata-topic",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_source_options("b", "t", "latest")["startingOffsets"] == "latest"
