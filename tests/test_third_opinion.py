@@ -1,0 +1,148 @@
+"""Third-opinion checks for the math-heaviest staged operators.
+
+The parity gate proves Spark == DuckDB; if BOTH engines encoded the same
+conceptual mistake (a mis-derived formula shared by the query and its
+oracle), parity would still pass. These tests recompute the results a
+THIRD way -- pure Python over pyarrow-read rows, written independently
+from first principles (Counter-based counts, math.log2) -- and require
+the Spark output to match exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from clueso_spark.plans.staged_r6 import STAGED
+
+SF = "/root/testdata/sf0.001"
+
+
+def _l(x: int) -> int:
+    """The engines' scaled log2: round(log2(x) * 1e6) as int."""
+    return round(math.log2(x) * 1_000_000)
+
+
+@pytest.fixture(scope="module")
+def docs():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    return list(
+        zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    )
+
+
+def _int_div(a: int, b: int) -> int:
+    """Spark `div` / DuckDB `//`: floor division for positive operands
+    (all uses here are non-negative)."""
+    return a // b
+
+
+def test_char_entropy_third_opinion(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_chars_total"], r["entropy_scaled"])
+        for r in STAGED["txt_char_entropy"].spark(spark, SF).collect()
+    }
+    for doc_id, text in docs:
+        n = len(text)
+        if n == 0:
+            assert doc_id not in got
+            continue
+        counts = Counter()
+        for ch in text:
+            if "a" <= ch <= "z":
+                counts[ch] += 1
+            elif ch == " ":
+                counts[" "] += 1
+            else:
+                counts["<other>"] += 1
+        s = sum(c * _l(c) for c in counts.values() if c > 0)
+        expect = _int_div(n * _l(n) - s, n)
+        assert got[doc_id] == (n, expect), doc_id
+
+
+def test_zipf_slope_third_opinion(spark, docs):
+    tf = Counter()
+    for _, text in docs:
+        tf.update(text.split(" "))
+    top = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+    xs, ys = [], []
+    for rank, (_, c) in enumerate(top, start=1):
+        xs.append(_l(rank))
+        ys.append(_l(c))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / (n * 1_000_000.0)
+    row = STAGED["txt_zipf_slope"].spark(spark, SF).collect()[0]
+    assert row["n_terms"] == n
+    assert row["slope"] == round(slope, 6)
+    assert row["intercept_log2"] == round(intercept, 6)
+
+
+def test_bigram_perplexity_third_opinion(spark, docs):
+    per_doc_bigrams: dict[int, list[tuple[str, str]]] = {}
+    all_bigrams: list[tuple[str, str]] = []
+    for doc_id, text in docs:
+        w = text.split(" ")
+        bgs = list(zip(w, w[1:]))
+        if bgs:
+            per_doc_bigrams[doc_id] = bgs
+            all_bigrams.extend(bgs)
+    c12 = Counter(all_bigrams)
+    c1 = Counter(b[0] for b in all_bigrams)
+    c2 = Counter(b[1] for b in all_bigrams)
+    n_tot = len(all_bigrams)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["xent_scaled"])
+        for r in STAGED["txt_bigram_perplexity"].spark(spark, SF).collect()
+    }
+    assert set(got) == set(per_doc_bigrams)
+    for doc_id, bgs in per_doc_bigrams.items():
+        s = 0
+        for b in bgs:
+            num = 3 * c12[b] * n_tot + c2[b[1]] * c1[b[0]]
+            den = 4 * c1[b[0]] * n_tot
+            s += _l(den) - _l(num)
+        assert got[doc_id] == (len(bgs), _int_div(s, len(bgs))), doc_id
+
+
+def test_ccnet_buckets_third_opinion(spark, docs):
+    tf = Counter()
+    doc_tokens = {}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        doc_tokens[doc_id] = w
+        tf.update(w)
+    n_total = sum(tf.values())
+    l_total = _l(n_total)
+    n_chars = {
+        t[0]: t[1]
+        for t in zip(
+            pq.read_table(f"{SF}/documents.parquet")["doc_id"].to_pylist(),
+            pq.read_table(f"{SF}/documents.parquet")["n_chars"].to_pylist(),
+        )
+    }
+    bands = Counter()
+    chars = Counter()
+    checksum = Counter()
+    for doc_id, w in doc_tokens.items():
+        n = len(w)
+        s = sum(_l(tf[t]) for t in w)
+        xent = (n * l_total - s) / (n * 1_000_000.0)
+        xent_scaled = _int_div(n * l_total - s, n)
+        band = "head" if xent < 4.905 else ("middle" if xent < 4.910 else "tail")
+        bands[band] += 1
+        chars[band] += n_chars[doc_id]
+        checksum[band] += xent_scaled
+    rows = {
+        r["band"]: (r["n_docs"], r["n_chars"], r["xent_checksum"])
+        for r in STAGED["pipeline_ccnet_buckets"].spark(spark, SF).collect()
+    }
+    assert rows == {
+        b: (bands[b], chars[b], checksum[b]) for b in bands
+    }
