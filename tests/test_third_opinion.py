@@ -146,3 +146,79 @@ def test_ccnet_buckets_third_opinion(spark, docs):
     assert rows == {
         b: (bands[b], chars[b], checksum[b]) for b in bands
     }
+
+
+def test_simhash_sketch_third_opinion(spark, docs):
+    """The 16-bit word-set simhash (the blocking key under dedup_simhash,
+    dedup_ngram_jaccard, dedup_containment), re-derived with hashlib:
+    bit j weights +1/-1 by whether nibble j of each distinct word's md5
+    is >= 8."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from clueso_spark.plans.dedup_queries import _simhash_sketches
+    from clueso_spark.sources.tables import load_table
+
+    rel = load_table(spark, SF, "documents").withColumn(
+        "w", F.split(F.col("text"), " ")
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_sketches(rel).collect()
+    }
+    for doc_id, text in docs:
+        words = set(text.split(" "))
+        sums = [0] * 16
+        for wd in words:
+            hx = hashlib.md5(wd.encode()).hexdigest()
+            for j in range(16):
+                sums[j] += 1 if int(hx[j], 16) >= 8 else -1
+        expect = "".join("1" if s >= 0 else "0" for s in sums)
+        assert got[doc_id] == expect, doc_id
+
+
+def test_minhash_band_sigs_third_opinion(spark, docs):
+    """The 8 r=2 banded minhash signatures (dedup_minhash_lsh, the
+    funnel's embedded stage, dedup_incremental_minhash), re-derived with
+    hashlib: 4 salted md5s per 3-shingle -> 16 8-hex slice minima
+    ('g' = +inf) -> adjacent minima concatenated per band."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from clueso_spark.plans.dedup_queries import minhash_band_sigs
+    from clueso_spark.sources.tables import load_table
+    from clueso_spark.functions.text import word_shingles
+
+    rel = (
+        load_table(spark, SF, "documents")
+        .withColumn("w", F.split(F.col("text"), " "))
+        .where(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles("w", 3)).alias("ss"),
+        )
+        .select("doc_id", minhash_band_sigs().alias("sigs"))
+    )
+    got = {r["doc_id"]: r["sigs"] for r in rel.collect()}
+    for doc_id, text in docs:
+        w = text.split(" ")
+        if len(w) < 3:
+            assert doc_id not in got
+            continue
+        shingles = list(dict.fromkeys(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        ))
+        minima = ["g"] * 16
+        for s in shingles:
+            hx = "".join(
+                hashlib.md5((salt + s).encode()).hexdigest()
+                for salt in ("", "~", "#", "@")
+            )
+            for k in range(16):
+                sl = hx[k * 8 : k * 8 + 8]
+                if sl < minima[k]:
+                    minima[k] = sl
+        expect = [minima[2 * b] + minima[2 * b + 1] for b in range(8)]
+        assert got[doc_id] == expect, doc_id
