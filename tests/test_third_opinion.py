@@ -222,3 +222,67 @@ def test_minhash_band_sigs_third_opinion(spark, docs):
                     minima[k] = sl
         expect = [minima[2 * b] + minima[2 * b + 1] for b in range(8)]
         assert got[doc_id] == expect, doc_id
+
+
+def test_lsh_bucket_third_opinion(spark):
+    """The random-hyperplane bucket (every sim_*/dedup_embedding path),
+    re-derived in Python: weight[p][d] = nibble(md5(f"{p}_{d}")[0]) - 7.5,
+    signed projection in the same left-to-right IEEE order."""
+    import hashlib
+
+    from clueso_spark.functions.vectors import lsh_bucket
+    from clueso_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", lsh_bucket("embedding", 4, 64).alias("bucket")
+    )
+    got = {r["vec_id"]: r["bucket"] for r in emb.collect()}
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = dict(
+        zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    )
+    weights = [
+        [
+            int(hashlib.md5(f"{p}_{d}".encode()).hexdigest()[0], 16) - 7.5
+            for d in range(64)
+        ]
+        for p in range(4)
+    ]
+    for vec_id, v in vecs.items():
+        bits = ""
+        for p in range(4):
+            acc = 0.0
+            for d in range(64):
+                acc = acc + weights[p][d] * v[d]
+            bits += "1" if acc >= 0 else "0"
+        assert got[vec_id] == bits, vec_id
+
+
+def test_bruteforce_cosine_third_opinion(spark):
+    """sim_bruteforce_topk's exact cosines, re-derived in Python with the
+    identical sequential-fold IEEE order (float elements promote to
+    double exactly)."""
+    import math as m
+
+    from clueso_spark.plans.similarity_queries import sim_bruteforce_topk
+
+    rows = sim_bruteforce_topk(spark, SF).collect()
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    vecs = dict(zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()))
+
+    def cos(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return acc / (m.sqrt(na) * m.sqrt(nb))
+
+    assert rows, "bruteforce top-k returned nothing"
+    for r in rows:
+        expect = round(cos(vecs[r["probe_id"]], vecs[r["vec_id"]]), 6)
+        assert r["cosine"] == expect, (r["probe_id"], r["vec_id"])
