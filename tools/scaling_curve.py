@@ -75,9 +75,13 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    cust = spark.read.parquet(f"{BASE}/customer.parquet")
+    supp = spark.read.parquet(f"{BASE}/supplier.parquet")
+    part = spark.read.parquet(f"{BASE}/part.parquet")
 
     doc_parts, emb_parts = [], []
     ord_parts, li_parts = [], []
+    cust_parts, supp_parts, part_parts = [], [], []
     for i in range(k):
         # copy-prefix every word -> zero cross-copy token overlap, so each
         # copy carries its own duplicate clusters (workload ~ linear in K)
@@ -119,28 +123,34 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
         # per-order baskets) separate, so graph workloads grow linearly
         # in K instead of densifying one merged graph
         ord_parts.append(
-            orders.select(
-                (F.col("o_orderkey") + i * 100_000_000).alias("o_orderkey"),
-                (F.col("o_custkey") + i * 10_000_000).alias("o_custkey"),
-                "o_orderstatus",
-                "o_totalprice",
-                "o_orderdate",
-                "o_orderpriority",
-            )
+            orders.withColumn(
+                "o_orderkey", F.col("o_orderkey") + i * 100_000_000
+            ).withColumn("o_custkey", F.col("o_custkey") + i * 10_000_000)
         )
         li_parts.append(
-            li.select(
-                (F.col("l_orderkey") + i * 100_000_000).alias("l_orderkey"),
-                (F.col("l_partkey") + i * 10_000_000).alias("l_partkey"),
-                (F.col("l_suppkey") + i * 1_000_000).alias("l_suppkey"),
-                "l_linenumber",
-                "l_quantity",
-                "l_extendedprice",
-                "l_discount",
-                "l_tax",
-                "l_returnflag",
-                "l_linestatus",
-                "l_shipdate",
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + i * 100_000_000
+            )
+            .withColumn("l_partkey", F.col("l_partkey") + i * 10_000_000)
+            .withColumn("l_suppkey", F.col("l_suppkey") + i * 1_000_000)
+        )
+
+        # dims scale with the fact tables: shift keys into the ranges
+        # the scaled orders/lineitem reference (nation/region are FIXED
+        # dimensions -- 25/5 rows at any corpus size -- copied verbatim)
+        cust_parts.append(
+            cust.withColumn(
+                "c_custkey", F.col("c_custkey") + i * 10_000_000
+            )
+        )
+        supp_parts.append(
+            supp.withColumn(
+                "s_suppkey", F.col("s_suppkey") + i * 1_000_000
+            )
+        )
+        part_parts.append(
+            part.withColumn(
+                "p_partkey", F.col("p_partkey") + i * 10_000_000
             )
         )
 
@@ -168,6 +178,19 @@ def build_scaled(spark, k: int, out_dir: str) -> None:
     union_all(li_parts).write.mode("overwrite").parquet(
         f"{out_dir}/lineitem.parquet"
     )
+    union_all(cust_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
+    )
+    union_all(supp_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/supplier.parquet"
+    )
+    union_all(part_parts).write.mode("overwrite").parquet(
+        f"{out_dir}/part.parquet"
+    )
+    for fixed in ("nation", "region"):
+        spark.read.parquet(f"{BASE}/{fixed}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{fixed}.parquet")
 
 
 def build_skewed(spark, k: int, out_dir: str) -> None:
