@@ -1,0 +1,129 @@
+"""Scale-safe global ordered computations.
+
+A ``Window.orderBy(...)`` with no ``partitionBy`` funnels the ENTIRE
+relation through one task (Spark warns ``WindowExec: No Partition
+Defined``) -- the classic 100 TB serialization trap. The helpers here
+compute the same exact results with every stage partitioned:
+
+  1. range-repartition on the order key (Spark's RangePartitioner gives
+     contiguous, sorted key ranges per partition);
+  2. per-partition running sums via a window PARTITIONED BY the physical
+     partition id (parallel: each group is one range);
+  3. per-partition totals (tiny: one row per partition) exploded into
+     prefix contributions -- partition p's total feeds every partition
+     after it -- aggregated into per-partition offsets and broadcast
+     back.
+
+The result is independent of WHERE the range boundaries fall (offsets
+are computed from the actual per-partition sums), so the
+RangePartitioner's sampled, run-varying boundaries never affect values
+-- only the physical split. Requires a total order: ``order_cols`` must
+be duplicate-free across rows (use a unique tie-breaker column), so no
+tie group can straddle a boundary.
+
+Cost at scale: two full exchanges of the relation (range + pid hash)
+plus one broadcast of a #partitions-row offset table -- every stage
+parallel, vs. the single-partition window's one-task sort of the world.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranged_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum of ``value_col`` (non-null) over the total
+    order given by ``order_cols`` (must be unique per row), inclusive of
+    the current row -- semantically identical to
+    ``sum(value_col) over (order by order_cols rows unbounded preceding)``
+    but with no single-partition stage."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *order_cols).withColumn(
+        "__rc_pid", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__rc_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = ranged.withColumn("__rc_local", F.sum(value_col).over(w))
+    totals = local.groupBy("__rc_pid").agg(
+        F.sum(value_col).alias("__rc_tot")
+    )
+    # partition p contributes its total to every LATER partition: an
+    # equi-joinable explode (p+1 .. n-1), never a non-equi BNLJ; the
+    # contribution table is <= P^2/2 rows for P partitions
+    contrib = totals.select(
+        F.explode(
+            F.when(
+                F.col("__rc_pid") + 1 <= F.lit(n - 1),
+                F.sequence(F.col("__rc_pid") + 1, F.lit(n - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__rc_tpid"),
+        "__rc_tot",
+    )
+    offsets = contrib.groupBy("__rc_tpid").agg(
+        F.sum("__rc_tot").alias("__rc_off")
+    )
+    return (
+        local.join(
+            F.broadcast(offsets),
+            local["__rc_pid"] == offsets["__rc_tpid"],
+            "left",
+        )
+        .withColumn(
+            out_col,
+            F.col("__rc_local")
+            + F.coalesce(F.col("__rc_off"), F.lit(0)),
+        )
+        .drop("__rc_pid", "__rc_local", "__rc_tpid", "__rc_off")
+    )
+
+
+def ranged_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global 1-based row number over the total order given by
+    ``order_cols`` (must be unique per row) -- semantically
+    ``row_number() over (order by order_cols)`` without the
+    single-partition window."""
+    out = ranged_cumsum(
+        df.withColumn("__rc_one", F.lit(1)),
+        order_cols,
+        "__rc_one",
+        out_col,
+        num_partitions,
+    )
+    return out.withColumn(out_col, F.col(out_col).cast("bigint")).drop(
+        "__rc_one"
+    )
+
+
+def ntile_from_rank(rank_col: str, n_col: str, k: int):
+    """Column expression: exact ``ntile(k)`` bucket from a 1-based
+    global rank and the relation's total row count -- SQL ntile
+    semantics (first ``n mod k`` buckets take the extra row), computed
+    by comparison instead of a global window. With q = n div k and
+    r = n mod k: ranks 1..r*(q+1) land in buckets of size q+1; the rest
+    in buckets of size q (when q = 0 every rank is in the first branch,
+    so the q-divisor is never hit on n < k)."""
+    q = f"({n_col} div {k})"
+    r = f"({n_col} % {k})"
+    big = f"({r} * ({q} + 1))"  # rows covered by the (q+1)-sized buckets
+    return F.expr(
+        f"cast(case when {rank_col} <= {big} "
+        f"then ({rank_col} - 1) div ({q} + 1) + 1 "
+        f"else {r} + (({rank_col} - 1 - {big}) div {q}) + 1 "
+        f"end as bigint)"
+    )

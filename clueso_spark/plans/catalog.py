@@ -72,101 +72,64 @@ QUERY_MODULES = [
     "clueso_spark.plans.similarity_queries",
     "clueso_spark.plans.multimodal_queries",
     "clueso_spark.plans.streaming_queries",
+    # round 6: the formerly-staged tier is promoted -- the module calls
+    # staged_r6.promote() at import, landing all 18 in REGISTRY
+    "clueso_spark.plans.staged_r6",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-5 rotation, executing the round-4 policy
-#: as written ("promote (a) anything new/changed, then (b) the entries
-#: whose last driver row is OLDEST, demoting the freshest greens"):
-#: (1) the five queries whose code changed this round -- the vocab
-#: broadcasts un-forced (txt_perplexity_proxy, txt_tfidf_topk_similar,
-#: pipeline_pretraining_funnel), the minhash core refactored to accept a
-#: shared token relation (dedup_minhash_lsh), and the connected-
-#: components byte-guard/dtype changes (dedup_connected_components);
-#: (2) 45 of the 47 queries whose only green row is from r2 (the
-#: relational/setop/scalar/window/subquery tier), refreshing the oldest
-#: rows in the union. The two r2 leftovers (profile_lineitem,
-#: sort_limit_top_orders -- the two most trivial plans, untouched since
-#: r2) sit first past the boundary for round-6 promotion, followed by
-#: the r3 greens (next-oldest, round-6's refresh cohort) and the
-#: freshest r4 greens last. Union stays 134/134 with no row older than
-#: two rounds; tests/test_entry.py pins both invariants mechanically.
-#: Round-6 note: EIGHTEEN staged operators (plans/staged_r6.py, pytest
-#: parity-gated at two SFs) await promotion -- call staged_r6.promote()
-#: and list them HERE at the top of the window (staged_r6.ROUND6_WINDOW
-#: is the precomputed 50-name list). Concrete round-6 window math
-#: (50 slots): 18 staged (never driver-verified, must enter) + the
-#: 2 r2 leftovers (profile_lineitem, sort_limit_top_orders) + 30 of the
-#: 37 r3-only greens = 50. Defer the 7 most trivial/stable r3 rows
-#: (staged_r6.ROUND6_LEFTOVERS: ev_message_flatten,
-#: ev_result_projection, ev_version_filter, ev_isin_subpartitions,
-#: dedup_exact_summary, agg_approx_count_distinct, agg_approx_percentile
-#: -- fixed-projection / isin / single-agg shapes untouched since
-#: r2-r3): round 6 copies that list into tests/test_entry.py
-#: ROTATION_LEFTOVERS (the stale-green invariant exempts only documented
-#: leftovers) and they head round 7's refresh cohort. At 152 registered
-#: queries the 50-slot window with a two-round horizon covers 150, so a
-#: standing ~7-name leftover debt is the honest steady state (the
-#: rehearsal test simulates and pins exactly this arithmetic).
+#: part of the contract. Round-6 rotation, executing the standing policy
+#: ("promote (a) anything new/changed, then (b) the entries whose last
+#: driver row is OLDEST, demoting the freshest greens"):
+#: (1) the four queries whose CODE changed this round -- the
+#: sim_mmr_rerank greedy-loop fusion (9 eager jobs -> 2), the
+#: pipeline_sequence_packing de-globalized cumsum (range-partitioned
+#: prefix sums instead of a single-partition window), the
+#: ev_rfm_segmentation de-globalized ntiles (same idiom), and the
+#: pipeline_pretraining_funnel cold-start persist sizing;
+#: (2) the 17 remaining staged operators (plans/staged_r6.py,
+#: never driver-verified -- the rotation invariant REQUIRES them in the
+#: window the round they register);
+#: (3) the 2 r2 leftovers (profile_lineitem, sort_limit_top_orders --
+#: oldest greens anywhere, documented leftovers since round 5);
+#: (4) 27 of the 37 r3-only greens (next-oldest cohort).
+#: Window math: 4 + 17 + 2 + 27 = 50. The leftover debt grows to 9
+#: (round-5's seven + mm_modality_stats + window_time_range_frame, the
+#: two most trivial/stable r3 rows bumped to make room for the changed
+#: cohort); tests/test_entry.py ROTATION_LEFTOVERS documents all nine
+#: and they head round 7's refresh cohort. At 152 registered queries a
+#: 50-slot window with a two-round freshness horizon leaves a standing
+#: ~9-name leftover debt -- the honest steady state, rolled forward
+#: explicitly each round rather than hidden by a looser horizon.
 PRIORITY = [
     # (1) changed this round -- re-verify first
-    "txt_perplexity_proxy",
-    "txt_tfidf_topk_similar",
+    "sim_mmr_rerank",
+    "pipeline_sequence_packing",
+    "ev_rfm_segmentation",
     "pipeline_pretraining_funnel",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    # (2) oldest greens: only driver row is r2 -- refresh 45 of 47
-    "ev_latest_no_tombstone",
-    "ev_latest_dense_rank",
-    "ev_predicate_search",
-    "ev_keyset_page",
-    "ev_json_props",
-    "ev_hourly_rollup",
-    "ev_pivot_user_activity",
-    "ev_range_join_attribution",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_nation_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_shipmode",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "join_inner_big_orders",
-    "join_left_order_counts",
-    "join_semi_urgent_customers",
-    "join_anti_no_urgent_orders",
-    "join_full_outer_nation_profile",
-    "agg_cube_flag_status",
-    "agg_rollup_priority_status",
-    "agg_grouping_sets",
-    "agg_distinct_counts",
-    "agg_price_histogram",
-    "window_rank_top_balances",
-    "window_ntile_quartiles",
-    "window_lag_reorder_gap",
-    "window_rolling_spend",
-    "setop_union_schema_aligned",
-    "setop_intersect_buyers",
-    "setop_intersect_all_multiset",
-    "setop_except_urgent_only",
-    "subquery_above_avg",
-    "subquery_exists_not_exists",
-    "scalar_function_showcase",
-    "scalar_date_functions",
-    "scalar_null_semantics",
-    "unpivot_lineitem_measures",
-    "pipeline_quality_audit",
-    # --- window boundary (50) ----------------------------------------
-    # r2 leftovers: first in line for round 6
+    # (2) the promoted staged tier: never driver-verified, must enter
+    "txt_gopher_quality_rules",
+    "pipeline_ccnet_buckets",
+    "sim_knn_join",
+    "pipeline_token_budget_mix",
+    "txt_zipf_slope",
+    "pipeline_length_filter_curve",
+    "txt_quality_classifier_proxy",
+    "dedup_containment",
+    "txt_char_entropy",
+    "txt_lexical_diversity",
+    "pipeline_dedup_keep_best",
+    "sim_range_search",
+    "st_windowed_topk",
+    "graph_node_similarity",
+    "dedup_incremental_minhash",
+    "txt_bigram_perplexity",
+    "pipeline_dedup_cluster_stats",
+    # (3) r2 leftovers: oldest greens anywhere
     "profile_lineitem",
     "sort_limit_top_orders",
-    # r3 greens: next-oldest, round-6 refresh cohort
+    # (4) r3 greens: next-oldest refresh cohort (27 of 37)
     "sim_ivf_cells",
     "sim_kmeans_lloyd",
     "sim_pq_codes",
@@ -181,8 +144,6 @@ PRIORITY = [
     "txt_langid_heuristic",
     "pipeline_train_test_split",
     "pipeline_doc_chunking",
-    "pipeline_sequence_packing",
-    "dedup_exact_summary",
     "st_dedup_replay",
     "st_session_windows",
     "st_stream_stream_join",
@@ -194,16 +155,21 @@ PRIORITY = [
     "ev_sessionize",
     "ev_asof_last_purchase",
     "ev_gap_fill_forward",
-    "ev_version_filter",
-    "ev_message_flatten",
-    "ev_result_projection",
-    "ev_isin_subpartitions",
-    "window_time_range_frame",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
     "mm_frame_sample",
     "mm_fixed_shape_features",
-    # r4 greens: freshest, rotate last (remainder keeps registration
+    # --- window boundary (50) ----------------------------------------
+    # round-7 head: the 9 documented leftovers (oldest rows after this
+    # round's refresh), then the r4/r5 greens in registration order
+    "ev_message_flatten",
+    "ev_result_projection",
+    "ev_version_filter",
+    "ev_isin_subpartitions",
+    "dedup_exact_summary",
+    "agg_approx_count_distinct",
+    "agg_approx_percentile",
+    "mm_modality_stats",
+    "window_time_range_frame",
+    # r4/r5 greens: freshest, rotate last (remainder keeps registration
     # order after this block -- nothing is dropped)
 ]
 

@@ -720,21 +720,22 @@ group by pack_id
     "pipeline_sequence_packing",
     "Sequence packing into 4096-token context windows: deterministic "
     "contiguous packing by doc_id order -- each doc joins the pack its "
-    "cumulative start offset falls in (one window cumsum + one "
-    "aggregate; integer math end to end). The packing layout step before "
-    "training-shard writes; at 100 TB the cumsum runs per shard/"
-    "partition, not globally.",
+    "cumulative start offset falls in (integer math end to end). The "
+    "cumsum is the scale-safe ranged form (functions/ordered.py): "
+    "range-repartition on doc_id, per-partition running sums, broadcast "
+    "prefix offsets -- identical values to a global window cumsum with "
+    "NO single-partition stage, so the packing layout step before "
+    "training-shard writes parallelizes at 100 TB.",
     PACKING_ORACLE,
     "pipeline", "text", "packing",
 )
 def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from clueso_spark.functions.ordered import ranged_cumsum
 
     t = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    c = ranged_cumsum(t, ["doc_id"], "n_tokens", "cum")
     return (
         c.withColumn(
             "pack_id", F.expr("(cum - n_tokens) div 4096").cast("bigint")

@@ -99,6 +99,12 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "sim_ivf_nprobe_curve",  # K centroids + probe fanout broadcast
         "sim_mmr_rerank",  # probes broadcast for the shortlist build
         "pipeline_pretraining_funnel",  # 1-row LM-total + min-stratum broadcasts
+        # round-6 promoted tier (formerly test_staged_r6._SANCTIONED_BNLJ)
+        "pipeline_length_filter_curve",  # 7-row literal ladder broadcast
+        "pipeline_token_budget_mix",  # 1-row corpus-totals broadcast
+        "pipeline_ccnet_buckets",  # 1-row LM-total scalar broadcast
+        "ev_rfm_segmentation",  # 1-row max-date + 1-row user-count broadcasts
+        "txt_bigram_perplexity",  # 1-row bigram-total scalar broadcast
     }
     offenders = {}
     for name, cq in registry.items():

@@ -157,81 +157,56 @@ def test_staged_plan_shapes(spark):
     assert not offenders, offenders
 
 
-def test_staged_names_do_not_collide_with_registry():
+def test_promotion_is_live():
+    """Round 6 executed the promotion: every staged query must be IN the
+    live registry (same object, oracle intact) -- staged_r6 is in
+    QUERY_MODULES and promote() runs at import."""
     from clueso_spark.plans.catalog import all_queries
 
-    live = set(all_queries())
-    overlap = live & set(STAGED)
-    assert not overlap, overlap
-
-
-def test_promote_registers_everything():
-    """promote() (the round-6 hook) must land every staged query in the
-    live registry with its oracle intact; undone afterwards so this
-    round's registry (and the rotation invariants) stay untouched."""
+    live = all_queries()
+    for name, cq in STAGED.items():
+        assert live.get(name) is cq, name
+        assert cq.oracle is None or "select" in cq.oracle.lower()
+    # idempotence: a second promote() must not change the registry
     from clueso_spark.plans.catalog import REGISTRY
 
-    before = set(REGISTRY)
-    try:
-        promote()
-        for name, cq in STAGED.items():
-            assert REGISTRY[name] is cq
-            assert cq.oracle is None or "select" in cq.oracle.lower()
-    finally:
-        for name in set(REGISTRY) - before:
-            del REGISTRY[name]
+    before = dict(REGISTRY)
+    promote()
+    assert REGISTRY == before
 
 
-def test_round6_promotion_rehearsal():
-    """Dry-run the round-6 promotion: promote() must register every
-    staged query without name clashes, ROUND6_WINDOW must be exactly the
-    50-slot driver window with every never-verified (staged) query
-    inside it, every window name must resolve in the post-promotion
-    registry, AND -- the part a name check alone misses -- the
-    stale-green aging invariant (test_entry.py's
-    test_no_query_outside_window_has_stale_green) must CLOSE under the
-    planned window + ROUND6_LEFTOVERS, simulating round 5's artifact as
-    the committed PRIORITY prefix."""
-    from clueso_spark.plans.catalog import (
-        PRIORITY,
-        REGISTRY,
-        all_queries,
-    )
+def test_round6_window_executed():
+    """The executed round-6 window: catalog.PRIORITY[:50] must be
+    exactly ROUND6_WINDOW (the documented source of truth), every
+    never-driver-verified (formerly staged) query must sit inside it,
+    every name must resolve, AND the stale-green aging invariant must
+    close under the window + ROUND6_LEFTOVERS against the committed
+    r1..r5 artifact set."""
+    from clueso_spark.plans.catalog import PRIORITY, all_queries
     from clueso_spark.plans.staged_r6 import (
         ROUND6_LEFTOVERS,
         ROUND6_WINDOW,
-        promote,
     )
-    from tests.test_entry import _latest_green_rounds
+    from tests.test_entry import ROTATION_LEFTOVERS, _latest_green_rounds
 
-    pre = dict(all_queries())
-    try:
-        promote()
-        post = dict(REGISTRY)
-        assert set(post) == set(pre) | set(STAGED)
-        assert len(ROUND6_WINDOW) == 50
-        assert len(set(ROUND6_WINDOW)) == 50
-        # never-driver-verified queries must all sit inside the window
-        assert set(STAGED) <= set(ROUND6_WINDOW)
-        unresolvable = [n for n in ROUND6_WINDOW if n not in post]
-        assert not unresolvable, unresolvable
-        # aging invariant under the plan: simulate CORRECTNESS_r05 as
-        # the committed 50-slot PRIORITY prefix, then require every
-        # post-promotion query outside the round-6 window to be fresh
-        # (green in round >= max-1 = 4) or a documented leftover
-        latest, _ = _latest_green_rounds()
-        for n in PRIORITY[:50]:
-            latest[n] = 5
-        stale = [
-            n
-            for n in post
-            if n not in set(ROUND6_WINDOW)
-            and n not in ROUND6_LEFTOVERS
-            and latest.get(n, 0) < 4
-        ]
-        assert not stale, stale
-    finally:
-        # promotion mutates the module-level registry; restore so test
-        # order can't leak staged names into the live-catalog tests
-        REGISTRY.clear()
-        REGISTRY.update(pre)
+    live = all_queries()
+    assert PRIORITY[:50] == ROUND6_WINDOW
+    assert len(set(ROUND6_WINDOW)) == 50
+    assert set(STAGED) <= set(ROUND6_WINDOW)
+    unresolvable = [n for n in ROUND6_WINDOW if n not in live]
+    assert not unresolvable, unresolvable
+    # the two leftover lists (plan + enforcement) must agree
+    assert set(ROUND6_LEFTOVERS) == set(ROTATION_LEFTOVERS)
+    # aging invariant against the committed artifacts: every registered
+    # query outside the window is fresh (green in r4 or r5) or a
+    # documented leftover
+    latest, max_round = _latest_green_rounds()
+    assert max_round == 5
+    stale = [
+        n
+        for n in live
+        if n not in set(ROUND6_WINDOW)
+        and n not in ROUND6_LEFTOVERS
+        and latest.get(n, 0) < max_round - 1
+    ]
+    assert not stale, stale
