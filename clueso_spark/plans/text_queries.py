@@ -1441,14 +1441,16 @@ s7 as (
     "is hash-verified cross-engine. Scale: the heavy columns live ONLY "
     "in one persisted base projection (tokenize, quality HOF, term "
     "stream, shingles, grams -- one pass each; the embedded MinHash "
-    "stage consumes it too, not a second corpus scan), while every "
-    "stage persists a SLIM per-doc relation (metadata + fingerprint) "
-    "so no stage-count branch re-evaluates an upstream join or window; "
-    "the term->logprob map joins plainly on term (AQE broadcasts it "
-    "only while the vocab is actually small); the corpus-wide "
-    "movements are the same keyed shuffles each operator pays "
-    "standalone (term count, band join, gram join, source stats), no "
-    "new ones.",
+    "stage consumes it too, not a second corpus scan). Stage "
+    "membership is monotone, so the funnel is ONE slim per-doc "
+    "survival-flags relation (a boolean column per stage, built by the "
+    "same keyed joins/windows each operator pays standalone: term "
+    "count, band join, gram join, source stats) and the whole 8-stage "
+    "report is a SINGLE conditional-sum aggregate over it -- not 8 "
+    "count branches re-walking the DAG, which is what made the r6 "
+    "funnel's cold start 2.5x its warm cost; the term->logprob map "
+    "joins plainly on term (AQE broadcasts it only while the vocab is "
+    "actually small).",
     _funnel_oracle(),
     "pipeline", "funnel", "composition",
 )
@@ -1471,22 +1473,25 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = _persist_swap(spark, "funnel_base", base)
     n_tok = F.size("w")
-    # stage relations from here on are SLIM -- per-doc metadata plus the
-    # exact-dup fingerprint, never the text/token arrays: the heavy
-    # columns are read only from the persisted base (quality filter,
-    # term stream, shingles, grams -- one pass each), so persisting each
-    # stage costs O(n_docs) driver-of-metadata, not O(corpus). Each
-    # stage persists because it feeds BOTH its own funnel-count branch
-    # and the next stage -- without the persist every later branch
-    # re-evaluates the whole prefix (the r4 funnel paid the perplexity
-    # join 3x and the fingerprint window 2x that way).
-    slim = ["doc_id", "source", "n_chars", "pct"]
-    q1 = base.where(
-        (stopword_count("w").cast("double") / n_tok > 0.05)
-        & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
-        & (F.col("n_chars") >= 100)
-    ).select(*slim, F.md5(F.lower(F.trim("text"))).alias("fp"))
-    q1 = _persist_swap(spark, "funnel_q1", q1)
+    # Survival flags, not stage relations: membership is monotone
+    # (ok{k+1} => ok{k}), so the funnel is ONE slim per-doc row whose
+    # boolean columns accumulate left-to-right, and the report is a
+    # single conditional-sum aggregate. The heavy text/token columns
+    # are read only from the persisted base: this quality/fingerprint
+    # projection, the term stream, the shingles (inside minhash_pairs)
+    # and the grams -- one pass each.
+    f0 = base.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "pct",
+        (
+            (stopword_count("w").cast("double") / n_tok > 0.05)
+            & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
+            & (F.col("n_chars") >= 100)
+        ).alias("ok1"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+    )
     tok = base.select("doc_id", F.explode("w").alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("c"))
     tot = tf.agg(
@@ -1512,31 +1517,49 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xent"),
         )
     )
-    s2 = q1.join(
-        px.where(F.col("xent") <= FUNNEL_XENT_MAX).select("doc_id"), "doc_id"
+    # token-less docs have no px row: left join + coalesce(false)
+    # replicates the old inner join's drop
+    f1 = f0.join(px, "doc_id", "left").withColumn(
+        "ok2",
+        F.col("ok1")
+        & F.coalesce(F.col("xent") <= FUNNEL_XENT_MAX, F.lit(False)),
     )
-    s2 = _persist_swap(spark, "funnel_s2", s2)
-    # exact dedup over the persisted fingerprint (computed once in q1,
-    # no text re-hash)
+    # exact dedup as a flag: keeper = min doc_id among the group's
+    # perplexity survivors (one keyed shuffle of the slim relation)
     wfp = Window.partitionBy("fp")
-    s3 = (
-        s2.withColumn("mn", F.min("doc_id").over(wfp))
-        .where(F.col("doc_id") == F.col("mn"))
-        .drop("mn")
+    f2 = f1.withColumn(
+        "ok3",
+        F.col("ok2")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("ok2"), F.col("doc_id"))).over(wfp)
+        ),
     )
-    s3 = _persist_swap(spark, "funnel_s3", s3)
-    # near-dedup runs over the PERSISTED base projection (own persist
-    # slot, so the standalone dedup_minhash_lsh query and the funnel
-    # never evict each other) -- not a second scan+tokenize of the corpus
+    # near-dedup: MinHash-LSH losers over the SAME persisted base (own
+    # persist slot inside, so the standalone dedup_minhash_lsh query
+    # and the funnel never evict each other)
     losers = (
         minhash_pairs(spark, base, slot="funnel_minhash_sets")
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        .withColumn("lost", F.lit(True))
     )
-    s4 = s3.join(losers, "doc_id", "left_anti")
-    s4 = _persist_swap(spark, "funnel_s4", s4)
-    s5 = s4.where(F.col("pct") < 80)
-    s5 = _persist_swap(spark, "funnel_s5", s5)
+    f3 = (
+        f2.join(losers, "doc_id", "left")
+        .withColumn(
+            "ok4", F.col("ok3") & ~F.coalesce(F.col("lost"), F.lit(False))
+        )
+        .withColumn("ok5", F.col("ok4") & (F.col("pct") < 80))
+        .select(
+            "doc_id", "source", "n_chars", "pct",
+            "ok1", "ok2", "ok3", "ok4", "ok5",
+        )
+    )
+    # two consumers (decontamination branch + everything downstream):
+    # persist the slim flags relation once
+    f3 = _persist_swap(spark, "funnel_flags", f3)
+    # decontamination: n-gram overlap vs the held-out split, evaluated
+    # only for train-split survivors (same as the standalone operator)
     grams = F.array_distinct(F.transform(word_shingles("w", 3), F.md5))
     g = base.select("doc_id", F.col("pct").alias("g_pct"), grams.alias("grams"))
     testg = (
@@ -1544,7 +1567,7 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("grams").alias("gram"))
         .distinct()
     )
-    sg = s5.select("doc_id").join(g, "doc_id").select(
+    sg = f3.where("ok5").select("doc_id").join(g, "doc_id").select(
         "doc_id", F.size("grams").alias("n_grams"), "grams"
     )
     hits = (
@@ -1560,10 +1583,16 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_hit").cast("double") / F.col("n_grams") > 0.8)
         )
         .select("doc_id")
+        .withColumn("contam", F.lit(True))
     )
-    s6 = s5.join(contam, "doc_id", "left_anti")
-    s6 = _persist_swap(spark, "funnel_s6", s6)
-    stats = s6.groupBy("source").agg(F.sum("n_chars").alias("cb"))
+    f4 = f3.join(contam, "doc_id", "left").withColumn(
+        "ok6", F.col("ok5") & ~F.coalesce(F.col("contam"), F.lit(False))
+    )
+    # two consumers again (mixture stats + the final aggregate)
+    f4 = _persist_swap(spark, "funnel_flags6", f4)
+    stats = (
+        f4.where("ok6").groupBy("source").agg(F.sum("n_chars").alias("cb"))
+    )
     mmin = stats.agg(F.min("cb").alias("min_chars"))
     thr = stats.crossJoin(F.broadcast(mmin)).select(
         "source",
@@ -1583,32 +1612,41 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 10000
     )
-    s7 = (
-        s6.join(F.broadcast(thr), "source")
-        .where(mix_hash < F.col("threshold_bp"))
+    # sources absent from thr have no ok6 survivors, so coalesce(false)
+    # is vacuous for live rows -- it only keeps the flag non-null
+    f5 = f4.join(F.broadcast(thr), "source", "left").withColumn(
+        "ok7",
+        F.col("ok6")
+        & F.coalesce(mix_hash < F.col("threshold_bp"), F.lit(False)),
     )
-    stages = [
-        (0, "input", base),
-        (1, "quality", q1),
-        (2, "perplexity", s2),
-        (3, "exact_dedup", s3),
-        (4, "near_dedup", s4),
-        (5, "train_split", s5),
-        (6, "decontaminated", s6),
-        (7, "mixture_balanced", s7),
+    # ---- the whole 8-stage report: ONE aggregate, then stack to rows --
+    stage_names = [
+        "input",
+        "quality",
+        "perplexity",
+        "exact_dedup",
+        "near_dedup",
+        "train_split",
+        "decontaminated",
+        "mixture_balanced",
     ]
-    parts = [
-        df.agg(
-            F.lit(i).cast("bigint").alias("stage"),
-            F.lit(name).alias("stage_name"),
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.coalesce(F.sum("n_chars"), F.lit(0))
+    aggs = []
+    for i, _name in enumerate(stage_names):
+        cond = F.lit(True) if i == 0 else F.col(f"ok{i}")
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
             .cast("bigint")
-            .alias("n_chars"),
+            .alias(f"c{i}")
         )
-        for i, name, df in stages
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        aggs.append(
+            F.coalesce(F.sum(F.when(cond, F.col("n_chars"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"b{i}")
+        )
+    one = f5.agg(*aggs)
+    stack_args = ", ".join(
+        f"{i}L, '{name}', c{i}, b{i}" for i, name in enumerate(stage_names)
+    )
+    return one.selectExpr(
+        f"stack(8, {stack_args}) as (stage, stage_name, n_docs, n_chars)"
+    )
