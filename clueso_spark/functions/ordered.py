@@ -28,8 +28,31 @@ parallel, vs. the single-partition window's one-task sort of the world.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import weakref
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+#: per-session persisted ranged relations, keyed by slot (order/out
+#: cols): the next build of the SAME helper call unpersists the
+#: previous run's relation, so repeated runs (bench best-of-N, the
+#: parity gate) never accumulate cache entries. Mirrors
+#: plans.catalog.persist_swap, kept local so the functions layer never
+#: imports the plans layer.
+_PERSISTED: "weakref.WeakKeyDictionary[SparkSession, dict[str, DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _persist_swap(df: DataFrame, slot: str) -> DataFrame:
+    slots = _PERSISTED.setdefault(df.sparkSession, {})
+    prev = slots.pop(slot, None)
+    if prev is not None:
+        prev.unpersist()
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    slots[slot] = df
+    return df
 
 
 def ranged_cumsum(
@@ -46,8 +69,24 @@ def ranged_cumsum(
     but with no single-partition stage."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__rc_pid", F.spark_partition_id()
+    # The totals branch and the cumsum branch below MUST observe the
+    # same range boundaries / partition ids. Without intervention
+    # Catalyst plans them as two separate RangePartitioning exchanges
+    # whose SAMPLED boundaries are not guaranteed identical across
+    # materializations. persist() closes this soundly AND lazily: at
+    # physical-planning time the cache lookup rewrites both identical
+    # subtrees to the SAME InMemoryRelation node -- one underlying RDD,
+    # one range shuffle, one spark_partition_id assignment by
+    # construction (the guarantee holds even if the cache entry is
+    # later evicted: the shared plan node recomputes once from one
+    # lineage). localCheckpoint was tried first and rejected: even
+    # eager=False converts to an RDD at CONSTRUCTION time, running
+    # every upstream stage before the query is ever executed.
+    ranged = _persist_swap(
+        df.repartitionByRange(n, *order_cols).withColumn(
+            "__rc_pid", F.spark_partition_id()
+        ),
+        slot=f"ranged:{'|'.join(order_cols)}->{out_col}",
     )
     w = (
         Window.partitionBy("__rc_pid")

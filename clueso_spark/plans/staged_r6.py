@@ -59,25 +59,25 @@ def promote() -> None:
 
     EXECUTED in round 6: this module now sits in catalog.QUERY_MODULES
     and calls ``promote()`` at import, so the staged tier IS the live
-    catalog -- every name is in plans/catalog.py PRIORITY inside the
-    50-query driver window, plan budgets were pre-recorded in
-    tests/plan_budgets.json, and the heavier ops are in bench.py
-    HEADLINE."""
+    catalog -- every name entered the round-6 driver window (all 18
+    green in CORRECTNESS_r06.json) with plan budgets pre-recorded in
+    tests/plan_budgets.json. The heavier ops (sim_knn_join,
+    sim_range_search, dedup_containment, dedup_incremental_minhash,
+    st_windowed_topk) joined bench.py HEADLINE in round 7 -- round 6
+    claimed that inclusion before it existed (VERDICT.md r6)."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
         REGISTRY[name] = cq
 
 
-#: The EXECUTED round-6 driver window (50 slots) -- kept as the single
-#: source of truth, asserted equal to catalog.PRIORITY[:50] by
-#: tests/test_staged_r6.py. Vs the plan precomputed in round 5: four
-#: changed-code queries (sim_mmr_rerank greedy fusion,
-#: pipeline_sequence_packing + ev_rfm_segmentation de-globalized
-#: windows, pipeline_pretraining_funnel persist sizing) claim the top
-#: slots per the rotation policy, so two more trivial/stable r3 rows
-#: (mm_modality_stats, window_time_range_frame) moved to the leftover
-#: list to keep the window at 50.
+#: The EXECUTED round-6 driver window (50 slots), now HISTORY: frozen
+#: and asserted equal to the CORRECTNESS_r06.json key set by
+#: tests/test_staged_r6.py (catalog.PRIORITY[:50] is the round-7
+#: window and has moved on). Honesty correction (VERDICT.md r6): the
+#: four "changed-code" names at the head re-verified fine, but only
+#: pipeline_sequence_packing's code had actually changed in round 6 --
+#: the other three claimed fixes landed in round 7.
 ROUND6_WINDOW = [
     # changed-code cohort: re-verify first
     "sim_mmr_rerank",
@@ -136,9 +136,8 @@ ROUND6_WINDOW = [
     "mm_fixed_shape_features",
 ]
 
-#: the 9 green rows the round-6 window cannot fit -- documented in
-#: tests/test_entry.py ROTATION_LEFTOVERS (the invariant exemption);
-#: they head round 7's refresh cohort
+#: the 9 green rows the round-6 window could not fit (history; they
+#: entered round 7's window as promised -- catalog.PRIORITY section 2)
 ROUND6_LEFTOVERS = (
     "ev_message_flatten",
     "ev_result_projection",
@@ -1311,12 +1310,12 @@ def st_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RFM segmentation over purchase events: per-user recency (exact "
     "day diff vs the corpus max date), frequency, decimal-exact "
     "monetary; ntile(5) quintiles per axis (deterministic tie order), "
-    "segment-cell counts + monetary totals. Scale note: the ntile "
-    "windows sort the per-USER relation (orders of magnitude smaller "
-    "than events, all partial-aggregated first); at extreme user "
-    "cardinality the quantile cuts come from approx_percentile instead "
-    "-- ntile is the exact-verifiable form (window_ntile_quartiles "
-    "precedent).",
+    "segment-cell counts + monetary totals. The quintiles are computed "
+    "WITHOUT a global window: each axis gets an exact global rank via "
+    "functions/ordered.ranged_row_number (range-partitioned prefix "
+    "counts -- every stage parallel) and the ntile bucket follows "
+    "arithmetically from (rank, total) via ntile_from_rank, identical "
+    "values to SQL ntile(5) with no single-partition WindowExec.",
     """
     with p as (select user_id, ts, cast(value as decimal(12,2)) as v
                from events where event_type = 'purchase'),
@@ -1342,7 +1341,11 @@ def st_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events", "aggregate", "window", "segmentation",
 )
 def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.catalog import dec
+    from clueso_spark.functions.ordered import (
+        ntile_from_rank,
+        ranged_row_number,
+    )
+    from clueso_spark.plans.catalog import dec, persist_swap
 
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
@@ -1353,31 +1356,33 @@ def ev_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("frequency"),
         F.sum("v").alias("monetary"),
     )
-    mx = u.agg(F.max("dlast").alias("dmax"))
+    mx = u.agg(
+        F.max("dlast").alias("dmax"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
     u = u.crossJoin(F.broadcast(mx)).select(
         "user_id",
         F.datediff("dmax", "dlast").alias("recency_days"),
         "frequency",
         "monetary",
+        "n_total",
+        # desc axes become asc by exact negation (bigint / decimal), so
+        # one ascending ranged_row_number idiom serves all three
+        (-F.col("frequency")).alias("neg_f"),
+        (-F.col("monetary")).alias("neg_m"),
     )
-    q = u.select(
-        "user_id",
+    # three ranged passes read the per-user relation: persist it once
+    u = persist_swap(spark, "rfm_users", u)
+    q = ranged_row_number(u, ["recency_days", "user_id"], "rk_r")
+    q = ranged_row_number(q, ["neg_f", "user_id"], "rk_f")
+    q = ranged_row_number(q, ["neg_m", "user_id"], "rk_m")
+    q = q.select(
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "user_id"))
-        .alias("r_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-        .alias("f_q"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-        .alias("m_q"),
+        ntile_from_rank("rk_r", "n_total", 5).alias("r_q"),
+        ntile_from_rank("rk_f", "n_total", 5).alias("f_q"),
+        ntile_from_rank("rk_m", "n_total", 5).alias("m_q"),
     )
-    return q.groupBy(
-        F.col("r_q").cast("bigint").alias("r_q"),
-        F.col("f_q").cast("bigint").alias("f_q"),
-        F.col("m_q").cast("bigint").alias("m_q"),
-    ).agg(
+    return q.groupBy("r_q", "f_q", "m_q").agg(
         F.count("*").cast("bigint").alias("n_users"),
         F.sum("monetary").cast("double").alias("monetary_total"),
     )

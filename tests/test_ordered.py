@@ -1,0 +1,80 @@
+"""functions/ordered.py vs the global-window oracle it replaces.
+
+Each helper claims exact equality with the single-partition window form
+(``over (order by ...)`` with no partitionBy). These tests pin that on
+adversarial shapes: duplicates in the value column, negatives, n smaller
+than / equal to / not divisible by the partition count and the ntile k.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from clueso_spark.functions.ordered import (
+    ntile_from_rank,
+    ranged_cumsum,
+    ranged_row_number,
+)
+
+
+def _rows(n: int):
+    # deterministic pseudo-random values incl. negatives and repeats;
+    # id is the unique tie-breaker the helpers require
+    return [(i, ((i * 37) % 11) - 5, f"g{i % 3}") for i in range(n)]
+
+
+@pytest.mark.parametrize("n_rows,n_parts", [(1, 4), (7, 4), (100, 8), (100, 1)])
+def test_ranged_cumsum_matches_global_window(spark, n_rows, n_parts):
+    df = spark.createDataFrame(_rows(n_rows), "id long, v long, g string")
+    got = ranged_cumsum(df, ["v", "id"], "v", "cum", num_partitions=n_parts)
+    w = (
+        Window.orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+@pytest.mark.parametrize("n_rows,n_parts", [(1, 4), (23, 4), (100, 8)])
+def test_ranged_row_number_matches_global_window(spark, n_rows, n_parts):
+    df = spark.createDataFrame(_rows(n_rows), "id long, v long, g string")
+    got = ranged_row_number(df, ["v", "id"], "rn", num_partitions=n_parts)
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_ranged_row_number_desc_via_negation(spark):
+    """The desc idiom the RFM query uses: negate the axis, rank asc."""
+    df = spark.createDataFrame(_rows(50), "id long, v long, g string")
+    got = ranged_row_number(
+        df.withColumn("neg_v", -F.col("v")),
+        ["neg_v", "id"],
+        "rn",
+        num_partitions=4,
+    ).drop("neg_v")
+    want = df.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.orderBy(F.col("v").desc(), "id"))
+        .cast("bigint"),
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+@pytest.mark.parametrize("n_rows,k", [(1, 5), (3, 5), (5, 5), (23, 5), (100, 7)])
+def test_ntile_from_rank_matches_sql_ntile(spark, n_rows, k):
+    df = spark.createDataFrame(_rows(n_rows), "id long, v long, g string")
+    ranked = df.withColumn(
+        "rk", F.row_number().over(Window.orderBy("v", "id")).cast("bigint")
+    ).crossJoin(
+        F.broadcast(df.agg(F.count("*").cast("bigint").alias("n_total")))
+    )
+    got = ranked.select("id", ntile_from_rank("rk", "n_total", k).alias("q"))
+    want = df.select(
+        "id", F.ntile(k).over(Window.orderBy("v", "id")).cast("bigint").alias("q")
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
