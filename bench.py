@@ -83,9 +83,16 @@ HEADLINE = [
     # streaming tier (stateful + windowed)
     "st_stateful_latest",
     "st_windowed_counts",
+    "st_windowed_topk",
     # time-series
     "ev_gap_fill_forward",
     "ev_markov_transitions",
+    # round-6 promoted heavy ops (perf-tracked since round 7)
+    "sim_knn_join",
+    "sim_range_search",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "ev_rfm_segmentation",
 ]
 
 
@@ -127,16 +134,28 @@ def main() -> int:
 
     # best-of-3 per query: local[32] scheduler/GC noise is +-30% on
     # sub-second queries; the minimum is the plan's honest cost, and the
-    # per-query stddev across the 3 runs is reported so round-over-round
-    # deltas can be read against the run's own noise floor
+    # per-query stddev across the 3 fastest runs is reported so
+    # round-over-round deltas can be read against the run's own noise
+    # floor. NOISE GATE (rounds 5/6 both committed loaded-machine
+    # artifacts that overstated queries by >10x): while the 3 fastest
+    # runs still disagree by sigma/mean > 0.5, keep re-running (up to 7
+    # attempts) rather than recording scheduler noise as the plan's
+    # cost. A query still noisy after 7 runs keeps its honest minimum
+    # and its large sigma -- the detail file never hides residual noise.
     timings, spread = {}, {}
     for name in names:
-        runs = sorted(run(name) for _ in range(3))
-        mean = sum(runs) / len(runs)
-        timings[name] = round(runs[0], 3)
-        spread[name] = round(
-            (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5, 3
-        )
+        runs: list[float] = []
+        while True:
+            runs.append(run(name))
+            if len(runs) < 3:
+                continue
+            best3 = sorted(runs)[:3]
+            mean = sum(best3) / 3
+            sigma = (sum((r - mean) ** 2 for r in best3) / 3) ** 0.5
+            if sigma / mean <= 0.5 or len(runs) >= 7:
+                break
+        timings[name] = round(min(runs), 3)
+        spread[name] = round(sigma, 3)
 
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(

@@ -79,87 +79,36 @@ QUERY_MODULES = [
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-6 rotation, executing the standing policy
-#: ("promote (a) anything new/changed, then (b) the entries whose last
-#: driver row is OLDEST, demoting the freshest greens"):
-#: (1) the four queries whose CODE changed this round -- the
-#: sim_mmr_rerank greedy-loop fusion (9 eager jobs -> 2), the
-#: pipeline_sequence_packing de-globalized cumsum (range-partitioned
-#: prefix sums instead of a single-partition window), the
-#: ev_rfm_segmentation de-globalized ntiles (same idiom), and the
-#: pipeline_pretraining_funnel cold-start persist sizing;
-#: (2) the 17 remaining staged operators (plans/staged_r6.py,
-#: never driver-verified -- the rotation invariant REQUIRES them in the
-#: window the round they register);
-#: (3) the 2 r2 leftovers (profile_lineitem, sort_limit_top_orders --
-#: oldest greens anywhere, documented leftovers since round 5);
-#: (4) 27 of the 37 r3-only greens (next-oldest cohort).
-#: Window math: 4 + 17 + 2 + 27 = 50. The leftover debt grows to 9
-#: (round-5's seven + mm_modality_stats + window_time_range_frame, the
-#: two most trivial/stable r3 rows bumped to make room for the changed
-#: cohort); tests/test_entry.py ROTATION_LEFTOVERS documents all nine
-#: and they head round 7's refresh cohort. At 152 registered queries a
-#: 50-slot window with a two-round freshness horizon leaves a standing
-#: ~9-name leftover debt -- the honest steady state, rolled forward
-#: explicitly each round rather than hidden by a looser horizon.
+#: part of the contract. Round-7 rotation, executing the standing policy
+#: ("promote (a) anything whose code changed, then (b) the entries whose
+#: last driver row is OLDEST, demoting the freshest greens"):
+#: (1) the four queries whose CODE actually changed this round, each
+#: verifiable in the round-7 git diff: sim_mmr_rerank (greedy loop moved
+#: into one applyInPandas over probe groups -- the fix round 6 claimed
+#: but never made), ev_rfm_segmentation (global ntile windows replaced
+#: by functions/ordered ranged ranks -- likewise claimed-but-absent in
+#: round 6), pipeline_sequence_packing (ranged_cumsum now freezes its
+#: pid-annotated relation via lazy localCheckpoint so both prefix-sum
+#: branches share one materialization), and pipeline_pretraining_funnel
+#: (cold-start persist trim). History note: round 6's cohort listed
+#: these same four but only pipeline_sequence_packing had really
+#: changed -- the round-6 comment here overstated the diff, recorded in
+#: VERDICT.md (r6) and corrected now.
+#: (2) all 9 round-6 rotation leftovers (latest green r3 -- the oldest
+#: rows anywhere);
+#: (3) 37 of the 44 queries whose latest green is r4. The 7 deferred
+#: r4 names (tests/test_entry.py ROTATION_LEFTOVERS: trivial, stable,
+#: twice-green relational/scalar shapes) head round 8's refresh cohort.
+#: Window math: 4 + 9 + 37 = 50; leftover debt shrinks 9 -> 7. Every
+#: query outside the window then carries an r5/r6 green -- within the
+#: two-round freshness horizon by construction.
 PRIORITY = [
     # (1) changed this round -- re-verify first
     "sim_mmr_rerank",
-    "pipeline_sequence_packing",
     "ev_rfm_segmentation",
+    "pipeline_sequence_packing",
     "pipeline_pretraining_funnel",
-    # (2) the promoted staged tier: never driver-verified, must enter
-    "txt_gopher_quality_rules",
-    "pipeline_ccnet_buckets",
-    "sim_knn_join",
-    "pipeline_token_budget_mix",
-    "txt_zipf_slope",
-    "pipeline_length_filter_curve",
-    "txt_quality_classifier_proxy",
-    "dedup_containment",
-    "txt_char_entropy",
-    "txt_lexical_diversity",
-    "pipeline_dedup_keep_best",
-    "sim_range_search",
-    "st_windowed_topk",
-    "graph_node_similarity",
-    "dedup_incremental_minhash",
-    "txt_bigram_perplexity",
-    "pipeline_dedup_cluster_stats",
-    # (3) r2 leftovers: oldest greens anywhere
-    "profile_lineitem",
-    "sort_limit_top_orders",
-    # (4) r3 greens: next-oldest refresh cohort (27 of 37)
-    "sim_ivf_cells",
-    "sim_kmeans_lloyd",
-    "sim_pq_codes",
-    "sim_residual_norms",
-    "sim_ann_recall_at_k",
-    "sim_ivf_kmeans_ann",
-    "txt_tf_df_top_terms",
-    "txt_token_stats",
-    "txt_lang_stats",
-    "txt_top_bigrams",
-    "txt_quality_score",
-    "txt_langid_heuristic",
-    "pipeline_train_test_split",
-    "pipeline_doc_chunking",
-    "st_dedup_replay",
-    "st_session_windows",
-    "st_stream_stream_join",
-    "st_windowed_counts",
-    "ev_latest_state",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "ev_skew_salted_agg",
-    "ev_sessionize",
-    "ev_asof_last_purchase",
-    "ev_gap_fill_forward",
-    "mm_frame_sample",
-    "mm_fixed_shape_features",
-    # --- window boundary (50) ----------------------------------------
-    # round-7 head: the 9 documented leftovers (oldest rows after this
-    # round's refresh), then the r4/r5 greens in registration order
+    # (2) the 9 round-6 leftovers: latest green r3, oldest anywhere
     "ev_message_flatten",
     "ev_result_projection",
     "ev_version_filter",
@@ -169,7 +118,55 @@ PRIORITY = [
     "agg_approx_percentile",
     "mm_modality_stats",
     "window_time_range_frame",
-    # r4/r5 greens: freshest, rotate last (remainder keeps registration
+    # (3) r4 greens: next-oldest cohort (37 of 44)
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "pipeline_curated_corpus",
+    "dedup_embedding_cosine",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_rerank",
+    "sim_sq_int8_ann",
+    "sim_matryoshka_recall",
+    "sim_ivf_nprobe_curve",
+    "dedup_semantic",
+    "dedup_exact_substring",
+    "q8_market_share",
+    "q21_waiting_supplier",
+    "graph_pagerank_copurchase",
+    "graph_triangle_count",
+    "agg_hll_partial_merge",
+    "ev_engine_latest",
+    "ev_asof_attribution",
+    "ev_range_interval_join",
+    "ev_markov_transitions",
+    "txt_repetition_signals",
+    "pipeline_contamination_check",
+    "pipeline_mixture_reweight",
+    "pipeline_stratified_sample",
+    "pipeline_domain_blocklist",
+    "txt_pii_redaction",
+    "txt_cms_heavy_hitters",
+    "mm_binary_featurize",
+    "mm_payload_dedup",
+    "mm_resize_fixed",
+    "st_stateful_latest",
+    "st_sliding_counts",
+    "st_asof_attribution",
+    "st_dedup_within_watermark",
+    # --- window boundary (50) ----------------------------------------
+    # round-8 head: the 7 deferred r4 greens (oldest rows after this
+    # round's refresh), then the r5/r6 greens in registration order
+    "q4_priority_check",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "agg_exact_median",
+    "txt_fingerprints",
+    "txt_regex_token_count",
+    "ev_anomaly_zscore",
+    # r5/r6 greens: freshest, rotate last (remainder keeps registration
     # order after this block -- nothing is dropped)
 ]
 

@@ -176,31 +176,35 @@ def test_promotion_is_live():
 
 
 def test_round6_window_executed():
-    """The executed round-6 window: catalog.PRIORITY[:50] must be
-    exactly ROUND6_WINDOW (the documented source of truth), every
-    never-driver-verified (formerly staged) query must sit inside it,
-    every name must resolve, AND the stale-green aging invariant must
-    close under the window + ROUND6_LEFTOVERS against the committed
-    r1..r5 artifact set."""
-    from clueso_spark.plans.catalog import PRIORITY, all_queries
+    """The round-6 window is HISTORY now: ROUND6_WINDOW must match the
+    key set the driver actually verified (CORRECTNESS_r06.json), every
+    formerly-staged query must have sat inside it, and the round-6
+    aging invariant must close under ROUND6_LEFTOVERS against the
+    r1..r5 artifact set it was committed against. (The LIVE window --
+    catalog.PRIORITY[:50] -- is round 7's and is asserted in
+    tests/test_entry.py.)"""
+    import json
+    import os
+
+    from clueso_spark.plans.catalog import all_queries
     from clueso_spark.plans.staged_r6 import (
         ROUND6_LEFTOVERS,
         ROUND6_WINDOW,
     )
-    from tests.test_entry import ROTATION_LEFTOVERS, _latest_green_rounds
+    from tests.test_entry import _latest_green_rounds
 
     live = all_queries()
-    assert PRIORITY[:50] == ROUND6_WINDOW
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    executed = json.load(open(os.path.join(repo, "CORRECTNESS_r06.json")))
+    assert set(ROUND6_WINDOW) == set(executed)
     assert len(set(ROUND6_WINDOW)) == 50
     assert set(STAGED) <= set(ROUND6_WINDOW)
     unresolvable = [n for n in ROUND6_WINDOW if n not in live]
     assert not unresolvable, unresolvable
-    # the two leftover lists (plan + enforcement) must agree
-    assert set(ROUND6_LEFTOVERS) == set(ROTATION_LEFTOVERS)
-    # aging invariant against the committed artifacts: every registered
-    # query outside the window is fresh (green in r4 or r5) or a
-    # documented leftover
-    latest, max_round = _latest_green_rounds()
+    # round-6 aging invariant, re-checked against the artifact set it
+    # was committed against (cap=5): every registered query outside
+    # that window was green in r4/r5 or a documented leftover
+    latest, max_round = _latest_green_rounds(cap=5)
     assert max_round == 5
     stale = [
         n
