@@ -94,6 +94,15 @@ QUERY_MODULES = [
 #: these same four but only pipeline_sequence_packing had really
 #: changed -- the round-6 comment here overstated the diff, recorded in
 #: VERDICT.md (r6) and corrected now.
+#: Late round-7 note: functions/vectors.lsh_bucket moved its
+#: md5-nibble weight computation driver-side (numeric literals in the
+#: plan instead of instr(md5(..)) sub-trees). Bucket ids are
+#: BIT-IDENTICAL by construction and pinned by
+#: tests/test_third_opinion.py::test_lsh_literal_weights_equal_sql_md5_form,
+#: so standing greens of out-of-window lsh consumers (sim_knn_join,
+#: sim_range_search, dedup_semantic) remain truthful; the in-window
+#: lsh consumers (dedup_embedding_cosine, sim_lsh_ann, sim_ivfpq_*)
+#: re-verify the change with driver rows this round.
 #: (2) all 9 round-6 rotation leftovers (latest green r3 -- the oldest
 #: rows anywhere);
 #: (3) 37 of the 44 queries whose latest green is r4. The 7 deferred

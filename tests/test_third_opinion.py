@@ -286,3 +286,47 @@ def test_bruteforce_cosine_third_opinion(spark):
     for r in rows:
         expect = round(cos(vecs[r["probe_id"]], vecs[r["vec_id"]]), 6)
         assert r["cosine"] == expect, (r["probe_id"], r["vec_id"])
+
+
+def test_lsh_literal_weights_equal_sql_md5_form(spark):
+    """lsh_bucket embeds driver-computed literal weights (round 7 --
+    plan-size optimization); this pins them bit-identical to the
+    original in-SQL ``instr('0123456789abcdef', substring(md5(..)))``
+    derivation, over EVERY plane family the banded indexes use (4
+    bands x 6 planes), preserving the third-opinion independence the
+    hashlib re-derivation above lost when the implementation itself
+    moved to hashlib."""
+    from pyspark.sql import functions as F
+
+    from clueso_spark.functions.vectors import lsh_bucket
+    from clueso_spark.sources.tables import load_table
+
+    def sql_md5_bucket(vec_col, n_planes, dim, first_plane):
+        bits = []
+        for p in range(first_plane, first_plane + n_planes):
+            terms = " + ".join(
+                "(instr('0123456789abcdef',"
+                f" substring(md5('{p}_{d}'), 1, 1)) - 8.5)"
+                f" * element_at({vec_col}, {d + 1})"
+                for d in range(dim)
+            )
+            bits.append(f"case when ({terms}) >= 0 then '1' else '0' end")
+        return F.expr("concat(" + ", ".join(bits) + ")")
+
+    from clueso_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", to_double_array("embedding").alias("v")
+    )
+    cols = []
+    for band in range(4):
+        cols.append(
+            (lsh_bucket("v", 6, 64, first_plane=band * 6)
+             == sql_md5_bucket("v", 6, 64, band * 6)).alias(f"eq{band}")
+        )
+    bad = (
+        emb.select(*cols)
+        .where(" or ".join(f"not eq{b}" for b in range(4)))
+        .count()
+    )
+    assert bad == 0
