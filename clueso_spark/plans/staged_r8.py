@@ -30,10 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from clueso_spark.functions.text import tokens
+from clueso_spark.functions.text import STOPWORDS, tokens
 from clueso_spark.plans.catalog import CatalogQuery, persist_swap
 from clueso_spark.plans.staged_r6 import _l2
 from clueso_spark.sources.tables import load_table
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 STAGED: dict[str, CatalogQuery] = {}
 
@@ -971,3 +973,279 @@ def upsert_state_sink(state_root: str):
         versions.append(out)
 
     return merge, versions
+
+
+# ---------------------------------------------------------------------------
+# Byte-budget shard manifest: pack content-addressed records into
+# fixed-size output shards (the WebDataset/tar-shard layout every
+# multimodal training store writes). Shard id follows from the GLOBAL
+# running byte total -- computed scale-safe with functions/ordered's
+# ranged cumsum, the fourth consumer of that machinery.
+# ---------------------------------------------------------------------------
+
+_SHARD_BYTES = 16_384
+
+
+@_stage(
+    "mm_shard_manifest",
+    "WebDataset-style shard manifest: records ordered by content "
+    "address (md5 of doc_id), shard = floor(preceding byte total / "
+    f"{_SHARD_BYTES}) from an exact global running sum of payload "
+    "bytes (functions/ordered.ranged_cumsum -- range-partitioned "
+    "prefix sums, no single-partition WindowExec). Per-shard record "
+    "and byte counts; every shard lands within one payload of the "
+    "byte budget by construction.",
+    f"""
+    with k as (select doc_id,
+                      md5(cast(doc_id as varchar)) as sk,
+                      cast(octet_length(encode(text)) as bigint) as n_bytes
+               from documents),
+    c as (select doc_id, n_bytes,
+                 sum(n_bytes) over (order by sk, doc_id
+                                    rows unbounded preceding) as cum
+          from k)
+    select cast((cum - n_bytes) // {_SHARD_BYTES} as bigint) as shard,
+           cast(count(*) as bigint) as n_records,
+           cast(sum(n_bytes) as bigint) as bytes_total
+    from c group by 1
+    """,
+    "multimodal", "ordered", "layout",
+)
+def mm_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.ordered import ranged_cumsum
+
+    keyed = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("sk"),
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+    )
+    c = ranged_cumsum(keyed, ["sk", "doc_id"], "n_bytes", "cum")
+    return (
+        c.select(
+            F.expr(f"(cum - n_bytes) div {_SHARD_BYTES}")
+            .cast("bigint")
+            .alias("shard"),
+            "n_bytes",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_records"),
+            F.sum("n_bytes").cast("bigint").alias("bytes_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): phrases are maximal
+# stopword-free token runs (gaps-and-islands over the token stream),
+# a word's degree sums the lengths of every phrase containing it,
+# score = degree / freq. Exact integer degree/freq; one double
+# division at the end.
+# ---------------------------------------------------------------------------
+
+_RAKE_TOP = 20
+
+
+@_stage(
+    "txt_rake_keywords",
+    f"RAKE keyword extraction, corpus top-{_RAKE_TOP}: stopword-"
+    "delimited phrases via gaps-and-islands (phrase id = running "
+    "stopword count, window PARTITIONED per doc -- parallel), word "
+    "degree = sum of containing-phrase lengths, score = degree/freq. "
+    "Scale: one doc-keyed window shuffle over the token stream + one "
+    "word-keyed aggregate; the final rank runs over the vocabulary "
+    "relation, not the corpus.",
+    f"""
+    with w as (
+      select doc_id, i as pos, ws[i] as word,
+             case when ws[i] in ({{_SW}}) then 1 else 0 end as is_stop
+      from (select doc_id, string_split(text, ' ') ws from documents),
+           unnest(range(1, len(ws) + 1)) as t(i)
+    ),
+    g as (select doc_id, pos, word, is_stop,
+                 sum(is_stop) over (partition by doc_id order by pos
+                                    rows unbounded preceding) as phrase_id
+          from w),
+    ph as (select doc_id, phrase_id,
+                  cast(count(*) as bigint) as phrase_len
+           from g where is_stop = 0 group by doc_id, phrase_id),
+    occ as (select g.word, ph.phrase_len
+            from g join ph on g.doc_id = ph.doc_id
+                          and g.phrase_id = ph.phrase_id
+            where g.is_stop = 0),
+    stats as (select word, cast(count(*) as bigint) as freq,
+                     cast(sum(phrase_len) as bigint) as degree
+              from occ group by word),
+    r as (select word, freq, degree,
+                 cast(degree as double) / cast(freq as double) as score,
+                 row_number() over (order by
+                     cast(degree as double) / cast(freq as double) desc,
+                     word) as rk
+          from stats)
+    select word, freq, degree, score, cast(rk as bigint) as rk
+    from r where rk <= {_RAKE_TOP}
+    """.replace("{_SW}", _SW),
+    "text", "keywords", "window",
+)
+def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.text import STOPWORDS
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("ws", tokens())
+    )
+    w = docs.select(
+        "doc_id", F.posexplode("ws").alias("pos0", "word")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "word",
+        F.col("word").isin(*STOPWORDS).cast("int").alias("is_stop"),
+    )
+    wg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    g = persist_swap(
+        spark,
+        "rake_tokens",
+        w.withColumn("phrase_id", F.sum("is_stop").over(wg)),
+    )
+    ph = (
+        g.where(F.col("is_stop") == 0)
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.count("*").cast("bigint").alias("phrase_len"))
+    )
+    occ = g.where(F.col("is_stop") == 0).join(
+        ph, ["doc_id", "phrase_id"]
+    )
+    stats = occ.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("phrase_len").cast("bigint").alias("degree"),
+    )
+    score = F.col("degree").cast("double") / F.col("freq").cast("double")
+    # vocabulary-sized relation: the global rank window here orders the
+    # word-stats list, not the corpus (same stance as txt_cooccurrence_pmi)
+    rw = Window.orderBy(score.desc(), "word")
+    return (
+        stats.withColumn("score", score)
+        .withColumn("rk", F.row_number().over(rw).cast("bigint"))
+        .where(F.col("rk") <= _RAKE_TOP)
+        .select("word", "freq", "degree", "score", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus snapshot diff: the dataset-versioning audit --
+# which documents a new snapshot adds, removes, or rewrites, per
+# source. Snapshots are derived deterministically from the one corpus
+# (hash buckets 0-8 = old, 1-9 = new; a second hash family marks the
+# rewritten 5%), so the diff is exactly reproducible cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "pipeline_incremental_corpus_diff",
+    "Corpus snapshot diff per source: old snapshot = md5 buckets 0-8, "
+    "new = buckets 1-9, with 1-in-20 of the shared docs rewritten "
+    "(second md5 family decides; rewritten text = reversed). Full-"
+    "outer join on doc_id comparing content md5 -> exact "
+    "added/removed/changed/unchanged counts. The planning audit every "
+    "continuously-ingested corpus runs before re-training. Scale: one "
+    "keyed full-outer join of two snapshot projections; content "
+    "hashes compare without shipping text twice.",
+    """
+    with h as (
+      select doc_id, source, text,
+             cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))
+                  as bigint) % 10 as b,
+             cast(('0x' || substr(md5('chg' || cast(doc_id as varchar)),
+                                  1, 8)) as bigint) % 20 as cb
+      from documents
+    ),
+    old as (select doc_id, source,
+                   md5(case when cb = 0 then reverse(text) else text end)
+                     as h from h where b <= 8),
+    new as (select doc_id, source, md5(text) as h from h where b >= 1),
+    d as (
+      select coalesce(o.source, n.source) as source,
+             case when o.doc_id is null then 'added'
+                  when n.doc_id is null then 'removed'
+                  when o.h <> n.h then 'changed'
+                  else 'unchanged' end as status
+      from old o full outer join new n on o.doc_id = n.doc_id
+    )
+    select source,
+           cast(sum(case when status = 'added' then 1 else 0 end)
+                as bigint) as n_added,
+           cast(sum(case when status = 'removed' then 1 else 0 end)
+                as bigint) as n_removed,
+           cast(sum(case when status = 'changed' then 1 else 0 end)
+                as bigint) as n_changed,
+           cast(sum(case when status = 'unchanged' then 1 else 0 end)
+                as bigint) as n_unchanged
+    from d group by source
+    """,
+    "pipeline", "versioning", "join",
+)
+def pipeline_incremental_corpus_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 10
+    )
+    chg = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("chg"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    h = docs.select(
+        "doc_id", "source", "text", bucket.alias("b"), chg.alias("cb")
+    )
+    old = h.where(F.col("b") <= 8).select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.when(F.col("cb") == 0, F.reverse("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("h"),
+    )
+    new = h.where(F.col("b") >= 1).select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    d = old.alias("o").join(
+        new.alias("n"), F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.h") != F.col("n.h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        d.select(
+            F.coalesce(F.col("o.source"), F.col("n.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source")
+        .agg(
+            *[
+                F.sum(F.when(F.col("status") == s, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{s}")
+                for s in ("added", "removed", "changed", "unchanged")
+            ]
+        )
+    )
