@@ -99,9 +99,9 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="include the pre-registration tier (plans/staged_r6.py); "
-        "extra budget keys are inert until promotion, when the budget "
-        "gate picks them up automatically",
+        help="include the pre-registration tiers (plans/staged_r6.py, "
+        "plans/staged_r8.py); extra budget keys are inert until "
+        "promotion, when the budget gate picks them up automatically",
     )
     args = ap.parse_args()
 
@@ -122,9 +122,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(all_queries())
     if args.staged:
-        from clueso_spark.plans.staged_r6 import STAGED
+        from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
+        from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
 
-        registry.update(STAGED)
+        registry.update(STAGED_R6)  # no-op post-promotion (already live)
+        registry.update(STAGED_R8)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
