@@ -28,6 +28,7 @@ reference's fixed ``coalesce(4)``.
 from __future__ import annotations
 
 import threading
+from typing import Callable
 
 from clueso_spark.operators.merge import latest_rows
 from clueso_spark.sources.store import MetadataStore
@@ -55,7 +56,7 @@ class Compactor:
         #: reference has the same latent flaw: its lock file is only
         #: removed by the process that created it)
         self.stale_lock_s = stale_lock_s
-        self._purge_timers: list[threading.Timer] = []
+        self._purge_timers: list[tuple[threading.Timer, Callable[[], None]]] = []
 
     # -- policy -----------------------------------------------------------
 
@@ -191,13 +192,21 @@ class Compactor:
         timer = threading.Timer(self.purge_tolerance_s, do_delete)
         timer.daemon = True
         timer.start()
-        self._purge_timers.append(timer)
+        self._purge_timers.append((timer, do_delete))
 
     def flush_purges(self) -> None:
-        """Block until every scheduled purge has run (tests / shutdown)."""
-        timers, self._purge_timers = self._purge_timers, []
-        for t in timers:
+        """Run every scheduled purge now (tests / shutdown).
+
+        Cancels timers still inside their tolerance window and executes
+        their delete inline rather than sleeping out the remainder — a
+        shutdown must not wait an hour for a prod-sized tolerance. A
+        timer that already fired (or is mid-fire) is joined first; the
+        inline re-run is harmless because the FS delete is idempotent."""
+        pending, self._purge_timers = self._purge_timers, []
+        for t, do_delete in pending:
+            t.cancel()
             t.join()
+            do_delete()
 
     def compact(self, force: bool = False, parallelism: int = 1) -> dict[str, bool]:
         """Compact every bucket found in landing

@@ -100,11 +100,17 @@ def test_purge_tolerance_runs_outside_lock(spark, store):
     import time as _time
 
     ingest(spark, store, puts(12))
-    c = Compactor(store, purge_tolerance_s=1.5)
+    # Tolerance far above any plausible Spark-job wall time on a loaded
+    # box: if compact_bucket slept the tolerance in-lock it would take
+    # >= 300 s, while the compaction jobs themselves take seconds — the
+    # assertion is structural, not a race against scheduler latency
+    # (the old 1.5 s bound flaked whenever the cold jobs outran it).
+    tolerance = 300.0
+    c = Compactor(store, purge_tolerance_s=tolerance)
     t0 = _time.monotonic()
     assert c.compact_bucket(BUCKET, force=True)
     took = _time.monotonic() - t0
-    assert took < 1.5, f"compact_bucket blocked {took:.1f}s on the purge sleep"
+    assert took < tolerance, f"compact_bucket blocked {took:.1f}s on the purge sleep"
     # landing still present until the tolerance elapses
     assert store.sub_partitions("landing", BUCKET)
     # and the lock is already free for other buckets
