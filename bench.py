@@ -98,7 +98,7 @@ HEADLINE = [
 
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from clueso_spark.plans.catalog import all_queries
+    from clueso_spark.plans.catalog import all_queries, release_persisted
     from clueso_spark.session import get_spark
 
     run_all = "--all" in sys.argv[1:]
@@ -141,8 +141,10 @@ def main() -> int:
     # runs still disagree by sigma/mean > 0.5, keep re-running (up to 7
     # attempts) rather than recording scheduler noise as the plan's
     # cost. A query still noisy after 7 runs keeps its honest minimum
-    # and its large sigma -- the detail file never hides residual noise.
-    timings, spread = {}, {}
+    # and its large sigma -- AND is named in the artifact's "noisy"
+    # list (r7 lesson: the funnel's gate-capped 34.4 s shipped with no
+    # machine-readable marker that the gate had given up on it).
+    timings, spread, noisy = {}, {}, []
     for name in names:
         runs: list[float] = []
         while True:
@@ -156,6 +158,15 @@ def main() -> int:
                 break
         timings[name] = round(min(runs), 3)
         spread[name] = round(sigma, 3)
+        if sigma / mean > 0.5:
+            noisy.append(name)
+        # release every persist slot the query pinned before timing the
+        # next one: accumulated slots across a ~60-query session compete
+        # with the next query's working set for unified storage memory,
+        # and that eviction churn was the r7 funnel-blowup's suspected
+        # mechanism. Each query re-persists its own slots per run, so
+        # this changes nothing about what any single timing measures.
+        release_persisted(spark)
 
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
@@ -169,6 +180,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "stddev": spread,
+                "noisy": noisy,
                 "sf": sf,
             },
             fh,
@@ -184,6 +196,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": {n: round(t, 2) for n, t in timings.items()},
+        "noisy": noisy,
         "sf": sf,
     }
     out = json.dumps(line, separators=(",", ":"))

@@ -221,6 +221,26 @@ def persist_swap(spark: SparkSession, slot: str, df: DataFrame) -> DataFrame:
     return df
 
 
+def release_persisted(spark: SparkSession) -> None:
+    """Unpersist every slot this session pinned, across BOTH slot
+    registries (this one and functions/ordered's mirror). Bench/parity
+    hygiene: in a long multi-query session the accumulated slots of
+    prior queries compete with the current query's working set for
+    unified storage memory, turning cache eviction churn into measured
+    query time (the r7 driver-bench funnel blowup's suspected
+    mechanism). Queries re-persist what they need on the next call, so
+    releasing between queries costs nothing but the recompute each
+    query already pays on its own first run."""
+    from clueso_spark.functions import ordered
+
+    for registry in (_PERSISTED, ordered._PERSISTED):
+        slots = registry.get(spark)
+        if slots:
+            for df in slots.values():
+                df.unpersist()
+            slots.clear()
+
+
 def dec(col: str | F.Column, width: int = 12, scale: int = 2) -> F.Column:
     """Exact-arithmetic bridge: cast a 2-decimal double to decimal so sums
     are order-independent and reproducible bit-for-bit across engines."""

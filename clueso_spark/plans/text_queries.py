@@ -1468,18 +1468,31 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         % 100
     )
+    # The exact-dedup fingerprint is the ONLY consumer of raw text, so
+    # it is folded into the base projection and the text column itself
+    # never enters the persist: pinning the full corpus text
+    # MEMORY_AND_DISK alongside the token arrays roughly doubled the
+    # cached footprint for a column read exactly once -- at 100 TB that
+    # is corpus-sized cache pressure, and in a multi-query bench session
+    # it was the leading suspect for the r7 driver-bench blowup
+    # (BENCH_r07 34.4 s vs the quiet 5.3 s on identical code).
     base = docs.select(
-        "doc_id", "source", "n_chars", "text", "w", pct.alias("pct")
+        "doc_id",
+        "source",
+        "n_chars",
+        "w",
+        pct.alias("pct"),
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
     )
     base = _persist_swap(spark, "funnel_base", base)
     n_tok = F.size("w")
     # Survival flags, not stage relations: membership is monotone
     # (ok{k+1} => ok{k}), so the funnel is ONE slim per-doc row whose
     # boolean columns accumulate left-to-right, and the report is a
-    # single conditional-sum aggregate. The heavy text/token columns
-    # are read only from the persisted base: this quality/fingerprint
-    # projection, the term stream, the shingles (inside minhash_pairs)
-    # and the grams -- one pass each.
+    # single conditional-sum aggregate. The heavy token column is read
+    # only from the persisted base: this quality projection, the term
+    # stream, the shingles (inside minhash_pairs) and the grams -- one
+    # pass each.
     f0 = base.select(
         "doc_id",
         "source",
@@ -1490,7 +1503,7 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.size(F.array_distinct("w")).cast("double") / n_tok > 0.2)
             & (F.col("n_chars") >= 100)
         ).alias("ok1"),
-        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        "fp",
     )
     tok = base.select("doc_id", F.explode("w").alias("term"))
     tf = tok.groupBy("term").agg(F.count("*").alias("c"))
