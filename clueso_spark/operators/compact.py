@@ -180,7 +180,9 @@ class Compactor:
     def _purge(self, paths: list[str]) -> None:
         """Delete compacted landing dirs after the eventual-consistency
         tolerance (ref: TableFilesCompactor.scala:175-178). Async when a
-        tolerance is set; ``flush_purges()`` joins outstanding work."""
+        tolerance is set; ``flush_purges()`` drains outstanding work
+        (waiting out each timer's remaining tolerance by default, or
+        immediately with ``immediate=True``)."""
 
         def do_delete() -> None:
             for path in paths:
@@ -194,19 +196,46 @@ class Compactor:
         timer.start()
         self._purge_timers.append((timer, do_delete))
 
-    def flush_purges(self) -> None:
-        """Run every scheduled purge now (tests / shutdown).
+    def flush_purges(self, immediate: bool = False) -> None:
+        """Drain every scheduled purge before returning.
 
-        Cancels timers still inside their tolerance window and executes
-        their delete inline rather than sleeping out the remainder — a
-        shutdown must not wait an hour for a prod-sized tolerance. A
-        timer that already fired (or is mid-fire) is joined first; the
-        inline re-run is harmless because the FS delete is idempotent."""
+        Default: join WITHOUT cancelling — each timer waits out its
+        remaining tolerance, preserving the eventual-consistency window
+        the caller configured. The reference sleeps the full
+        landingPurgeTolerance before purging (ref:
+        TableFilesCompactor.scala:175-176), and the CLI — the one
+        production entry point — calls this right after compact(), so a
+        cancelling default would silently reduce --purge-tolerance-s to
+        zero. ``immediate=True`` is the fast path for tests and
+        interactive shutdown: cancel timers still inside their window
+        and run their deletes inline (a shutdown must not wait an hour
+        for a prod-sized tolerance). Skipping the drain entirely is not
+        an option either way: daemon timers die at process exit, and a
+        ``_pending_purge``-marked dir that never gets deleted is
+        permanently excluded from future compactions.
+
+        Every delete is attempted even if an earlier one raises (the
+        inline re-run after a successful timer fire is harmless — the
+        FS delete is idempotent); failures are re-queued on the pending
+        list and reported as one aggregate error after all deletes were
+        tried, so one bad path cannot strand the rest."""
         pending, self._purge_timers = self._purge_timers, []
+        failures: list[tuple[threading.Timer, Callable[[], None], Exception]] = []
         for t, do_delete in pending:
-            t.cancel()
+            if immediate:
+                t.cancel()
             t.join()
-            do_delete()
+            try:
+                do_delete()
+            except Exception as exc:  # noqa: BLE001 -- aggregate below
+                failures.append((t, do_delete, exc))
+        if failures:
+            self._purge_timers.extend((t, dd) for t, dd, _ in failures)
+            raise RuntimeError(
+                f"flush_purges: {len(failures)} purge(s) failed and were "
+                "re-queued: "
+                + "; ".join(repr(exc) for _, _, exc in failures)
+            )
 
     def compact(self, force: bool = False, parallelism: int = 1) -> dict[str, bool]:
         """Compact every bucket found in landing

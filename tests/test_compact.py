@@ -96,7 +96,8 @@ def test_compact_all_buckets(spark, store):
 def test_purge_tolerance_runs_outside_lock(spark, store):
     """With a purge tolerance set, compact_bucket returns before the
     landing dirs are deleted (no in-lock sleep, VERDICT r1 #5); the purge
-    lands after the tolerance and flush_purges() joins it."""
+    lands after the tolerance; flush_purges(immediate=True) is the
+    shutdown fast path that cancels the window."""
     import time as _time
 
     ingest(spark, store, puts(12))
@@ -116,8 +117,70 @@ def test_purge_tolerance_runs_outside_lock(spark, store):
     # and the lock is already free for other buckets
     assert c._acquire_lock(BUCKET)
     c._release_lock(BUCKET)
-    c.flush_purges()
+    # default flush_purges() would wait out the remaining ~300 s window;
+    # immediate=True is the sanctioned cancel-and-delete fast path
+    c.flush_purges(immediate=True)
     assert store.sub_partitions("landing", BUCKET) == []
+
+
+def test_flush_purges_default_waits_out_tolerance():
+    """ADVICE r7 (high): the DEFAULT flush honors the configured
+    eventual-consistency window (join without cancel), so the CLI's
+    --purge-tolerance-s is never silently reduced to zero; only
+    immediate=True cancels. Store-free unit test: _purge/flush touch
+    only store.delete."""
+    import time as _time
+
+    class FakeStore:
+        def __init__(self):
+            self.deleted = []
+
+        def delete(self, path):
+            self.deleted.append(path)
+
+    c = Compactor(FakeStore(), purge_tolerance_s=1.0)
+    c._purge(["w1"])
+    t0 = _time.monotonic()
+    c.flush_purges()
+    waited = _time.monotonic() - t0
+    assert waited >= 0.9, f"default flush cancelled the window ({waited:.2f}s)"
+    assert "w1" in c.store.deleted
+
+    c._purge(["w2"])
+    t0 = _time.monotonic()
+    c.flush_purges(immediate=True)
+    assert _time.monotonic() - t0 < 0.5
+    assert "w2" in c.store.deleted
+    assert c._purge_timers == []
+
+
+def test_flush_purges_attempts_all_and_requeues_failures():
+    """ADVICE r7 (low): one failing delete must not strand the rest --
+    every pending purge is attempted, failures are re-queued and raised
+    as one aggregate error, and a later flush retries them."""
+    import pytest
+
+    class FlakyStore:
+        def __init__(self):
+            self.fail = {"bad"}
+            self.deleted = []
+
+        def delete(self, path):
+            if path in self.fail:
+                raise OSError(f"transient: {path}")
+            self.deleted.append(path)
+
+    c = Compactor(FlakyStore(), purge_tolerance_s=60.0)
+    c._purge(["bad"])
+    c._purge(["good"])
+    with pytest.raises(RuntimeError, match="1 purge"):
+        c.flush_purges(immediate=True)
+    assert "good" in c.store.deleted  # later delete still ran
+    assert len(c._purge_timers) == 1  # the failure is re-queued, not lost
+    c.store.fail.clear()
+    c.flush_purges(immediate=True)
+    assert "bad" in c.store.deleted
+    assert c._purge_timers == []
 
 
 def test_parallel_compaction_all_buckets(spark, store):
