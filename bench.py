@@ -93,6 +93,21 @@ HEADLINE = [
     "dedup_containment",
     "dedup_incremental_minhash",
     "ev_rfm_segmentation",
+    # round-8 promoted staged tier (perf-tracked from its first
+    # registered day, same commit as the promotion)
+    "pipeline_domain_caps",
+    "join_bloom_pruned_revenue",
+    "graph_assoc_rules",
+    "pipeline_epoch_shuffle_shards",
+    "ev_rollup_incremental_merge",
+    "txt_cooccurrence_pmi",
+    "dedup_threshold_curve",
+    "ev_decile_lift",
+    "agg_poisson_bootstrap",
+    "st_foreach_batch_upsert",
+    "mm_shard_manifest",
+    "txt_rake_keywords",
+    "pipeline_incremental_corpus_diff",
 ]
 
 

@@ -75,99 +75,56 @@ QUERY_MODULES = [
     # round 6: the formerly-staged tier is promoted -- the module calls
     # staged_r6.promote() at import, landing all 18 in REGISTRY
     "clueso_spark.plans.staged_r6",
+    # round 8: the round-7 staged tier is promoted the same way (13
+    # queries, each pytest-proven against its DuckDB oracle at sf0.001 +
+    # sf0.01 before registration; they head the round-8 driver window)
+    "clueso_spark.plans.staged_r8",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-7 rotation, executing the standing policy
-#: ("promote (a) anything whose code changed, then (b) the entries whose
-#: last driver row is OLDEST, demoting the freshest greens"):
-#: (1) the four queries whose CODE actually changed this round, each
-#: verifiable in the round-7 git diff: sim_mmr_rerank (greedy loop moved
-#: into one applyInPandas over probe groups -- the fix round 6 claimed
-#: but never made), ev_rfm_segmentation (global ntile windows replaced
-#: by functions/ordered ranged ranks -- likewise claimed-but-absent in
-#: round 6), pipeline_sequence_packing (ranged_cumsum now freezes its
-#: pid-annotated relation via lazy localCheckpoint so both prefix-sum
-#: branches share one materialization), and pipeline_pretraining_funnel
-#: (cold-start persist trim). History note: round 6's cohort listed
-#: these same four but only pipeline_sequence_packing had really
-#: changed -- the round-6 comment here overstated the diff, recorded in
-#: VERDICT.md (r6) and corrected now.
-#: Late round-7 note: functions/vectors.lsh_bucket moved its
-#: md5-nibble weight computation driver-side (numeric literals in the
-#: plan instead of instr(md5(..)) sub-trees). Bucket ids are
-#: BIT-IDENTICAL by construction and pinned by
-#: tests/test_third_opinion.py::test_lsh_literal_weights_equal_sql_md5_form,
-#: so standing greens of out-of-window lsh consumers (sim_knn_join,
-#: sim_range_search, dedup_semantic) remain truthful; the in-window
-#: lsh consumers (dedup_embedding_cosine, sim_lsh_ann, sim_ivfpq_*)
-#: re-verify the change with driver rows this round.
-#: (2) all 9 round-6 rotation leftovers (latest green r3 -- the oldest
+#: part of the contract. Round-8 rotation, executing the standing policy
+#: ("promote (a) never-driver-verified names, (b) anything whose code
+#: changed, then (c) the entries whose last driver row is OLDEST,
+#: demoting the freshest greens"):
+#: (1) the 13 promoted staged_r8 queries -- registered this round, so
+#: never driver-verified; pytest-proven against their DuckDB oracles at
+#: sf0.001 + sf0.01 (tests/test_staged_r8.py) but the driver row is the
+#: claim that counts;
+#: (2) the one query whose CODE changed this round:
+#: pipeline_pretraining_funnel (exact-dedup fingerprint folded into the
+#: base projection so raw text never enters the persist -- the r7
+#: driver-bench blowup fix; the oracle is unchanged);
+#: (3) the 7 round-7 rotation leftovers (latest green r4 -- the oldest
 #: rows anywhere);
-#: (3) 37 of the 44 queries whose latest green is r4. The 7 deferred
-#: r4 names (tests/test_entry.py ROTATION_LEFTOVERS: trivial, stable,
-#: twice-green relational/scalar shapes) head round 8's refresh cohort.
-#: Window math: 4 + 9 + 37 = 50; leftover debt shrinks 9 -> 7. Every
-#: query outside the window then carries an r5/r6 green -- within the
-#: two-round freshness horizon by construction.
+#: (4) 29 of the 49 queries whose latest green is r5. The 20 deferred
+#: r5 names (tests/test_entry.py ROTATION_LEFTOVERS: trivial, stable,
+#: multiply-green relational/scalar/setop/window shapes) head round 9's
+#: refresh cohort.
+#: Window math: 13 + 1 + 7 + 29 = 50; with 165 registered queries and a
+#: 50-slot window the full-registry refresh cycle is ceil(165/50) = 4
+#: rounds, so the out-of-window freshness invariant is now "no green
+#: older than cycle-1 = 3 rounds behind the newest committed artifact"
+#: (tests/test_entry.py asserts exactly that; the former two-round
+#: horizon is arithmetically impossible at this registry size).
 PRIORITY = [
-    # (1) changed this round -- re-verify first
-    "sim_mmr_rerank",
-    "ev_rfm_segmentation",
-    "pipeline_sequence_packing",
+    # (1) promoted this round -- never driver-verified, head the window
+    "pipeline_domain_caps",
+    "join_bloom_pruned_revenue",
+    "graph_assoc_rules",
+    "pipeline_epoch_shuffle_shards",
+    "ev_rollup_incremental_merge",
+    "txt_cooccurrence_pmi",
+    "dedup_threshold_curve",
+    "ev_decile_lift",
+    "agg_poisson_bootstrap",
+    "st_foreach_batch_upsert",
+    "mm_shard_manifest",
+    "txt_rake_keywords",
+    "pipeline_incremental_corpus_diff",
+    # (2) changed code this round -- re-verify
     "pipeline_pretraining_funnel",
-    # (2) the 9 round-6 leftovers: latest green r3, oldest anywhere
-    "ev_message_flatten",
-    "ev_result_projection",
-    "ev_version_filter",
-    "ev_isin_subpartitions",
-    "dedup_exact_summary",
-    "agg_approx_count_distinct",
-    "agg_approx_percentile",
-    "mm_modality_stats",
-    "window_time_range_frame",
-    # (3) r4 greens: next-oldest cohort (37 of 44)
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_pairs",
-    "pipeline_curated_corpus",
-    "dedup_embedding_cosine",
-    "sim_bruteforce_topk",
-    "sim_lsh_ann",
-    "sim_ivfpq_ann",
-    "sim_ivfpq_rerank",
-    "sim_sq_int8_ann",
-    "sim_matryoshka_recall",
-    "sim_ivf_nprobe_curve",
-    "dedup_semantic",
-    "dedup_exact_substring",
-    "q8_market_share",
-    "q21_waiting_supplier",
-    "graph_pagerank_copurchase",
-    "graph_triangle_count",
-    "agg_hll_partial_merge",
-    "ev_engine_latest",
-    "ev_asof_attribution",
-    "ev_range_interval_join",
-    "ev_markov_transitions",
-    "txt_repetition_signals",
-    "pipeline_contamination_check",
-    "pipeline_mixture_reweight",
-    "pipeline_stratified_sample",
-    "pipeline_domain_blocklist",
-    "txt_pii_redaction",
-    "txt_cms_heavy_hitters",
-    "mm_binary_featurize",
-    "mm_payload_dedup",
-    "mm_resize_fixed",
-    "st_stateful_latest",
-    "st_sliding_counts",
-    "st_asof_attribution",
-    "st_dedup_within_watermark",
-    # --- window boundary (50) ----------------------------------------
-    # round-8 head: the 7 deferred r4 greens (oldest rows after this
-    # round's refresh), then the r5/r6 greens in registration order
+    # (3) the 7 round-7 leftovers: latest green r4, oldest anywhere
     "q4_priority_check",
     "q15_top_supplier",
     "q22_global_sales_opportunity",
@@ -175,7 +132,62 @@ PRIORITY = [
     "txt_fingerprints",
     "txt_regex_token_count",
     "ev_anomaly_zscore",
-    # r5/r6 greens: freshest, rotate last (remainder keeps registration
+    # (4) r5 greens: next-oldest cohort (29 of 49; the heavier /
+    # engine-semantics shapes refresh first, trivial relational shapes
+    # defer to round 9 as documented leftovers)
+    "dedup_connected_components",
+    "dedup_minhash_lsh",
+    "txt_perplexity_proxy",
+    "txt_tfidf_topk_similar",
+    "pipeline_quality_audit",
+    "ev_hourly_rollup",
+    "ev_json_props",
+    "ev_keyset_page",
+    "ev_latest_dense_rank",
+    "ev_latest_no_tombstone",
+    "ev_pivot_user_activity",
+    "ev_predicate_search",
+    "ev_range_join_attribution",
+    "agg_cube_flag_status",
+    "agg_distinct_counts",
+    "agg_grouping_sets",
+    "agg_price_histogram",
+    "agg_rollup_priority_status",
+    "unpivot_lineitem_measures",
+    "window_rolling_spend",
+    "join_left_order_counts",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q7_nation_volume_shipping",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    # --- window boundary (50) ----------------------------------------
+    # round-9 head: the 20 deferred r5 greens (oldest rows after this
+    # round's refresh), then the remainder in registration order
+    "scalar_date_functions",
+    "scalar_function_showcase",
+    "scalar_null_semantics",
+    "setop_except_urgent_only",
+    "setop_intersect_all_multiset",
+    "setop_intersect_buyers",
+    "setop_union_schema_aligned",
+    "subquery_above_avg",
+    "subquery_exists_not_exists",
+    "join_anti_no_urgent_orders",
+    "join_full_outer_nation_profile",
+    "join_inner_big_orders",
+    "join_semi_urgent_customers",
+    "window_lag_reorder_gap",
+    "window_ntile_quartiles",
+    "window_rank_top_balances",
+    "q6_forecast_revenue",
+    "q12_priority_shipmode",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    # r6/r7 greens: freshest, rotate last (remainder keeps registration
     # order after this block -- nothing is dropped)
 ]
 

@@ -39,19 +39,35 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-7 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-7 git diff (the round-6 version
-#: of this tuple listed work that was never done; VERDICT.md r6 flagged
-#: it and the claims are now real): sim_mmr_rerank's greedy loop moved
-#: into one applyInPandas, ev_rfm_segmentation's global ntiles replaced
-#: by ranged ranks, ranged_cumsum (under pipeline_sequence_packing)
-#: freezes its pid relation via lazy localCheckpoint, and the funnel's
-#: persist set was trimmed for cold-start
-CHANGED_THIS_ROUND = (
-    "sim_mmr_rerank",
-    "ev_rfm_segmentation",
-    "pipeline_sequence_packing",
-    "pipeline_pretraining_funnel",
+#: round-8 rotation: queries whose CODE changed this round -- every
+#: name here must appear in the round-8 git diff:
+#: pipeline_pretraining_funnel folded the exact-dedup fingerprint into
+#: its base projection so raw text never enters the persist (the r7
+#: driver-bench blowup fix; ranged_cumsum itself is unchanged this
+#: round -- it freezes its pid relation via persist(), see
+#: functions/ordered.py:73-86, after localCheckpoint was tried and
+#: rejected)
+CHANGED_THIS_ROUND = ("pipeline_pretraining_funnel",)
+
+#: round-8 promotions: the former plans/staged_r8.py tier, registered
+#: this round and therefore never driver-verified -- all 13 must head
+#: the driver window (test_every_never_verified_query_is_inside_driver_window
+#: asserts this mechanically from the artifact set, this tuple makes
+#: the intent reviewable)
+PROMOTED_THIS_ROUND = (
+    "pipeline_domain_caps",
+    "join_bloom_pruned_revenue",
+    "graph_assoc_rules",
+    "pipeline_epoch_shuffle_shards",
+    "ev_rollup_incremental_merge",
+    "txt_cooccurrence_pmi",
+    "dedup_threshold_curve",
+    "ev_decile_lift",
+    "agg_poisson_bootstrap",
+    "st_foreach_batch_upsert",
+    "mm_shard_manifest",
+    "txt_rake_keywords",
+    "pipeline_incremental_corpus_diff",
 )
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -62,20 +78,49 @@ CHANGED_THIS_ROUND = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 6
+COMMITTED_ROUND = 7
 
-#: the 7 green rows the 50-slot window cannot fit this round: after the
-#: 4 changed-code queries, the 9 r3-green leftovers, and 37 of the 44
-#: r4 greens, these 7 r4 names (trivial, stable, twice-green) defer to
-#: round 8, where they head the refresh cohort
+#: The driver verifies this many queries per round (a prefix of
+#: catalog.PRIORITY order).
+WINDOW = 50
+
+#: Full-registry refresh cycle length in rounds. With 165 registered
+#: queries and a 50-slot window, every query can be re-verified at most
+#: once per ceil(165/50) = 4 rounds, so the freshness invariant below
+#: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
+#: rounds behind the newest committed artifact. Round 7's two-round
+#: horizon became arithmetically impossible the moment the registry
+#: crossed 100 (2 x WINDOW) names; this constant states the honest
+#: bound and test_refresh_cycle_matches_registry_size pins it to the
+#: live registry size rather than trusting the comment.
+REFRESH_CYCLE_ROUNDS = 4
+
+#: the 20 green rows the 50-slot window cannot fit this round: after
+#: the 13 never-verified promotions, the 1 changed-code query, the 7
+#: r4-green leftovers, and 29 of the 49 r5 greens, these 20 r5 names
+#: (trivial, stable, multiply-green relational/scalar/setop/window
+#: shapes) defer to round 9, where they head the refresh cohort
 ROTATION_LEFTOVERS = (
-    "q4_priority_check",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "agg_exact_median",
-    "txt_fingerprints",
-    "txt_regex_token_count",
-    "ev_anomaly_zscore",
+    "scalar_date_functions",
+    "scalar_function_showcase",
+    "scalar_null_semantics",
+    "setop_except_urgent_only",
+    "setop_intersect_all_multiset",
+    "setop_intersect_buyers",
+    "setop_union_schema_aligned",
+    "subquery_above_avg",
+    "subquery_exists_not_exists",
+    "join_anti_no_urgent_orders",
+    "join_full_outer_nation_profile",
+    "join_inner_big_orders",
+    "join_semi_urgent_customers",
+    "window_lag_reorder_gap",
+    "window_ntile_quartiles",
+    "window_rank_top_balances",
+    "q6_forecast_revenue",
+    "q12_priority_shipmode",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
 )
 
 
@@ -107,17 +152,35 @@ def _latest_green_rounds(
     return latest, max_round
 
 
-def test_round7_rotation_window(spark):
-    """The driver's CORRECTNESS gate covers a bounded prefix (50 per
-    round). Round-7 contract, asserted mechanically and COMPLETELY
+def test_refresh_cycle_matches_registry_size(spark):
+    """REFRESH_CYCLE_ROUNDS must be derived from the live registry, not
+    asserted by hand: the cycle is exactly ceil(registry / WINDOW)
+    rounds, and growing the registry without updating the constant (or
+    shrinking promotion cadence) must fail loudly here rather than
+    silently aging out-of-window greens past the documented horizon."""
+    import math
+
+    n = len(entrymod.queries())
+    assert REFRESH_CYCLE_ROUNDS == math.ceil(n / WINDOW), (
+        f"registry={n}, window={WINDOW}: cycle should be "
+        f"{math.ceil(n / WINDOW)} rounds, constant says "
+        f"{REFRESH_CYCLE_ROUNDS}"
+    )
+
+
+def test_round8_rotation_window(spark):
+    """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
+    per round). Round-8 contract, asserted mechanically and COMPLETELY
     (round 6's weakened ">= min(2, ...)" form let a claimed refresh go
-    unchecked -- ADVICE r6): every changed-code query is in the window,
-    EVERY query whose latest committed green is the oldest round is in
-    the window, and every query in the next-oldest cohort is either in
-    the window or an explicitly documented leftover."""
-    names = list(entrymod.queries())[:50]
-    for must in CHANGED_THIS_ROUND:
-        assert must in names, f"changed query {must} missing from window"
+    unchecked -- ADVICE r6): every never-verified promotion and every
+    changed-code query is in the window, EVERY query whose latest
+    committed green is the oldest round is in the window, and the
+    next-oldest cohort is partitioned EXACTLY between the window and
+    the documented leftovers -- no name unaccounted, no leftover listed
+    that actually fits."""
+    names = list(entrymod.queries())[:WINDOW]
+    for must in PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND:
+        assert must in names, f"promoted/changed query {must} not in window"
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = [q for q, r in latest.items() if r == rounds[0]]
@@ -127,36 +190,45 @@ def test_round7_rotation_window(spark):
         f"{missing_oldest}"
     )
     if len(rounds) > 1:
-        next_oldest = [q for q, r in latest.items() if r == rounds[1]]
-        unaccounted = [
-            q
-            for q in next_oldest
-            if q not in names and q not in ROTATION_LEFTOVERS
-        ]
+        next_oldest = {q for q, r in latest.items() if r == rounds[1]}
+        unaccounted = sorted(
+            next_oldest - set(names) - set(ROTATION_LEFTOVERS)
+        )
         assert not unaccounted, (
             f"r{rounds[1]}-green queries neither in the window nor "
             f"documented leftovers: {unaccounted}"
         )
+        # leftovers must be real deferrals from exactly that cohort
+        misfiled = sorted(set(ROTATION_LEFTOVERS) - next_oldest)
+        assert not misfiled, (
+            f"ROTATION_LEFTOVERS entries not in the r{rounds[1]} "
+            f"cohort: {misfiled}"
+        )
+        in_window_leftovers = sorted(set(ROTATION_LEFTOVERS) & set(names))
+        assert not in_window_leftovers, (
+            f"ROTATION_LEFTOVERS entries that are actually in the "
+            f"window: {in_window_leftovers}"
+        )
 
 
 def test_no_query_outside_window_has_stale_green(spark):
-    """Mechanical form of the 'no row older than two rounds' rotation
-    invariant: every registered query OUTSIDE the 50-slot window must
-    carry a green row from one of the two most recent COMMITTED driver
-    rounds -- anything older must be in the window being refreshed (or
-    be a documented leftover)."""
+    """Mechanical freshness invariant: every registered query OUTSIDE
+    the driver window must carry a green row from within the refresh
+    cycle -- no more than REFRESH_CYCLE_ROUNDS - 1 rounds behind the
+    newest committed artifact (the honest bound for a registry of this
+    size; see REFRESH_CYCLE_ROUNDS). Anything older must be in the
+    window being refreshed."""
     latest, max_round = _latest_green_rounds()
     names = list(entrymod.queries())
-    window = set(names[:50])
+    window = set(names[:WINDOW])
+    horizon = max_round - (REFRESH_CYCLE_ROUNDS - 1)
     stale_outside = [
         n
         for n in names
-        if n not in window
-        and n not in ROTATION_LEFTOVERS
-        and latest.get(n, 0) < max_round - 1
+        if n not in window and latest.get(n, 0) < horizon
     ]
     assert not stale_outside, (
-        f"queries outside the window with rows older than two rounds: "
+        f"queries outside the window with greens older than r{horizon}: "
         f"{stale_outside}"
     )
 

