@@ -1,0 +1,551 @@
+"""Operators STAGED in round 8 for promotion in round 9.
+
+Same life-cycle as ``plans/staged_r6.py`` (promoted in round 6) and
+``plans/staged_r8.py`` (promoted in round 8): these ship now as library
+code with full pytest parity coverage (tests/test_staged_r9.py runs the
+exact driver comparison -- row count + schema + order-insensitive value
+hash -- against their DuckDB oracles at sf0.001 and sf0.01), because
+the round-8 driver window (50 slots, catalog.PRIORITY[:50]) is fully
+allocated: 13 promotions + 1 changed-code query + 7 r4 leftovers + 29
+r5 refreshes. Round 9 promotes: add this module to
+catalog.QUERY_MODULES, call ``promote()`` at import, place every name
+inside the round-9 window, and add them to bench.py HEADLINE *in the
+same commit*.
+
+Registry arithmetic at promotion: 165 + 6 = 171 registered queries
+against the 50-slot window keeps the refresh cycle at
+ceil(171/50) = 4 rounds -- tests/test_entry.py's
+test_refresh_cycle_matches_registry_size holds without a constant bump.
+
+Reference parity note: none of these exist in the reference engine
+(its whole surface is the metadata merge/search path); they extend the
+engine along axes the build brief names first-class -- event analytics
+(SCD-2 interval build, ordered conversion funnels, streak mining),
+retrieval (BM25), statistics over exact sums (OLS trend), and weighted
+corpus sampling.
+
+Determinism contract: identical to plans/catalog.py -- exact bigint /
+decimal arithmetic wherever a float sum would be order-sensitive;
+scaled-log2-of-bigint (staged_r6._l2) for information measures; doubles
+only as the final step of identical IEEE operation chains over
+exactly-represented integer inputs; every computed column aliased
+identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clueso_spark.functions.text import tokens
+from clueso_spark.plans.catalog import CatalogQuery
+from clueso_spark.plans.staged_r6 import _l2
+from clueso_spark.sources.tables import load_table
+
+STAGED: dict[str, CatalogQuery] = {}
+
+
+def _stage(
+    name: str,
+    description: str,
+    oracle: str | None,
+    *tags: str,
+    oracle_valid=None,
+):
+    def wrap(fn):
+        STAGED[name] = CatalogQuery(
+            name, description, fn, oracle, tuple(tags), oracle_valid
+        )
+        return fn
+
+    return wrap
+
+
+def promote() -> None:
+    """Move every staged query into the live registry (idempotent).
+
+    NOT yet executed: this module is deliberately absent from
+    catalog.QUERY_MODULES until round 9 opens its driver window --
+    staging keeps ``__spark_entry__.queries()`` an honest list of
+    driver-verifiable claims (the life-cycle staged_r6 and staged_r8
+    both ran through)."""
+    from clueso_spark.plans.catalog import REGISTRY
+
+    for name, cq in STAGED.items():
+        REGISTRY[name] = cq
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 interval build: turn an append-only event log into
+# validity-interval rows ([ts, next_ts) per user), the standard
+# warehouse shape for "what was each entity's state at time T" queries.
+# One lead() window per user -- partitioned by the entity key, so no
+# global sort; at 100 TB the shuffle is one keyed exchange and each
+# task sorts only its users' (bounded) histories.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_scd2_intervals",
+    "SCD-2 interval build: per user, each event opens a validity "
+    "interval closed by the user's next event (lead over ts, event_id "
+    "tiebreak); report per event_type the closed/open interval counts "
+    "and the exact total closed duration in microseconds. Scale: one "
+    "user-keyed exchange + per-user sort (bounded history), then a "
+    "partial-aggregated rollup -- no global window anywhere.",
+    """
+    with iv as (
+      select event_type, epoch_us(ts) as s_us,
+             lead(epoch_us(ts)) over (
+               partition by user_id order by ts, event_id) as e_us
+      from events
+    )
+    select event_type,
+           cast(sum(case when e_us is not null then 1 else 0 end)
+                as bigint) as n_closed,
+           cast(sum(case when e_us is null then 1 else 0 end)
+                as bigint) as n_open,
+           cast(coalesce(sum(case when e_us is not null
+                                  then e_us - s_us end), 0)
+                as bigint) as total_dur_us
+    from iv group by event_type
+    """,
+    "events", "window", "scd2",
+)
+def ev_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("e_us"),
+    )
+    closed = F.col("e_us").isNotNull()
+    return iv.groupBy("event_type").agg(
+        F.sum(F.when(closed, 1).otherwise(0)).cast("bigint").alias("n_closed"),
+        F.sum(F.when(~closed, 1).otherwise(0)).cast("bigint").alias("n_open"),
+        F.coalesce(
+            F.sum(F.when(closed, F.col("e_us") - F.col("s_us"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("total_dur_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered conversion funnel within a time window (the windowFunnel
+# shape): signup -> first click within 7 days -> first purchase after
+# that click, still within 7 days of signup. Three keyed min-aggregates
+# + left joins on user_id: every stage is a partial-aggregated
+# equi-join, so the plan is skew-tolerant and never materializes a
+# per-user event array.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+
+@_stage(
+    "ev_window_funnel",
+    "Ordered 3-stage conversion funnel with a 7-day window: per user "
+    "the earliest signup, the earliest click strictly after it within "
+    "the window, the earliest purchase strictly after that click still "
+    "within the window; report users per max level reached (1..3). "
+    "Scale: three filtered min-aggregates + user-keyed joins -- no "
+    "per-user sort, no event-array collect, every stage partial.",
+    f"""
+    with s as (
+      select user_id, min(epoch_us(ts)) as s_us
+      from events where event_type = 'signup' group by user_id
+    ),
+    c as (
+      select e.user_id, min(epoch_us(e.ts)) as c_us
+      from events e join s on e.user_id = s.user_id
+      where e.event_type = 'click'
+        and epoch_us(e.ts) > s.s_us
+        and epoch_us(e.ts) <= s.s_us + {_FUNNEL_WINDOW_US}
+      group by e.user_id
+    ),
+    p as (
+      select e.user_id, min(epoch_us(e.ts)) as p_us
+      from events e
+      join s on e.user_id = s.user_id
+      join c on e.user_id = c.user_id
+      where e.event_type = 'purchase'
+        and epoch_us(e.ts) > c.c_us
+        and epoch_us(e.ts) <= s.s_us + {_FUNNEL_WINDOW_US}
+      group by e.user_id
+    )
+    select cast(case when p.user_id is not null then 3
+                     when c.user_id is not null then 2
+                     else 1 end as integer) as level,
+           cast(count(*) as bigint) as n_users
+    from s
+    left join c on s.user_id = c.user_id
+    left join p on s.user_id = p.user_id
+    group by level
+    """,
+    "events", "funnel", "join",
+)
+def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("s_us"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .where(
+            (F.col("us") > F.col("s_us"))
+            & (F.col("us") <= F.col("s_us") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .join(c, "user_id")
+        .where(
+            (F.col("us") > F.col("c_us"))
+            & (F.col("us") <= F.col("s_us") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    level = (
+        F.when(F.col("p_us").isNotNull(), 3)
+        .when(F.col("c_us").isNotNull(), 2)
+        .otherwise(1)
+        .cast("int")
+        .alias("level")
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(level)
+        .groupBy("level")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Okapi, k1 = 1.2, b = 0.75) for a fixed query-term
+# set, exact cross-engine. The rational constants are multiplied
+# through so every term contribution is one double division of two
+# exactly-represented bigints, rounded to a 1e-6-scaled bigint; the
+# per-doc score is then an order-independent bigint sum:
+#   contrib = idf * tf*(k1+1) / (tf + k1*(1-b) + k1*b*dl*N/T)
+#           = idf * 22*tf*T / (10*tf*T + 3*T + 9*dl*N)
+# with idf the scaled-log2 form of ln((N-df+0.5)/(df+0.5)+1):
+#   idf_s = L(2N+2) - L(2df+1),  L(x) = round(log2(x)*1e6).
+# The bigint products stay far under 2^53 at catalog scale; a 100 TB
+# deployment swaps the T/N literals for a plain double avgdl (the
+# ranking is then float but the plan shape -- inverted postings,
+# broadcast idf, keyed dl join -- is unchanged).
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "window", "merge", "vector")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_K = 10
+
+
+@_stage(
+    "txt_bm25_topk",
+    f"BM25 top-{_BM25_K} retrieval for the fixed query "
+    f"{_BM25_TERMS}: postings built by filtering the token stream to "
+    "the query terms BEFORE any shuffle, idf (4 rows) and the corpus "
+    "totals (1 row) broadcast, document lengths equi-joined on doc_id, "
+    "exact scaled-bigint scoring (see module notes), total-ordered "
+    "top-k with doc_id tiebreak. Scale: the only corpus-sized "
+    "exchanges are the tf groupBy and the dl join, both keyed; "
+    "TakeOrderedAndProject bounds the top-k.",
+    f"""
+    with ln as (
+      select doc_id, len(string_split(text, ' ')) as dl from documents
+    ),
+    tot as (
+      select cast(sum(dl) as bigint) as t_tok,
+             cast(count(*) as bigint) as n_docs
+      from ln
+    ),
+    tf as (
+      select doc_id, term, cast(count(*) as bigint) as tf
+      from (
+        select doc_id, unnest(string_split(text, ' ')) as term
+        from documents
+      )
+      where term in ({_BM25_TERMS_SQL})
+      group by doc_id, term
+    ),
+    idf as (
+      select term,
+             cast(round(log2(2*n_docs + 2) * 1000000) as bigint)
+               - cast(round(log2(2*cast(count(*) as bigint) + 1) * 1000000)
+                      as bigint) as idf_s
+      from tf, tot group by term, n_docs
+    ),
+    sc as (
+      select tf.doc_id,
+             cast(round(cast(idf_s as double)
+                        * cast(22*tf*t_tok as double)
+                        / cast(10*tf*t_tok + 3*t_tok + 9*dl*n_docs
+                               as double)) as bigint) as contrib
+      from tf
+      join idf using (term)
+      join ln using (doc_id), tot
+    )
+    select doc_id, cast(sum(contrib) as bigint) as score_s
+    from sc group by doc_id
+    order by score_s desc, doc_id
+    limit {_BM25_K}
+    """,
+    "text", "retrieval", "topk",
+)
+def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
+    lengths = docs.select("doc_id", F.size("w").alias("dl"))
+    totals = lengths.agg(
+        F.sum("dl").cast("bigint").alias("t_tok"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+    tf = (
+        docs.select("doc_id", F.explode("w").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            F.expr(f"{_l2('2*n_docs + 2')} - {_l2('2*df + 1')}").alias(
+                "idf_s"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(lengths, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.expr(
+                "cast(round(cast(idf_s as double)"
+                " * cast(22*tf*t_tok as double)"
+                " / cast(10*tf*t_tok + 3*t_tok + 9*dl*n_docs as double))"
+                " as bigint)"
+            ).alias("contrib"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("contrib").cast("bigint").alias("score_s"))
+        .orderBy(F.col("score_s").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend over exact sums: per order priority, the least-squares
+# slope/intercept of daily order counts against the day index. The five
+# sufficient statistics (n, Sx, Sy, Sxy, Sxx) are exact bigint sums --
+# order-independent by construction -- and the slope/intercept are one
+# identical IEEE double chain over them, so the result is reproducible
+# bit-for-bit on any partitioning. This is the map-side-combinable way
+# to fit 1e6 regressions at 100 TB: no per-group sort, no iteration.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "agg_ols_trend",
+    "Per-priority OLS trend of daily order counts: x = days since "
+    "1990-01-01, y = orders that day; slope/intercept from the exact "
+    "bigint sufficient statistics (n, Sx, Sy, Sxy, Sxx), computed as "
+    "one identical double chain in both engines. Scale: two partial "
+    "aggregates, no window, no sort -- the canonical distributed "
+    "regression shape.",
+    """
+    with daily as (
+      select o_orderpriority,
+             datediff('day', date '1990-01-01', cast(o_orderdate as date))
+               as x,
+             cast(count(*) as bigint) as y
+      from orders group by o_orderpriority, x
+    ),
+    s as (
+      select o_orderpriority,
+             cast(count(*) as bigint) as n,
+             cast(sum(x) as bigint) as sx,
+             cast(sum(y) as bigint) as sy,
+             cast(sum(x*y) as bigint) as sxy,
+             cast(sum(x*x) as bigint) as sxx
+      from daily group by o_orderpriority
+    )
+    select o_orderpriority, n as n_days,
+           cast(n*sxy - sx*sy as double) / cast(n*sxx - sx*sx as double)
+             as slope,
+           (cast(sy as double)
+            - (cast(n*sxy - sx*sy as double)
+               / cast(n*sxx - sx*sx as double)) * cast(sx as double))
+             / cast(n as double) as intercept
+    from s
+    """,
+    "agg", "statistics",
+)
+def agg_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date")
+            ).alias("x"),
+        )
+        .groupBy("o_orderpriority", "x")
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    s = daily.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = F.expr(
+        "cast(n*sxy - sx*sy as double) / cast(n*sxx - sx*sx as double)"
+    )
+    return s.select(
+        "o_orderpriority",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Importance-weighted corpus sampling: each document's keep probability
+# is proportional to an integer weight derived from its length (the
+# standard quality/importance reweighting step before token budgeting),
+# decided by a derived md5 hash -- deterministic, seedless, and exactly
+# reproducible in SQL. Map-only: the decision needs no shuffle at all;
+# the per-source report is one partial aggregate.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "pipeline_importance_sample",
+    "Importance-weighted Bernoulli sample: weight w = clamp(n_chars "
+    "div 50, 1, 100) percent, keep iff md5('imp_'||doc_id)-derived "
+    "uniform < w; per-source report of doc counts, kept counts, total "
+    "weight mass and kept chars. Scale: the keep decision is map-only "
+    "column math (no RNG state, no shuffle); the report is one "
+    "partial-aggregated groupBy over ~sources rows.",
+    """
+    with w as (
+      select source, n_chars,
+             least(100, greatest(1, n_chars // 50)) as w8,
+             cast(('0x' || substr(md5('imp_' || cast(doc_id as varchar)),
+                                  1, 8)) as bigint) % 100 as u
+      from documents
+    )
+    select source,
+           cast(count(*) as bigint) as n_docs,
+           cast(sum(case when u < w8 then 1 else 0 end) as bigint)
+             as n_kept,
+           cast(sum(w8) as bigint) as w_sum,
+           cast(coalesce(sum(case when u < w8 then n_chars end), 0)
+                as bigint) as chars_kept
+    from w group by source
+    """,
+    "pipeline", "sampling",
+)
+def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w8 = F.least(
+        F.lit(100), F.greatest(F.lit(1), F.expr("n_chars div 50"))
+    ).alias("w8")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp_"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    ).alias("u")
+    w = docs.select("source", "n_chars", w8, u)
+    kept = F.col("u") < F.col("w8")
+    return w.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("w8").cast("bigint").alias("w_sum"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("chars_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity streak mining (gaps-and-islands): longest run of consecutive
+# active days per user, reported as a distribution. The island key
+# (day - row_number) needs only a per-user window over the user's
+# DISTINCT days -- bounded state, user-keyed shuffle, no global sort.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_activity_streaks",
+    "Longest consecutive-active-day streak per user via "
+    "gaps-and-islands (island key = day - per-user row_number over "
+    "distinct days), reported as streak_days -> n_users. Scale: one "
+    "user-keyed exchange; per-user state is the distinct-day list "
+    "(bounded by the calendar), every aggregate partial.",
+    """
+    with d as (
+      select distinct user_id, epoch_us(ts) // 86400000000 as day
+      from events
+    ),
+    r as (
+      select user_id, day,
+             row_number() over (partition by user_id order by day) as rn
+      from d
+    ),
+    s as (
+      select user_id, cast(count(*) as bigint) as len
+      from r group by user_id, day - rn
+    ),
+    m as (
+      select user_id, max(len) as streak_days from s group by user_id
+    )
+    select streak_days, cast(count(*) as bigint) as n_users
+    from m group by streak_days
+    """,
+    "events", "window", "streaks",
+)
+def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    r = d.withColumn("rn", F.row_number().over(w))
+    s = (
+        r.groupBy("user_id", (F.col("day") - F.col("rn")).alias("island"))
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    m = s.groupBy("user_id").agg(F.max("len").alias("streak_days"))
+    return m.groupBy("streak_days").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
