@@ -7,6 +7,12 @@ Each query is fully materialized through the noop sink (no driver-side
 collect bottleneck, no result-size bias) after a warm-up pass builds the
 session and file-listing caches.
 
+Modes: default = HEADLINE list, shared session, release_persisted
+between queries. --all = whole registry. --only=a,b,c = targeted
+re-measure. --isolate = each query in a fresh SparkSession subprocess
+(kills cross-query JVM/cache confounds; ~20 s startup per query, so a
+diagnostic, not the driver path). --no-detail = skip BENCH_DETAIL.json.
+
 The stdout line is kept COMPACT (2-decimal per-query map, no stddev):
 the round driver captures only the last ~2000 chars of stdout, and the
 r4 line (3-decimal timings + a per-query stddev map) grew past that and
@@ -111,14 +117,110 @@ HEADLINE = [
 ]
 
 
+def _parse_args(argv: list[str]):
+    """Tiny hand-rolled parser (argparse would reject the driver's bare
+    invocation contract): --all, --only=a,b,c, --isolate, --no-detail."""
+    opts = {"all": False, "only": None, "isolate": False, "detail": True}
+    it = iter(argv)
+    for a in it:
+        if a == "--all":
+            opts["all"] = True
+        elif a == "--isolate":
+            opts["isolate"] = True
+        elif a == "--no-detail":
+            opts["detail"] = False
+        elif a == "--only":
+            opts["only"] = next(it, "").split(",")
+        elif a.startswith("--only="):
+            opts["only"] = a.split("=", 1)[1].split(",")
+    return opts
+
+
+def _isolated(names: list[str], sf: float, detail: bool) -> int:
+    """--isolate: run each headline query in a FRESH SparkSession
+    subprocess, so one query's JVM state (cache residency, GC heap,
+    codegen cache) can never bleed into another's number. This is the
+    confound-killer for cross-query cache pressure (the r7 funnel
+    blowup's suspected mechanism); the cost is one ~20 s session
+    startup per query, so it's an on-demand diagnostic, not the
+    driver's default path."""
+    import subprocess
+
+    timings, spread, noisy = {}, {}, []
+    for name in names:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--only", name, "--no-detail"],
+            capture_output=True, text=True,
+        )
+        lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+        if proc.returncode != 0 or not lines:
+            print(f"isolate: {name} failed:\n{proc.stderr[-800:]}",
+                  file=sys.stderr)
+            continue
+        child = json.loads(lines[-1])
+        timings[name] = child["queries"][name]
+        spread[name] = child.get("stddev", {}).get(name, 0.0)
+        noisy.extend(child.get("noisy", []))
+    _emit(timings, spread, noisy, sf, detail, isolated=True)
+    return 0
+
+
+def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False):
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "stddev": spread,
+        "noisy": noisy,
+        "sf": sf,
+    }
+    if isolated:
+        payload["isolated"] = True
+    if detail:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    # the one driver-visible line: 2-decimal per-query map, stddev only in
+    # the detail file. separators= strips inter-token spaces; the guard
+    # prefers losing the per-query map over losing the whole line.
+    line = dict(payload)
+    line["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    if not detail:
+        # child mode (--isolate parent parses this): keep full precision
+        line["queries"] = timings
+    else:
+        line.pop("stddev")
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900:
+        line.pop("queries")
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
+
+
 def main() -> int:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from clueso_spark.plans.catalog import all_queries, release_persisted
     from clueso_spark.session import get_spark
 
-    run_all = "--all" in sys.argv[1:]
+    opts = _parse_args(sys.argv[1:])
+    run_all = opts["all"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    registry = all_queries()
+    names = (
+        list(registry) if run_all else [n for n in HEADLINE if n in registry]
+    )
+    if opts["only"]:
+        names = [n for n in opts["only"] if n in registry]
+    if opts["isolate"]:
+        return _isolated(names, sf, opts["detail"])
+
     # Size file splits to the data, not the 128 MB cluster default: the
     # sf0.1 tables are single ~1-10 MB files, which would otherwise scan
     # as ONE task and serialize every downstream stage on local[32].
@@ -127,11 +229,6 @@ def main() -> int:
         "clueso-bench", **{"spark.sql.files.maxPartitionBytes": "1m"}
     )
     spark.sparkContext.setLogLevel("ERROR")
-
-    registry = all_queries()
-    names = (
-        list(registry) if run_all else [n for n in HEADLINE if n in registry]
-    )
 
     def run(name: str) -> float:
         # time construction + materialization: for lazy queries the build
@@ -183,42 +280,7 @@ def main() -> int:
         # this changes nothing about what any single timing measures.
         release_persisted(spark)
 
-    total = round(sum(timings.values()), 3)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "stddev": spread,
-                "noisy": noisy,
-                "sf": sf,
-            },
-            fh,
-            indent=1,
-            sort_keys=True,
-        )
-        fh.write("\n")
-    # the one driver-visible line: 2-decimal per-query map, stddev only in
-    # the detail file. separators= strips inter-token spaces; the guard
-    # prefers losing the per-query map over losing the whole line.
-    line = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
-        "queries": {n: round(t, 2) for n, t in timings.items()},
-        "noisy": noisy,
-        "sf": sf,
-    }
-    out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1900:
-        line.pop("queries")
-        out = json.dumps(line, separators=(",", ":"))
-    print(out)
+    _emit(timings, spread, noisy, sf, opts["detail"])
     return 0
 
 

@@ -12,16 +12,19 @@ catalog.QUERY_MODULES, call ``promote()`` at import, place every name
 inside the round-9 window, and add them to bench.py HEADLINE *in the
 same commit*.
 
-Registry arithmetic at promotion: 165 + 6 = 171 registered queries
+Registry arithmetic at promotion: 165 + 12 = 177 registered queries
 against the 50-slot window keeps the refresh cycle at
-ceil(171/50) = 4 rounds -- tests/test_entry.py's
+ceil(177/50) = 4 rounds -- tests/test_entry.py's
 test_refresh_cycle_matches_registry_size holds without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
 (its whole surface is the metadata merge/search path); they extend the
 engine along axes the build brief names first-class -- event analytics
-(SCD-2 interval build, ordered conversion funnels, streak mining),
-retrieval (BM25), statistics over exact sums (OLS trend), and weighted
+(SCD-2 interval build, ordered conversion funnels, streak mining,
+exact sliding-window distinct counts, time-weighted state averages),
+retrieval (BM25, bottom-k set-similarity sketches), statistics over
+exact sums (OLS trend, higher moments, Gini concentration), window
+rank-distribution coverage (percent_rank/cume_dist), and weighted
 corpus sampling.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
@@ -548,4 +551,468 @@ def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = s.groupBy("user_id").agg(F.max("len").alias("streak_days"))
     return m.groupBy("streak_days").agg(
         F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact higher moments from power sums: per-source mean / variance /
+# skewness / kurtosis of document length, derived from the bigint
+# sufficient statistics (n, S1..S4). The sums are order-independent by
+# construction (pure integer addition) and each final statistic is one
+# identical IEEE double chain over them, so the result is bit-for-bit
+# reproducible on any partitioning -- the map-side-combinable way to
+# profile a 100 TB corpus in one pass. Magnitude check: n_chars <= 577
+# at sf0.1, so S4 <= 5000 * 577^4 ~= 5.5e14 < 2^53 -- every sum is
+# exactly representable even as a double.
+# ---------------------------------------------------------------------------
+
+# one shared expression text evaluated verbatim by BOTH engines: the
+# operator tree (and hence the IEEE rounding sequence) is identical
+_MOM_M = "(cast(s1 as double) / cast(n as double))"
+_MOM_R2 = "(cast(s2 as double) / cast(n as double))"
+_MOM_R3 = "(cast(s3 as double) / cast(n as double))"
+_MOM_R4 = "(cast(s4 as double) / cast(n as double))"
+_MOM_VAR = f"({_MOM_R2} - {_MOM_M} * {_MOM_M})"
+_MOM_SKEW = (
+    f"(({_MOM_R3} - 3.0 * {_MOM_M} * {_MOM_R2}"
+    f" + 2.0 * {_MOM_M} * {_MOM_M} * {_MOM_M})"
+    f" / (sqrt({_MOM_VAR}) * {_MOM_VAR}))"
+)
+_MOM_KURT = (
+    f"(({_MOM_R4} - 4.0 * {_MOM_M} * {_MOM_R3}"
+    f" + 6.0 * {_MOM_M} * {_MOM_M} * {_MOM_R2}"
+    f" - 3.0 * {_MOM_M} * {_MOM_M} * {_MOM_M} * {_MOM_M})"
+    f" / ({_MOM_VAR} * {_MOM_VAR}))"
+)
+
+
+@_stage(
+    "agg_exact_moments",
+    "Per-source mean/variance/skewness/kurtosis of document length "
+    "from exact bigint power sums (n, S1..S4): one partial-aggregated "
+    "groupBy, then a shared IEEE double chain (identical expression "
+    "text in both engines, sqrt instead of pow so every step is "
+    "correctly rounded). Scale: single map-side-combinable pass, no "
+    "window, no sort.",
+    f"""
+    with s as (
+      select source,
+             cast(count(*) as bigint) as n,
+             cast(sum(n_chars) as bigint) as s1,
+             cast(sum(n_chars*n_chars) as bigint) as s2,
+             cast(sum(n_chars*n_chars*n_chars) as bigint) as s3,
+             cast(sum(n_chars*n_chars*n_chars*n_chars) as bigint) as s4
+      from documents group by source
+    )
+    select source, n as n_docs,
+           {_MOM_M} as mean_chars,
+           {_MOM_VAR} as var_chars,
+           {_MOM_SKEW} as skew_chars,
+           {_MOM_KURT} as kurt_chars
+    from s
+    """,
+    "agg", "statistics", "moments",
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("n_chars")
+    s = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("s1"),
+        F.sum(c * c).cast("bigint").alias("s2"),
+        F.sum(c * c * c).cast("bigint").alias("s3"),
+        F.sum(c * c * c * c).cast("bigint").alias("s4"),
+    )
+    return s.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.expr(_MOM_M).alias("mean_chars"),
+        F.expr(_MOM_VAR).alias("var_chars"),
+        F.expr(_MOM_SKEW).alias("skew_chars"),
+        F.expr(_MOM_KURT).alias("kurt_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# percent_rank / cume_dist coverage: the two rank-distribution window
+# functions the catalog's window tier (ntile, rank, lag, rolling,
+# range-frame) did not yet exercise. Ordering is by raw c_acctbal so
+# ties share a rank -- the result is deterministic without a tiebreak
+# because both functions are pure functions of the value ordering, and
+# each value is one exact integer division ((rank-1)/(n-1), peers/n)
+# evaluated in double by both engines. Partitioned by nation: no
+# global window anywhere.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "window_cume_percent_rank",
+    "Per-nation percent_rank and cume_dist of customer account "
+    "balance (ties share ranks; each value is a single IEEE division "
+    "of exact ints so cross-engine bits match). Scale: one "
+    "nation-keyed exchange, per-nation sort only.",
+    """
+    select n_name, c_custkey, c_acctbal,
+           percent_rank() over w as pct_rank,
+           cume_dist() over w as cum_dist
+    from customer join nation on c_nationkey = n_nationkey
+    window w as (partition by n_name order by c_acctbal)
+    """,
+    "window", "rank",
+)
+def window_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy("c_acctbal")
+    return (
+        cust.join(
+            F.broadcast(nat),
+            cust.c_nationkey == nat.n_nationkey,
+        )
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact sliding-window distinct counts (DAU / trailing-7-day WAU /
+# stickiness): the explode-to-target-day trick turns a sliding
+# COUNT(DISTINCT) -- normally a re-scan per window position -- into ONE
+# keyed shuffle: each distinct (user, day) pair is fanned out to the <=7
+# window positions it supports, then a plain distinct-count per target
+# day. At 100 TB the fan-out factor is the window length (bounded), the
+# state per key is nothing, and every stage is partial-aggregatable.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_dau_wau_stickiness",
+    "Per-day DAU, exact trailing-7-day WAU (explode each distinct "
+    "(user, day) to the 7 window positions it supports -> one keyed "
+    "distinct-count, no per-window re-scan), and DAU/WAU stickiness "
+    "as a single double division of exact bigints. Scale: bounded "
+    "x7 fan-out of the deduped (user, day) pairs, all aggregates "
+    "partial.",
+    """
+    with d as (
+      select distinct user_id, epoch_us(ts) // 86400000000 as day
+      from events
+    ),
+    days as (select distinct day from d),
+    dau as (
+      select day, cast(count(*) as bigint) as dau from d group by day
+    ),
+    x as (
+      select user_id, unnest(generate_series(day, day + 6)) as day from d
+    ),
+    wau as (
+      select x.day, cast(count(distinct x.user_id) as bigint) as wau
+      from x join days using (day) group by x.day
+    )
+    select day, dau, wau,
+           cast(dau as double) / cast(wau as double) as stickiness
+    from dau join wau using (day)
+    """,
+    "events", "window", "distinct",
+)
+def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    days = d.select("day").distinct()
+    dau = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
+    x = d.select(
+        "user_id",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("day"),
+    )
+    wau = (
+        x.join(F.broadcast(days), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend per nation: how unequal is
+# revenue across a nation's customers? Spend is summed in exact cents
+# (decimal -> bigint), customers are ranked inside their nation only
+# (rank ties broken by custkey so the index is total), and the Gini
+# comes from the closed form over the ascending ranks:
+#   G = (2 * sum(i * x_i) - (n + 1) * sum(x_i)) / (n * sum(x_i))
+# as ONE double division of exact bigints. Customers without orders
+# count as zero spend (left join), which is what makes the
+# concentration statistic honest.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "agg_gini_concentration",
+    "Per-nation Gini coefficient of customer spend (exact cents via "
+    "decimal sums; rank-index closed form; one final double division "
+    "of bigints). Customers with no orders count as zero spend. "
+    "Scale: customer-keyed aggregate, nation-keyed window -- no "
+    "global sort.",
+    """
+    with spend as (
+      select c.c_custkey, n.n_name,
+             cast(coalesce(sum(cast(o.o_totalprice as decimal(12,2))),
+                           cast(0 as decimal(12,2))) * 100 as bigint)
+               as cents
+      from customer c
+      join nation n on c.c_nationkey = n.n_nationkey
+      left join orders o on o.o_custkey = c.c_custkey
+      group by c.c_custkey, n.n_name
+    ),
+    r as (
+      select n_name, cents,
+             cast(row_number() over (
+               partition by n_name order by cents, c_custkey) as bigint)
+               as i
+      from spend
+    ),
+    g as (
+      select n_name,
+             cast(count(*) as bigint) as n,
+             cast(sum(cents) as bigint) as sx,
+             cast(sum(i * cents) as bigint) as six
+      from r group by n_name
+    )
+    select n_name, n as n_customers,
+           cast(2*six - (n + 1)*sx as double) / cast(n*sx as double)
+             as gini
+    from g
+    """,
+    "agg", "statistics", "concentration",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "n_name")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.col("o_totalprice").cast("decimal(12,2)")),
+                    F.lit(0).cast("decimal(12,2)"),
+                )
+                * 100
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "c_custkey")
+    r = spend.select(
+        "n_name", "cents", F.row_number().over(w).cast("bigint").alias("i")
+    )
+    g = r.groupBy("n_name").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("six"),
+    )
+    return g.select(
+        "n_name",
+        F.col("n").alias("n_customers"),
+        F.expr(
+            "cast(2*six - (n + 1)*sx as double) / cast(n*sx as double)"
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k set-similarity sketch between corpus sources: the standard
+# bottom-k (KMV) Jaccard estimator -- J(A,B) ~= |BottomK(A u B) that
+# land in BOTH signatures| / k -- computed entirely from k-row
+# signatures. The only corpus-sized work is the distinct (source, term)
+# projection (one keyed shuffle); everything after operates on
+# 20 sources x k rows. The source-pair frame is a 20x20 inequality
+# join (BroadcastNestedLoop over two ~20-row dims -- sanctioned; the
+# signature joins themselves are broadcast equi-joins).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+@_stage(
+    "sim_source_jaccard_bottomk",
+    f"Bottom-{_KMV_K} (KMV) Jaccard similarity between every source "
+    "pair: per-source signature = the k lexicographically-smallest "
+    "md5-derived term hashes; estimate = hits in both signatures "
+    "among the union's bottom-k, / k. Scale: the corpus touches one "
+    "distinct (source, term) shuffle; all pair math runs on k-row "
+    "signatures.",
+    f"""
+    with tok as (
+      select distinct source, unnest(string_split(text, ' ')) as term
+      from documents
+    ),
+    h as (
+      select source, term,
+             cast(('0x' || substr(md5(term), 1, 12)) as bigint) as hv
+      from tok
+    ),
+    sig as (
+      select source, term, hv
+      from (
+        select source, term, hv,
+               row_number() over (
+                 partition by source order by hv, term) as rn
+        from h
+      ) where rn <= {_KMV_K}
+    ),
+    pairs as (
+      select a.source as src_a, b.source as src_b
+      from (select distinct source from documents) a
+      join (select distinct source from documents) b
+        on a.source < b.source
+    ),
+    m as (
+      select src_a, src_b, term, hv, cast(count(*) as bigint) as n_sides
+      from (
+        select p.src_a, p.src_b, s.term, s.hv
+        from pairs p join sig s on s.source = p.src_a
+        union all
+        select p.src_a, p.src_b, s.term, s.hv
+        from pairs p join sig s on s.source = p.src_b
+      )
+      group by src_a, src_b, term, hv
+    ),
+    r as (
+      select src_a, src_b, n_sides,
+             row_number() over (
+               partition by src_a, src_b order by hv, term) as mrn
+      from m
+    )
+    select src_a, src_b,
+           cast(sum(case when n_sides = 2 then 1 else 0 end) as bigint)
+             as k_hits,
+           cast(sum(case when n_sides = 2 then 1 else 0 end) as double)
+             / {_KMV_K}.0 as jaccard_est
+    from r where mrn <= {_KMV_K}
+    group by src_a, src_b
+    """,
+    "sim", "sketch", "dedup",
+)
+def sim_source_jaccard_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(tokens()).alias("term")
+    ).distinct()
+    h = tok.withColumn(
+        "hv", F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint")
+    )
+    w = Window.partitionBy("source").orderBy("hv", "term")
+    sig = (
+        h.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    ma = sig.join(F.broadcast(pairs), sig.source == pairs.src_a).select(
+        "src_a", "src_b", "term", "hv"
+    )
+    mb = sig.join(F.broadcast(pairs), sig.source == pairs.src_b).select(
+        "src_a", "src_b", "term", "hv"
+    )
+    m = (
+        ma.unionByName(mb)
+        .groupBy("src_a", "src_b", "term", "hv")
+        .agg(F.count("*").cast("bigint").alias("n_sides"))
+    )
+    wm = Window.partitionBy("src_a", "src_b").orderBy("hv", "term")
+    r = m.withColumn("mrn", F.row_number().over(wm)).where(
+        F.col("mrn") <= _KMV_K
+    )
+    hit = F.when(F.col("n_sides") == 2, 1).otherwise(0)
+    return r.groupBy("src_a", "src_b").agg(
+        F.sum(hit).cast("bigint").alias("k_hits"),
+        (F.sum(hit).cast("double") / float(_KMV_K)).alias("jaccard_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted value average over event intervals: each event's value
+# holds until the user's next event (the SCD-2 validity shape above),
+# so the honest per-type average weights each value by its holding
+# duration -- the standard fix for irregularly-sampled state (TWAP).
+# Exact: value is scaled to integer hundredths, durations are integer
+# milliseconds, the weighted sums are pure bigint addition, and the
+# final average is one double division.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_time_weighted_value",
+    "Per-event-type time-weighted average value (TWAP over the SCD-2 "
+    "validity intervals): value scaled to exact hundredths, duration "
+    "to exact ms, bigint weighted sums, one final double division. "
+    "Scale: one user-keyed window + a partial-aggregated rollup -- "
+    "no global window.",
+    """
+    with iv as (
+      select event_type,
+             cast(round(value * 100) as bigint) as v_s,
+             epoch_us(ts) as s_us,
+             lead(epoch_us(ts)) over (
+               partition by user_id order by ts, event_id) as e_us
+      from events
+    ),
+    c as (
+      select event_type, v_s, (e_us - s_us) // 1000 as dur_ms
+      from iv where e_us is not null
+    )
+    select event_type,
+           cast(count(*) as bigint) as n_intervals,
+           cast(sum(dur_ms) as bigint) as total_dur_ms,
+           cast(sum(v_s * dur_ms) as double)
+             / (cast(sum(dur_ms) as double) * 100.0) as tw_avg_value
+    from c group by event_type
+    """,
+    "events", "window", "scd2",
+)
+def ev_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_s"),
+        F.unix_micros("ts").alias("s_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("e_us"),
+    )
+    c = iv.where(F.col("e_us").isNotNull()).select(
+        "event_type",
+        "v_s",
+        F.expr("(e_us - s_us) div 1000").alias("dur_ms"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum("dur_ms").cast("bigint").alias("total_dur_ms"),
+        (
+            F.sum(F.col("v_s") * F.col("dur_ms")).cast("double")
+            / (F.sum("dur_ms").cast("double") * F.lit(100.0))
+        ).alias("tw_avg_value"),
     )

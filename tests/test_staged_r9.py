@@ -42,7 +42,12 @@ def test_staged_plan_shapes(spark):
     """No staged plan contains a CartesianProduct, and the only
     BroadcastNestedLoopJoins are the sanctioned 1-row scalar
     broadcasts (BM25's corpus totals)."""
-    sanctioned_bnlj = {"txt_bm25_topk"}  # 1-row totals broadcast x2
+    sanctioned_bnlj = {
+        "txt_bm25_topk",  # 1-row totals broadcast x2
+        # 20x20 source-pair inequality join (both sides ~|sources| rows;
+        # the corpus-sized signature joins are broadcast equi-joins)
+        "sim_source_jaccard_bottomk",
+    }
     for name, cq in sorted(STAGED.items()):
         plan = cq.spark(spark, SF_DIRS[1])._jdf.queryExecution().toString()
         assert "CartesianProduct" not in plan, (name, plan)

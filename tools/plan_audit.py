@@ -100,8 +100,9 @@ def main() -> int:
         "--staged",
         action="store_true",
         help="include the pre-registration tiers (plans/staged_r6.py, "
-        "plans/staged_r8.py); extra budget keys are inert until "
-        "promotion, when the budget gate picks them up automatically",
+        "plans/staged_r8.py, plans/staged_r9.py); extra budget keys are "
+        "inert until promotion, when the budget gate picks them up "
+        "automatically",
     )
     args = ap.parse_args()
 
@@ -124,9 +125,11 @@ def main() -> int:
     if args.staged:
         from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
         from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
+        from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
 
         registry.update(STAGED_R6)  # no-op post-promotion (already live)
-        registry.update(STAGED_R8)
+        registry.update(STAGED_R8)  # no-op post-promotion (already live)
+        registry.update(STAGED_R9)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
