@@ -12,9 +12,9 @@ catalog.QUERY_MODULES, call ``promote()`` at import, place every name
 inside the round-9 window, and add them to bench.py HEADLINE *in the
 same commit*.
 
-Registry arithmetic at promotion: 165 + 12 = 177 registered queries
+Registry arithmetic at promotion: 165 + 14 = 179 registered queries
 against the 50-slot window keeps the refresh cycle at
-ceil(177/50) = 4 rounds -- tests/test_entry.py's
+ceil(179/50) = 4 rounds -- tests/test_entry.py's
 test_refresh_cycle_matches_registry_size holds without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
@@ -23,7 +23,8 @@ engine along axes the build brief names first-class -- event analytics
 (SCD-2 interval build, ordered conversion funnels, streak mining,
 exact sliding-window distinct counts, time-weighted state averages),
 retrieval (BM25, bottom-k set-similarity sketches), statistics over
-exact sums (OLS trend, higher moments, Gini concentration), window
+exact sums (OLS trend, higher moments, Gini concentration, grouped
+weighted medians, CUSUM change points), window
 rank-distribution coverage (percent_rank/cume_dist), and weighted
 corpus sampling.
 
@@ -1015,4 +1016,162 @@ def ev_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("v_s") * F.col("dur_ms")).cast("double")
             / (F.sum("dur_ms").cast("double") * F.lit(100.0))
         ).alias("tw_avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped weighted median at scale: the histogram-first pattern. Weight
+# is pre-aggregated per (group, value) -- the corpus-sized shuffle, and
+# the relation shrinks to the value domain -- then the running weight
+# uses ranged_cumsum (range-partitioned, no single-task stage) over the
+# global (group, value) order, corrected into in-group cumulatives by
+# subtracting per-group offsets (a 3-row relation; its window is over
+# the GROUP COUNT, never the data). The lower weighted median is then
+# the smallest value whose doubled running weight reaches the group
+# total -- insensitive to tie order by construction. This is how a
+# grouped exact quantile survives 100 TB: no per-group single-task
+# sort anywhere.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "agg_weighted_median",
+    "Per-returnflag weighted median of extended price, weighted by "
+    "quantity (exact bigint weights): histogram pre-aggregation per "
+    "(flag, price), ranged running weight (range-partitioned cumsum, "
+    "no global window), per-flag offsets from a group-count-sized "
+    "relation, lower-median selection min(price | 2*cum >= total). "
+    "Scale: one keyed shuffle over the corpus; everything after runs "
+    "on the value-domain histogram.",
+    """
+    with g as (
+      select l_returnflag as flag, l_extendedprice as price,
+             cast(sum(cast(l_quantity as bigint)) as bigint) as w
+      from lineitem group by flag, price
+    ),
+    r as (
+      select flag, price, w,
+             sum(w) over (partition by flag order by price) as cw,
+             sum(w) over (partition by flag) as tw
+      from g
+    )
+    select flag, cast(max(tw) as bigint) as total_weight,
+           min(price) as w_median_price
+    from r where 2*cw >= tw group by flag
+    """,
+    "agg", "statistics", "quantile",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.ordered import ranged_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .groupBy("flag", "price")
+        .agg(F.sum("q").cast("bigint").alias("w"))
+    )
+    # global running weight over (flag, price) -- unique per row after
+    # the pre-aggregation, as ranged_cumsum requires
+    cum = ranged_cumsum(g, ["flag", "price"], "w", "cw")
+    tw = g.groupBy("flag").agg(F.sum("w").cast("bigint").alias("tw"))
+    # per-flag offset = total weight of all earlier flags; the window
+    # is over the |groups|-row totals relation (3 rows), not the data
+    off_w = Window.orderBy("flag").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = tw.withColumn(
+        "off", F.coalesce(F.sum("tw").over(off_w), F.lit(0))
+    )
+    j = cum.join(F.broadcast(offs), "flag")
+    hit = j.where(2 * (F.col("cw") - F.col("off")) >= F.col("tw"))
+    return hit.groupBy("flag").agg(
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.min("price").alias("w_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection over daily event volumes: for each
+# event type, the cumulative deviation of daily counts from the type's
+# own mean, kept exact by scaling through the day count
+# (S_k = sum_{d<=k} (c_d * D - T) -- integer arithmetic, no float
+# mean), and the change point is the day of maximum |S_k| (earliest
+# day on ties). The corpus-sized work is ONE partial-aggregated
+# groupBy; the CUSUM window runs on the (type x day) rollup, which is
+# calendar-bounded at any corpus size.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_cusum_changepoint",
+    "Per-event-type CUSUM change point over daily counts: exact "
+    "integer deviations (c_d*D - T, so the mean never becomes a "
+    "float), running sum per type, change point = earliest day of "
+    "max |S_k|. Scale: one groupBy over the corpus; the window runs "
+    "on the calendar-bounded (type, day) rollup.",
+    """
+    with daily as (
+      select event_type, epoch_us(ts) // 86400000000 as day,
+             cast(count(*) as bigint) as c
+      from events group by event_type, day
+    ),
+    t as (
+      select event_type, cast(count(*) as bigint) as d_days,
+             cast(sum(c) as bigint) as t_total
+      from daily group by event_type
+    ),
+    s as (
+      select daily.event_type, day,
+             sum(c * d_days - t_total) over (
+               partition by daily.event_type order by day) as s_k
+      from daily join t using (event_type)
+    ),
+    m as (
+      select event_type, max(abs(s_k)) as max_dev
+      from s group by event_type
+    )
+    select s.event_type, cast(min(s.day) as bigint) as cp_day,
+           cast(max(m.max_dev) as bigint) as max_scaled_dev
+    from s join m on s.event_type = m.event_type
+                 and abs(s.s_k) = m.max_dev
+    group by s.event_type
+    """,
+    "events", "statistics", "changepoint",
+)
+def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    t = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("d_days"),
+        F.sum("c").cast("bigint").alias("t_total"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s = daily.join(F.broadcast(t), "event_type").withColumn(
+        "s_k",
+        F.sum(
+            F.col("c") * F.col("d_days") - F.col("t_total")
+        ).over(w),
+    )
+    m = s.groupBy("event_type").agg(F.max(F.abs("s_k")).alias("max_dev"))
+    j = s.join(F.broadcast(m), "event_type").where(
+        F.abs(F.col("s_k")) == F.col("max_dev")
+    )
+    return j.groupBy("event_type").agg(
+        F.min("day").cast("bigint").alias("cp_day"),
+        F.max("max_dev").cast("bigint").alias("max_scaled_dev"),
     )
