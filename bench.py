@@ -197,9 +197,27 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False):
     else:
         line.pop("stddev")
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1900:
-        line.pop("queries")
-        out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1900 and detail:
+        # degrade gracefully: keep the SLOWEST queries that fit (the ones
+        # a reader of the capture window actually needs), flag the drop
+        # count, and leave the complete map to BENCH_DETAIL.json. The r8
+        # full map crossed the window (70 queries = 1925 chars); the old
+        # guard dropped all per-query visibility from the driver line.
+        # Child mode (--no-detail) is exempt: its stdout is parsed by the
+        # --isolate parent, never captured by the driver window.
+        ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+        full = line.pop("queries")
+        while ranked:
+            line["queries_top"] = {n: round(t, 2) for n, t in ranked}
+            line["n_dropped"] = len(full) - len(ranked)
+            out = json.dumps(line, separators=(",", ":"))
+            if len(out) <= 1900:
+                break
+            ranked = ranked[: len(ranked) - 8]
+        else:
+            line.pop("queries_top", None)
+            line.pop("n_dropped", None)
+            out = json.dumps(line, separators=(",", ":"))
     print(out)
 
 

@@ -407,10 +407,13 @@ def main() -> int:
         )
         return 0
 
-    # staged (round-6) operators are curve-eligible before registration
-    from clueso_spark.plans.staged_r6 import STAGED
+    # staged operators are curve-eligible before registration (r6/r8
+    # entries are no-ops post-promotion, already in all_queries())
+    from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
+    from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
+    from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
 
-    registry = {**all_queries(), **STAGED}
+    registry = {**all_queries(), **STAGED_R6, **STAGED_R8, **STAGED_R9}
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
