@@ -1,0 +1,99 @@
+"""bench.py stdout-line contract (no Spark needed).
+
+The round driver captures only the last ~2000 chars of bench.py's
+stdout, so the one JSON line must stay under that window while losing
+as little per-query information as possible:
+
+  * short maps ship complete;
+  * a map that would cross the window degrades to the SLOWEST queries
+    that fit (``queries_top`` + ``n_dropped``) -- the expensive tail is
+    what a reader of the capture window needs -- with the complete map
+    still in BENCH_DETAIL.json;
+  * child mode (``--no-detail``, used by ``--isolate``) never truncates
+    and keeps full float precision: its stdout is parsed by the parent
+    process, not captured by the driver.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import io
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # BENCH_DETAIL.json goes next to bench.py; redirect it at the module
+    # seam so the test never touches the repo's committed artifact
+    monkeypatch.setattr(
+        mod.os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    return mod
+
+
+def _emit_line(bench, timings, detail):
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            timings, {k: 0.01 for k in timings}, [], 0.1, detail=detail
+        )
+    finally:
+        sys.stdout = old
+    return buf.getvalue()
+
+
+LONG_MAP = {
+    f"query_name_number_{i:02d}_padded_extra_long_suffix": 0.1 * i + 0.123
+    for i in range(70)
+}
+
+
+def test_short_map_ships_complete(bench):
+    line = json.loads(_emit_line(bench, {"q1": 1.5, "q2": 0.5}, detail=True))
+    assert line["queries"] == {"q1": 1.5, "q2": 0.5}
+    assert "queries_top" not in line
+    assert "stddev" not in line  # driver line never carries the stddev map
+
+
+def test_long_map_degrades_to_slowest_that_fit(bench):
+    raw = _emit_line(bench, LONG_MAP, detail=True)
+    assert len(raw) <= 1901  # 1900 + newline
+    line = json.loads(raw)
+    assert "queries" not in line
+    top = line["queries_top"]
+    assert line["n_dropped"] == len(LONG_MAP) - len(top)
+    assert line["n_dropped"] > 0
+    vals = list(top.values())
+    assert vals == sorted(vals, reverse=True)  # slowest first
+    slowest = max(LONG_MAP, key=LONG_MAP.get)
+    assert slowest in top
+
+
+def test_total_survives_degradation(bench):
+    line = json.loads(_emit_line(bench, LONG_MAP, detail=True))
+    assert line["value"] == round(sum(LONG_MAP.values()), 3)
+
+
+def test_child_mode_never_truncates(bench):
+    line = json.loads(_emit_line(bench, LONG_MAP, detail=False))
+    # full map, full precision -- the --isolate parent reads exact values
+    assert line["queries"] == LONG_MAP
+    assert "queries_top" not in line
+    assert "stddev" in line
+
+
+def test_detail_artifact_always_complete(bench, tmp_path):
+    _emit_line(bench, LONG_MAP, detail=True)
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["queries"] == LONG_MAP
+    assert set(detail["stddev"]) == set(LONG_MAP)
