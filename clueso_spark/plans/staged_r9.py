@@ -840,8 +840,13 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Bottom-k set-similarity sketch between corpus sources: the standard
 # bottom-k (KMV) Jaccard estimator -- J(A,B) ~= |BottomK(A u B) that
-# land in BOTH signatures| / k -- computed entirely from k-row
-# signatures. The only corpus-sized work is the distinct (source, term)
+# land in BOTH signatures| / |BottomK(A u B)| -- computed entirely from
+# k-row signatures. The denominator is the union's ACTUAL bottom-k size
+# (min(k, |A u B|)), not the literal k: when the union is smaller than
+# k the sketch holds the whole union and the estimate becomes exact
+# Jaccard (a fixed /k would underestimate small unions -- caught by
+# tests/test_staged_r9.py::test_jaccard_bottomk_identical_and_disjoint).
+# The only corpus-sized work is the distinct (source, term)
 # projection (one keyed shuffle); everything after operates on
 # 20 sources x k rows. The source-pair frame is a 20x20 inequality
 # join (BroadcastNestedLoop over two ~20-row dims -- sanctioned; the
@@ -856,9 +861,10 @@ _KMV_K = 64
     f"Bottom-{_KMV_K} (KMV) Jaccard similarity between every source "
     "pair: per-source signature = the k lexicographically-smallest "
     "md5-derived term hashes; estimate = hits in both signatures "
-    "among the union's bottom-k, / k. Scale: the corpus touches one "
-    "distinct (source, term) shuffle; all pair math runs on k-row "
-    "signatures.",
+    "among the union's bottom-k, over the union's actual bottom-k "
+    "size (exact when the union is smaller than k). Scale: the "
+    "corpus touches one distinct (source, term) shuffle; all pair "
+    "math runs on k-row signatures.",
     f"""
     with tok as (
       select distinct source, unnest(string_split(text, ' ')) as term
@@ -905,7 +911,7 @@ _KMV_K = 64
            cast(sum(case when n_sides = 2 then 1 else 0 end) as bigint)
              as k_hits,
            cast(sum(case when n_sides = 2 then 1 else 0 end) as double)
-             / {_KMV_K}.0 as jaccard_est
+             / cast(count(*) as double) as jaccard_est
     from r where mrn <= {_KMV_K}
     group by src_a, src_b
     """,
@@ -951,7 +957,9 @@ def sim_source_jaccard_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit = F.when(F.col("n_sides") == 2, 1).otherwise(0)
     return r.groupBy("src_a", "src_b").agg(
         F.sum(hit).cast("bigint").alias("k_hits"),
-        (F.sum(hit).cast("double") / float(_KMV_K)).alias("jaccard_est"),
+        (F.sum(hit).cast("double") / F.count("*").cast("double")).alias(
+            "jaccard_est"
+        ),
     )
 
 

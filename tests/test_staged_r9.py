@@ -89,3 +89,165 @@ def test_staging_is_not_live():
         for name in STAGED:
             REGISTRY.pop(name, None)
     assert not set(STAGED) & set(REGISTRY)
+
+
+def _write_sf(tmp_path, docs=(), events=(), orders=(), customers=(),
+              nations=(), lineitems=()):
+    """Minimal sf directory with exactly the tables/columns the staged
+    r9 tier touches, as single parquet FILES (load_table sniffs footers
+    driver-side). Empty tuples write empty tables with real schemas."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = str(tmp_path / "sf_edge")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+
+    def tbl(rows, schema):
+        cols = {
+            name: pa.array([r[i] for r in rows], typ)
+            for i, (name, typ) in enumerate(schema)
+        }
+        return pa.table(cols)
+
+    pq.write_table(
+        tbl(docs, [("doc_id", pa.int64()), ("text", pa.string()),
+                   ("lang", pa.string()), ("source", pa.string()),
+                   ("n_chars", pa.int64())]),
+        f"{sf}/documents.parquet",
+    )
+    pq.write_table(
+        tbl(events, [("event_id", pa.int64()),
+                     ("ts", pa.timestamp("us")),
+                     ("user_id", pa.int64()),
+                     ("event_type", pa.string()),
+                     ("value", pa.float64()),
+                     ("props", pa.string())]),
+        f"{sf}/events.parquet",
+    )
+    pq.write_table(
+        tbl(orders, [("o_orderkey", pa.int64()),
+                     ("o_custkey", pa.int64()),
+                     ("o_totalprice", pa.float64()),
+                     ("o_orderdate", pa.timestamp("us")),
+                     ("o_orderpriority", pa.string())]),
+        f"{sf}/orders.parquet",
+    )
+    pq.write_table(
+        tbl(customers, [("c_custkey", pa.int64()),
+                        ("c_nationkey", pa.int32()),
+                        ("c_acctbal", pa.float64())]),
+        f"{sf}/customer.parquet",
+    )
+    pq.write_table(
+        tbl(nations, [("n_nationkey", pa.int32()),
+                      ("n_name", pa.string())]),
+        f"{sf}/nation.parquet",
+    )
+    pq.write_table(
+        tbl(lineitems, [("l_returnflag", pa.string()),
+                        ("l_extendedprice", pa.float64()),
+                        ("l_quantity", pa.float64())]),
+        f"{sf}/lineitem.parquet",
+    )
+    return sf
+
+
+def test_staged_empty_inputs_do_not_crash(spark, tmp_path):
+    """Empty tables: every staged query returns a list (possibly empty),
+    never raises -- div-by-zero and null leads must null out."""
+    sf = _write_sf(tmp_path)
+    for name, cq in sorted(STAGED.items()):
+        rows = cq.spark(spark, sf).collect()
+        assert isinstance(rows, list), name
+
+
+def test_weighted_median_lower_median_semantics(spark, tmp_path):
+    """Lower weighted median: weights [2,1,1] over prices [1,2,3] put
+    the half-total boundary exactly ON price 1.0 (2*cw == tw), which
+    the lower median includes."""
+    sf = _write_sf(
+        tmp_path,
+        lineitems=[("A", 1.0, 2.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
+                   ("B", 5.0, 1.0)],
+    )
+    rows = {r["flag"]: r for r in STAGED["agg_weighted_median"]
+            .spark(spark, sf).collect()}
+    assert rows["A"]["w_median_price"] == 1.0
+    assert rows["A"]["total_weight"] == 4
+    assert rows["B"]["w_median_price"] == 5.0
+
+
+def test_jaccard_bottomk_identical_and_disjoint_sources(spark, tmp_path):
+    """KMV estimator exactness at the extremes: identical token sets
+    estimate 1.0, disjoint sets estimate 0.0 (every union bottom-k
+    member is in both / neither signature)."""
+    docs = [
+        (1, "alpha beta gamma", "en", "s1", 10),
+        (2, "alpha beta gamma", "en", "s2", 10),
+        (3, "delta epsilon zeta", "en", "s3", 10),
+    ]
+    sf = _write_sf(tmp_path, docs=docs)
+    out = {(r["src_a"], r["src_b"]): r["jaccard_est"]
+           for r in STAGED["sim_source_jaccard_bottomk"]
+           .spark(spark, sf).collect()}
+    assert out[("s1", "s2")] == 1.0
+    assert out[("s1", "s3")] == 0.0
+    assert out[("s2", "s3")] == 0.0
+
+
+def test_cusum_constant_series_flags_first_day(spark, tmp_path):
+    """A flat daily series has zero deviation everywhere; the change
+    point must resolve to the EARLIEST day (tie rule), max_dev 0."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (i * 10 + d, base + dt.timedelta(days=d), 1, "click", 1.0, "{}")
+        for d in range(3) for i in range(5)  # 5 events/day, 3 days
+    ]
+    sf = _write_sf(tmp_path, events=events)
+    [row] = STAGED["ev_cusum_changepoint"].spark(spark, sf).collect()
+    assert row["event_type"] == "click"
+    assert row["max_scaled_dev"] == 0
+    assert row["cp_day"] == (base - dt.datetime(1970, 1, 1)).days
+
+
+def test_stickiness_single_user_single_day(spark, tmp_path):
+    """One user active one day: DAU = WAU = 1 on that day, stickiness
+    exactly 1.0 (the trailing window has nothing else to count)."""
+    import datetime as dt
+
+    sf = _write_sf(
+        tmp_path,
+        events=[(1, dt.datetime(2024, 1, 5), 7, "view", 1.0, "{}")],
+    )
+    [row] = STAGED["ev_dau_wau_stickiness"].spark(spark, sf).collect()
+    assert (row["dau"], row["wau"], row["stickiness"]) == (1, 1, 1.0)
+
+
+def test_window_funnel_levels(spark, tmp_path):
+    """Three users: full signup->click->purchase inside 7 days (level
+    3), signup+click only (level 2), signup with the click outside the
+    window (level 1)."""
+    import datetime as dt
+
+    b = dt.datetime(2024, 1, 1)
+    d = dt.timedelta
+    events = [
+        # user 1: full funnel inside the window
+        (1, b, 1, "signup", 0.0, "{}"),
+        (2, b + d(days=1), 1, "click", 0.0, "{}"),
+        (3, b + d(days=2), 1, "purchase", 0.0, "{}"),
+        # user 2: click but no purchase
+        (4, b, 2, "signup", 0.0, "{}"),
+        (5, b + d(days=1), 2, "click", 0.0, "{}"),
+        # user 3: click arrives after the 7-day window
+        (6, b, 3, "signup", 0.0, "{}"),
+        (7, b + d(days=8), 3, "click", 0.0, "{}"),
+    ]
+    sf = _write_sf(tmp_path, events=events)
+    out = {r["level"]: r["n_users"]
+           for r in STAGED["ev_window_funnel"].spark(spark, sf).collect()}
+    assert out == {3: 1, 2: 1, 1: 1}
