@@ -12,9 +12,9 @@ catalog.QUERY_MODULES, call ``promote()`` at import, place every name
 inside the round-9 window, and add them to bench.py HEADLINE *in the
 same commit*.
 
-Registry arithmetic at promotion: 165 + 14 = 179 registered queries
+Registry arithmetic at promotion: 165 + 15 = 180 registered queries
 against the 50-slot window keeps the refresh cycle at
-ceil(179/50) = 4 rounds -- tests/test_entry.py's
+ceil(180/50) = 4 rounds -- tests/test_entry.py's
 test_refresh_cycle_matches_registry_size holds without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
@@ -24,7 +24,7 @@ engine along axes the build brief names first-class -- event analytics
 exact sliding-window distinct counts, time-weighted state averages),
 retrieval (BM25, bottom-k set-similarity sketches), statistics over
 exact sums (OLS trend, higher moments, Gini concentration, grouped
-weighted medians, CUSUM change points), window
+weighted medians, exact grouped quantiles, CUSUM change points), window
 rank-distribution coverage (percent_rank/cume_dist), and weighted
 corpus sampling.
 
@@ -1182,4 +1182,89 @@ def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("event_type").agg(
         F.min("day").cast("bigint").alias("cp_day"),
         F.max("max_dev").cast("bigint").alias("max_scaled_dev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped multi-quantiles without a per-group sort: the
+# counterpart to agg_exact_median (plans/relational.py), whose
+# row_number construction deliberately documents "one full sort per
+# group" as the cost of exactness. This op shows the scale-safe way
+# out: histogram the values per group (the corpus-sized shuffle
+# shrinks to the value domain), run ONE ranged cumsum over the global
+# (group, value) order, recover in-group cumulatives from a
+# |groups|-row offset relation, and read all four quantiles off the
+# same cumulative relation with an explode -- nearest-rank definition
+# (smallest value whose cumulative count reaches ceil(q/100 * n),
+# i.e. 100*cum >= q*n in integers), so no interpolation and no
+# engine-specific percentile semantics anywhere.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_PCTS = (25, 50, 90, 99)
+
+
+@_stage(
+    "agg_exact_quantiles",
+    "Exact p25/p50/p90/p99 of event value per event type with NO "
+    "per-group sort: value-domain histogram (exact hundredths), one "
+    "ranged cumsum, group offsets from a group-count-sized relation, "
+    "nearest-rank selection in pure integer arithmetic "
+    "(100*cum >= pct*n). The scale-safe exact-quantile pattern "
+    "agg_exact_median's docstring points at.",
+    """
+    with h as (
+      select event_type, cast(round(value * 100) as bigint) as v_s,
+             cast(count(*) as bigint) as w
+      from events group by event_type, v_s
+    ),
+    r as (
+      select event_type, v_s, w,
+             sum(w) over (partition by event_type order by v_s) as cw,
+             sum(w) over (partition by event_type) as tw
+      from h
+    )
+    select event_type, pct,
+           cast(max(tw) as bigint) as n_events,
+           cast(min(v_s) as double) / 100.0 as q_value
+    from r, (select unnest([25, 50, 90, 99]) as pct) q
+    where 100*cw >= pct*tw
+    group by event_type, pct
+    """,
+    "agg", "statistics", "quantile",
+)
+def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.ordered import ranged_cumsum
+
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("v_s"),
+        )
+        .groupBy("event_type", "v_s")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    cum = ranged_cumsum(h, ["event_type", "v_s"], "w", "cw")
+    tw = h.groupBy("event_type").agg(
+        F.sum("w").cast("bigint").alias("tw")
+    )
+    off_w = Window.orderBy("event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # |groups|-row relation (event types); the window is over the group
+    # count, never the data
+    offs = tw.withColumn(
+        "off", F.coalesce(F.sum("tw").over(off_w), F.lit(0))
+    )
+    j = cum.join(F.broadcast(offs), "event_type")
+    e = j.withColumn(
+        "pct",
+        F.explode(F.array(*[F.lit(p) for p in _QUANTILE_PCTS])),
+    )
+    hit = e.where(
+        100 * (F.col("cw") - F.col("off")) >= F.col("pct") * F.col("tw")
+    )
+    return hit.groupBy("event_type", "pct").agg(
+        F.max("tw").cast("bigint").alias("n_events"),
+        (F.min("v_s").cast("double") / F.lit(100.0)).alias("q_value"),
     )

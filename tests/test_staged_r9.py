@@ -251,3 +251,18 @@ def test_window_funnel_levels(spark, tmp_path):
     out = {r["level"]: r["n_users"]
            for r in STAGED["ev_window_funnel"].spark(spark, sf).collect()}
     assert out == {3: 1, 2: 1, 1: 1}
+
+
+def test_exact_quantiles_nearest_rank(spark, tmp_path):
+    """Ten distinct values 1..10, one event each: nearest-rank gives
+    p25 -> 3 (cum 3 >= 2.5), p50 -> 5, p90 -> 9, p99 -> 10."""
+    import datetime as dt
+
+    events = [
+        (i, dt.datetime(2024, 1, 1, i), 1, "view", float(i), "{}")
+        for i in range(1, 11)
+    ]
+    sf = _write_sf(tmp_path, events=events)
+    out = {r["pct"]: r["q_value"]
+           for r in STAGED["agg_exact_quantiles"].spark(spark, sf).collect()}
+    assert out == {25: 3.0, 50: 5.0, 90: 9.0, 99: 10.0}
