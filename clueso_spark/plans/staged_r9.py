@@ -310,17 +310,28 @@ _BM25_K = 10
     "text", "retrieval", "topk",
 )
 def txt_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+
     docs = load_table(spark, sf_dir, "documents").withColumn("w", tokens())
-    lengths = docs.select("doc_id", F.size("w").alias("dl"))
+    # lengths feeds the corpus totals AND the per-doc score join; tf
+    # feeds the idf counts AND the scoring relation. Without pinning,
+    # each consumer re-tokenizes the corpus (5 text-column scans in the
+    # audited plan); persisted, the corpus is read twice -- once per
+    # projection -- and both are slim (2 ints/doc; <= |terms| rows/doc).
+    lengths = persist_swap(
+        spark, "bm25_lengths", docs.select("doc_id", F.size("w").alias("dl"))
+    )
     totals = lengths.agg(
         F.sum("dl").cast("bigint").alias("t_tok"),
         F.count("*").cast("bigint").alias("n_docs"),
     )
-    tf = (
+    tf = persist_swap(
+        spark,
+        "bm25_tf",
         docs.select("doc_id", F.explode("w").alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").cast("bigint").alias("tf"))
+        .agg(F.count("*").cast("bigint").alias("tf")),
     )
     idf = (
         tf.groupBy("term")
