@@ -733,10 +733,19 @@ def window_cume_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events", "window", "distinct",
 )
 def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
-    ).distinct()
+    # the deduped (user, day) relation feeds three consumers (days,
+    # dau, the fan-out); unpinned, each re-runs the corpus-sized
+    # distinct. Pinned it is 2 ints per active user-day.
+    d = persist_swap(
+        spark,
+        "dau_wau_d",
+        ev.select(
+            "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+        ).distinct(),
+    )
     days = d.select("day").distinct()
     dau = d.groupBy("day").agg(F.count("*").cast("bigint").alias("dau"))
     x = d.select(
@@ -937,10 +946,17 @@ def sim_source_jaccard_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hv", F.conv(F.substring(F.md5("term"), 1, 12), 16, 10).cast("bigint")
     )
     w = Window.partitionBy("source").orderBy("hv", "term")
-    sig = (
+    from clueso_spark.plans.catalog import persist_swap
+
+    # the signatures feed both sides of the pair expansion (ma, mb);
+    # unpinned, the corpus-sized distinct + window runs twice. Pinned
+    # they are k rows per source.
+    sig = persist_swap(
+        spark,
+        "kmv_sig",
         h.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= _KMV_K)
-        .drop("rn")
+        .drop("rn"),
     )
     srcs = docs.select("source").distinct()
     pairs = (
@@ -1093,6 +1109,12 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("flag", "price")
         .agg(F.sum("q").cast("bigint").alias("w"))
     )
+    # the histogram feeds both the ranged cumsum and the per-flag
+    # totals; unpinned, the corpus aggregation runs twice. Pinned it is
+    # value-domain-sized.
+    from clueso_spark.plans.catalog import persist_swap
+
+    g = persist_swap(spark, "wmedian_hist", g)
     # global running weight over (flag, price) -- unique per row after
     # the pre-aggregation, as ranged_cumsum requires
     cum = ranged_cumsum(g, ["flag", "price"], "w", "cw")
@@ -1255,6 +1277,11 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "v_s")
         .agg(F.count("*").cast("bigint").alias("w"))
     )
+    # histogram feeds the ranged cumsum AND the per-type totals (see
+    # agg_weighted_median); pinned, the corpus is aggregated once
+    from clueso_spark.plans.catalog import persist_swap
+
+    h = persist_swap(spark, "quantiles_hist", h)
     cum = ranged_cumsum(h, ["event_type", "v_s"], "w", "cw")
     tw = h.groupBy("event_type").agg(
         F.sum("w").cast("bigint").alias("tw")
