@@ -166,3 +166,73 @@ def ntile_from_rank(rank_col: str, n_col: str, k: int):
         f"else {r} + (({rank_col} - 1 - {big}) div {q}) + 1 "
         f"end as bigint)"
     )
+
+
+def ranged_lead(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``lead(value_col) over (partition by part_cols order by
+    order_cols)`` with no per-entity single-task sort -- the hot-entity
+    escape hatch for SCD-2 / time-weighted interval builds.
+
+    The plain per-entity window is the right DEFAULT: entity histories
+    are normally bounded, and this helper costs an extra range exchange
+    plus a chunk-boundary join. But ONE whale entity (a bot user owning
+    a material fraction of the event log) serializes its whole history
+    through a single task under the plain window -- AQE cannot split a
+    window partition -- and the skew probe measured the straggler at
+    1.7x on local data (SCALE.md round-8 section), a ratio that grows
+    linearly with the whale's share. Here the whale's history is split
+    across range partitions like everyone else's:
+
+      1. range-repartition on (part_cols + order_cols) -- contiguous
+         sorted runs, a whale spans MANY partitions;
+      2. lead within each (partition-id, entity) chunk -- parallel;
+      3. only each chunk's LAST row per entity lacks its lead; patch it
+         with the successor chunk's first value, computed on the
+         chunk-level relation (<= #partitions rows per entity, bounded
+         by cluster width, never by data) and joined back on
+         (partition-id, entity) -- a key the window output is already
+         partitioned by, so Catalyst adds no new exchange on the big
+         side.
+
+    Requirements: (part_cols + order_cols) duplicate-free across rows,
+    and ``value_col`` non-null (a null value is indistinguishable from
+    "no successor" during boundary patching).
+    """
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    keys = [*part_cols, *order_cols]
+    # persist for the same reason as ranged_cumsum: the chunk-firsts
+    # branch and the local-lead branch must observe identical range
+    # boundaries / partition ids (see the block comment there)
+    ranged = _persist_swap(
+        df.repartitionByRange(n, *keys).withColumn(
+            "__rl_pid", F.spark_partition_id()
+        ),
+        slot=f"rlead:{'|'.join(keys)}->{out_col}",
+    )
+    w = Window.partitionBy("__rl_pid", *part_cols).orderBy(*order_cols)
+    local = ranged.withColumn("__rl_local", F.lead(value_col).over(w))
+    firsts = ranged.groupBy("__rl_pid", *part_cols).agg(
+        F.min_by(value_col, F.struct(*order_cols)).alias("__rl_first")
+    )
+    # successor chunk's first value: a lead over the per-entity CHUNK
+    # list -- bounded by the partition count, so this window is safe
+    # even for the whale
+    wnext = Window.partitionBy(*part_cols).orderBy("__rl_pid")
+    succ = firsts.withColumn(
+        "__rl_succ", F.lead("__rl_first").over(wnext)
+    ).drop("__rl_first")
+    return (
+        local.join(succ, ["__rl_pid", *part_cols], "left")
+        .withColumn(out_col, F.coalesce("__rl_local", "__rl_succ"))
+        # the join hoists its keys to the front; restore the caller's
+        # column order (+ out_col last), like the other ranged helpers
+        .select(*df.columns, out_col)
+    )

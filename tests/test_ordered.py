@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from clueso_spark.functions.ordered import (
     ntile_from_rank,
     ranged_cumsum,
+    ranged_lead,
     ranged_row_number,
 )
 
@@ -77,4 +78,53 @@ def test_ntile_from_rank_matches_sql_ntile(spark, n_rows, k):
     want = df.select(
         "id", F.ntile(k).over(Window.orderBy("v", "id")).cast("bigint").alias("q")
     )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def _entity_rows(n: int, whale_share: int = 0):
+    """(id, user, v): user assignment round-robins over 5 entities;
+    whale_share > 0 reassigns every whale_share-th row to user 0 so one
+    entity straddles many range partitions. v is non-null by
+    construction (a ranged_lead requirement)."""
+    rows = []
+    for i in range(n):
+        user = 0 if (whale_share and i % whale_share == 0) else (i % 5) + 1
+        rows.append((i, user, ((i * 41) % 13) * 10))
+    return rows
+
+
+@pytest.mark.parametrize(
+    "n_rows,n_parts,whale",
+    [
+        (1, 4, 0),       # single row: lead is null
+        (7, 4, 0),       # fewer rows than partitions
+        (100, 8, 0),     # uniform entities
+        (100, 8, 2),     # whale owns half, spans every partition
+        (100, 1, 2),     # degenerate single partition
+        (200, 16, 1),    # ONE entity owns everything
+    ],
+)
+def test_ranged_lead_matches_per_entity_window(spark, n_rows, n_parts, whale):
+    df = spark.createDataFrame(
+        _entity_rows(n_rows, whale), "id long, user long, v long"
+    )
+    got = ranged_lead(
+        df, ["user"], ["id"], "v", "nxt", num_partitions=n_parts
+    )
+    w = Window.partitionBy("user").orderBy("id")
+    want = df.withColumn("nxt", F.lead("v").over(w))
+    assert sorted(
+        got.collect(), key=lambda r: (r["user"], r["id"])
+    ) == sorted(want.collect(), key=lambda r: (r["user"], r["id"]))
+
+
+def test_ranged_lead_multi_order_cols(spark):
+    """Composite order key (ts-like major + tiebreak minor)."""
+    rows = [(i, i % 3, (i * 7) % 5, i, i * 100) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, user long, a long, b long, v long")
+    got = ranged_lead(
+        df, ["user"], ["a", "b"], "v", "nxt", num_partitions=6
+    )
+    w = Window.partitionBy("user").orderBy("a", "b")
+    want = df.withColumn("nxt", F.lead("v").over(w))
     assert sorted(got.collect()) == sorted(want.collect())
