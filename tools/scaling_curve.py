@@ -360,6 +360,28 @@ def run_skew(spark, sf_dir: str) -> dict[str, float]:
         .agg(F.sum("_n").alias("n"), F.sum("_s").alias("s"))
     )
     timings["agg_salted"] = t(agg_salted)
+
+    # per-entity lead window (the SCD-2 / TWAP shape): the plain window
+    # funnels the hot user's 50% through ONE task (AQE cannot split a
+    # window partition); ranged_lead range-chunks it. Locally the plain
+    # window usually still wins -- one task sorting the whale's slice is
+    # cheap below the sort wall -- so read these two as a MECHANISM
+    # check (straggler present vs absent), not a local speedup claim
+    # (SCALE.md round-8 hot-entity section).
+    from clueso_spark.functions.ordered import ranged_lead
+
+    proj = ev.select("user_id", "event_type", "event_id")
+    wl = Window.partitionBy("user_id").orderBy("event_id")
+    lead_plain = proj.withColumn("nxt", F.lead("event_id").over(wl))
+    timings["lead_plain_window"] = t(lead_plain)
+    lead_ranged = ranged_lead(
+        proj, ["user_id"], ["event_id"], "event_id", "nxt"
+    )
+    timings["lead_ranged"] = t(lead_ranged)
+    n_closed = lead_plain.where(F.col("nxt").isNotNull()).count()
+    assert (
+        lead_ranged.where(F.col("nxt").isNotNull()).count() == n_closed
+    ), "lead variants disagree"
     return timings
 
 
