@@ -128,3 +128,34 @@ def test_ranged_lead_multi_order_cols(spark):
     w = Window.partitionBy("user").orderBy("a", "b")
     want = df.withColumn("nxt", F.lead("v").over(w))
     assert sorted(got.collect()) == sorted(want.collect())
+
+
+# -- property: ranged_lead is the per-entity window, on ANY corpus --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # entity (few -> chunky)
+            st.integers(min_value=-50, max_value=50),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_parts=st.sampled_from([1, 3, 8]),
+)
+def test_ranged_lead_property(spark, data, n_parts):
+    """For random entity assignments (including all-one-entity and
+    singleton corpora) and random partition counts, ranged_lead equals
+    the plain per-entity window exactly. id is the unique order key the
+    helper requires; values may repeat and be negative."""
+    rows = [(i, user, v) for i, (user, v) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id long, user long, v long")
+    got = ranged_lead(df, ["user"], ["id"], "v", "nxt", num_partitions=n_parts)
+    w = Window.partitionBy("user").orderBy("id")
+    want = df.withColumn("nxt", F.lead("v").over(w))
+    assert sorted(got.collect()) == sorted(want.collect())
