@@ -12,9 +12,9 @@ catalog.QUERY_MODULES, call ``promote()`` at import, place every name
 inside the round-9 window, and add them to bench.py HEADLINE *in the
 same commit*.
 
-Registry arithmetic at promotion: 165 + 15 = 180 registered queries
+Registry arithmetic at promotion: 165 + 16 = 181 registered queries
 against the 50-slot window keeps the refresh cycle at
-ceil(180/50) = 4 rounds -- tests/test_entry.py's
+ceil(181/50) = 4 rounds -- tests/test_entry.py's
 test_refresh_cycle_matches_registry_size holds without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
@@ -25,8 +25,8 @@ exact sliding-window distinct counts, time-weighted state averages),
 retrieval (BM25, bottom-k set-similarity sketches), statistics over
 exact sums (OLS trend, higher moments, Gini concentration, grouped
 weighted medians, exact grouped quantiles, CUSUM change points), window
-rank-distribution coverage (percent_rank/cume_dist), and weighted
-corpus sampling.
+rank-distribution coverage (percent_rank/cume_dist), weighted
+corpus sampling, and the stream-static enrichment join.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -1305,4 +1305,62 @@ def agg_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hit.groupBy("event_type", "pct").agg(
         F.max("tw").cast("bigint").alias("n_events"),
         (F.min("v_s").cast("double") / F.lit(100.0)).alias("q_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: the one standard streaming shape the
+# st_ tier did not yet exercise -- a stream joined to a STATIC
+# dimension (here: events enriched with the customer's market segment,
+# then aggregated). Spark re-broadcasts the static side per micro-batch
+# (no state, no watermark needed for an inner stream-static equi-join);
+# at 100 TB/day the stream side never shuffles for the join at all.
+# Drained with availableNow into a complete-mode memory sink, so the
+# result equals the batch join by construction (the harness contract
+# every st_ query shares).
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "st_static_enrichment",
+    "STREAMING stream-static enrichment: the events stream inner-joins "
+    "the static customer dimension on user_id = c_custkey (broadcast "
+    "per micro-batch -- the stream never shuffles for the join), then "
+    "aggregates exact decimal value sums per (event_type, segment). "
+    "Drained with availableNow; result equals the batch join.",
+    """
+    select e.event_type, c.c_mktsegment,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(e.value as decimal(12,2))) as double) as sum_value
+    from events e join customer c on e.user_id = c.c_custkey
+    group by e.event_type, c.c_mktsegment
+    """,
+    "streaming", "join", "enrichment",
+)
+def st_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import dec
+    from clueso_spark.plans.streaming_queries import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    enriched = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey
+    )
+    agg = enriched.groupBy("event_type", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+    sink_name = "st_static_enrichment_sink"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(sink_name).select(
+        "event_type", "c_mktsegment", "n_events", "sum_value"
     )

@@ -137,7 +137,8 @@ def _write_sf(tmp_path, docs=(), events=(), orders=(), customers=(),
     pq.write_table(
         tbl(customers, [("c_custkey", pa.int64()),
                         ("c_nationkey", pa.int32()),
-                        ("c_acctbal", pa.float64())]),
+                        ("c_acctbal", pa.float64()),
+                        ("c_mktsegment", pa.string())]),
         f"{sf}/customer.parquet",
     )
     pq.write_table(
