@@ -267,3 +267,21 @@ def test_exact_quantiles_nearest_rank(spark, tmp_path):
     out = {r["pct"]: r["q_value"]
            for r in STAGED["agg_exact_quantiles"].spark(spark, sf).collect()}
     assert out == {25: 3.0, 50: 5.0, 90: 9.0, 99: 10.0}
+
+
+def test_funnel_scans_push_their_stage_filters(spark):
+    """The funnel reads events once per stage ON PURPOSE (4 scans in
+    the audit): the claim that this beats pinning the corpus projection
+    rests on each scan pushing ITS OWN event-type equality into the
+    parquet reader, so every stage reads only its type's row groups.
+    Pin that: the formatted plan must show one pushed EqualTo per
+    funnel stage."""
+    import re
+
+    df = STAGED["ev_window_funnel"].spark(spark, SF_DIRS[0])
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    for stage in ("signup", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in pushed, (stage, pushed)
