@@ -235,6 +235,10 @@ def main() -> int:
         list(registry) if run_all else [n for n in HEADLINE if n in registry]
     )
     if opts["only"]:
+        unknown = [n for n in opts["only"] if n not in registry]
+        if unknown:
+            print(f"bench: unknown query names skipped: {unknown}",
+                  file=sys.stderr)
         names = [n for n in opts["only"] if n in registry]
     if opts["isolate"]:
         return _isolated(names, sf, opts["detail"])
