@@ -146,7 +146,7 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
     driver's default path."""
     import subprocess
 
-    timings, spread, noisy = {}, {}, []
+    timings, spread, noisy, failed = {}, {}, [], []
     for name in names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -155,18 +155,23 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
         )
         lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
         if proc.returncode != 0 or not lines:
+            # a crashed child MUST leave a machine-readable marker in the
+            # artifact (the r7 lesson): a silently-missing query reads as
+            # a perf win to any round-over-round total comparison
             print(f"isolate: {name} failed:\n{proc.stderr[-800:]}",
                   file=sys.stderr)
+            failed.append(name)
             continue
         child = json.loads(lines[-1])
         timings[name] = child["queries"][name]
         spread[name] = child.get("stddev", {}).get(name, 0.0)
         noisy.extend(child.get("noisy", []))
-    _emit(timings, spread, noisy, sf, detail, isolated=True)
-    return 0
+    _emit(timings, spread, noisy, sf, detail, isolated=True, failed=failed)
+    return 1 if failed else 0
 
 
-def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False):
+def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
+          failed: list[str] | None = None):
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -179,6 +184,8 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False):
     }
     if isolated:
         payload["isolated"] = True
+    if failed:
+        payload["failed"] = failed
     if detail:
         detail_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
@@ -240,6 +247,13 @@ def main() -> int:
             print(f"bench: unknown query names skipped: {unknown}",
                   file=sys.stderr)
         names = [n for n in opts["only"] if n in registry]
+        if not names:
+            # refuse rather than "succeed" with a 0-query run: that would
+            # overwrite BENCH_DETAIL.json with an empty payload and print
+            # a valid-looking 0-second line under exit code 0
+            print("bench: --only matched no registered queries; aborting",
+                  file=sys.stderr)
+            return 2
     if opts["isolate"]:
         return _isolated(names, sf, opts["detail"])
 

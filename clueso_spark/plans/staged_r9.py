@@ -958,7 +958,12 @@ def sim_source_jaccard_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _KMV_K)
         .drop("rn"),
     )
-    srcs = docs.select("source").distinct()
+    # enumerate sources from the persisted k-row signatures, NOT from a
+    # second corpus scan: every document tokenizes to >= 1 token (split
+    # on ' ' yields [''] even for empty text, identically in both
+    # engines), so every source carries a signature row and the two
+    # enumerations are equal -- but this one is signature-sized
+    srcs = sig.select("source").distinct()
     pairs = (
         srcs.alias("a")
         .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))

@@ -38,9 +38,14 @@ def main() -> int:
         results = {args.bucket: compactor.compact_bucket(args.bucket, args.force)}
     else:
         results = compactor.compact(args.force, parallelism=args.parallelism)
-    compactor.flush_purges()
+    # report BEFORE draining the purge timers: flush_purges() waits out
+    # each pending purge's remaining tolerance (possibly hours -- the
+    # reference sleeps the full landingPurgeTolerance), and the operator
+    # should not stare at a silent terminal for that long when the
+    # compaction outcome is already known
     for bucket, did in results.items():
         print(f"{bucket}: {'compacted' if did else 'skipped'}")
+    compactor.flush_purges()
     return 0
 
 

@@ -31,11 +31,12 @@ def bench(tmp_path, monkeypatch):
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    # BENCH_DETAIL.json goes next to bench.py; redirect it at the module
-    # seam so the test never touches the repo's committed artifact
-    monkeypatch.setattr(
-        mod.os.path, "dirname", lambda p: str(tmp_path), raising=True
-    )
+    # BENCH_DETAIL.json goes next to bench.py (dirname of __file__);
+    # point the module's __file__ at tmp_path so the artifact lands
+    # there -- patching the module attribute confines the redirect,
+    # where patching the shared os.path.dirname would hijack every
+    # dirname call in the process for the test's duration
+    monkeypatch.setattr(mod, "__file__", str(tmp_path / "bench.py"))
     return mod
 
 
