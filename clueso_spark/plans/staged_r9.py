@@ -12,9 +12,9 @@ catalog.QUERY_MODULES, call ``promote()`` at import, place every name
 inside the round-9 window, and add them to bench.py HEADLINE *in the
 same commit*.
 
-Registry arithmetic at promotion: 165 + 16 = 181 registered queries
+Registry arithmetic at promotion: 165 + 17 = 182 registered queries
 against the 50-slot window keeps the refresh cycle at
-ceil(181/50) = 4 rounds -- tests/test_entry.py's
+ceil(182/50) = 4 rounds -- tests/test_entry.py's
 test_refresh_cycle_matches_registry_size holds without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
@@ -26,7 +26,8 @@ retrieval (BM25, bottom-k set-similarity sketches), statistics over
 exact sums (OLS trend, higher moments, Gini concentration, grouped
 weighted medians, exact grouped quantiles, CUSUM change points), window
 rank-distribution coverage (percent_rank/cume_dist), weighted
-corpus sampling, and the stream-static enrichment join.
+corpus sampling, the stream-static enrichment join, and bounded-BFS
+k-hop reachability (the fixed-depth sibling of connected components).
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -1369,3 +1370,110 @@ def st_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink_name).select(
         "event_type", "c_mktsegment", "n_events", "sum_value"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-hop reachability (bounded BFS) over the part co-purchase graph:
+# the bounded-depth graph primitive the tier lacked (connected
+# components is the unbounded-fixpoint sibling, functions/graph.py).
+# Three frontier-expansion rounds unrolled at PLAN level -- the
+# k-means-Lloyd precedent: a fixed round count is a plan shape, not a
+# driver loop -- each round one keyed equi-join frontier x edges plus
+# one distinct; the frontier is bounded by the vertex set, the edge
+# list by the basket-size-bounded pair expansion.
+# ---------------------------------------------------------------------------
+
+_KHOP_SEED_BOUND = 50  # seeds = graph vertices with partkey < bound
+_KHOP_MIN_SUPPORT = 2  # same edge rule as graph_triangle_count
+
+
+@_stage(
+    "graph_khop_reach",
+    "Bounded BFS: how many parts are reachable within 0..3 hops of the "
+    f"seed set (graph vertices with partkey < {_KHOP_SEED_BOUND}) on "
+    f"the co-purchase graph (edge = >= {_KHOP_MIN_SUPPORT} common "
+    "orders)? Three plan-unrolled frontier expansions, each one keyed "
+    "equi-join + distinct; no fixpoint loop, no driver collect. "
+    "Scale: edges come from the basket-bounded pair expansion, the "
+    "frontier never exceeds the vertex set.",
+    f"""
+    with op as (
+      select distinct a.l_orderkey, a.l_partkey as pa, b.l_partkey as pb
+      from lineitem a join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+    ),
+    e0 as (
+      select pa, pb from op
+      group by 1, 2 having count(*) >= {_KHOP_MIN_SUPPORT}
+    ),
+    e as (select pa as u, pb as v from e0
+          union all select pb, pa from e0),
+    s0 as (
+      select distinct n from (
+        select pa as n from e0 union all select pb from e0
+      ) where n < {_KHOP_SEED_BOUND}
+    ),
+    r1 as (select distinct n from (
+      select n from s0
+      union all select e.v from s0 join e on e.u = s0.n)),
+    r2 as (select distinct n from (
+      select n from r1
+      union all select e.v from r1 join e on e.u = r1.n)),
+    r3 as (select distinct n from (
+      select n from r2
+      union all select e.v from r2 join e on e.u = r2.n))
+    select * from (
+      select cast(0 as integer) as k,
+             cast((select count(*) from s0) as bigint) as n_reached
+      union all select 1, (select count(*) from r1)
+      union all select 2, (select count(*) from r2)
+      union all select 3, (select count(*) from r3)
+    )
+    """,
+    "graph", "bfs", "reachability",
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.catalog import persist_swap
+    from clueso_spark.plans.relational import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e0 = (
+        _bucket_pairs(li, ["l_orderkey"], "l_partkey", "pa", "pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _KHOP_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    # the undirected edge list feeds all three expansion rounds
+    e = persist_swap(
+        spark,
+        "khop_edges",
+        e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+            e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+        ),
+    )
+    frontier = (
+        e.select(F.col("u").alias("n"))
+        .where(F.col("n") < _KHOP_SEED_BOUND)
+        .distinct()
+    )
+    counts = [frontier.agg(F.count("*").cast("bigint").alias("n_reached"))]
+    for _ in range(3):
+        frontier = (
+            frontier.unionAll(
+                frontier.join(e, frontier.n == e.u).select(
+                    F.col("v").alias("n")
+                )
+            )
+            .distinct()
+        )
+        counts.append(
+            frontier.agg(F.count("*").cast("bigint").alias("n_reached"))
+        )
+    out = None
+    for k, c in enumerate(counts):
+        row = c.select(F.lit(k).cast("int").alias("k"), "n_reached")
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -149,7 +149,9 @@ def _write_sf(tmp_path, docs=(), events=(), orders=(), customers=(),
     pq.write_table(
         tbl(lineitems, [("l_returnflag", pa.string()),
                         ("l_extendedprice", pa.float64()),
-                        ("l_quantity", pa.float64())]),
+                        ("l_quantity", pa.float64()),
+                        ("l_orderkey", pa.int64()),
+                        ("l_partkey", pa.int64())]),
         f"{sf}/lineitem.parquet",
     )
     return sf
@@ -170,8 +172,8 @@ def test_weighted_median_lower_median_semantics(spark, tmp_path):
     the lower median includes."""
     sf = _write_sf(
         tmp_path,
-        lineitems=[("A", 1.0, 2.0), ("A", 2.0, 1.0), ("A", 3.0, 1.0),
-                   ("B", 5.0, 1.0)],
+        lineitems=[("A", 1.0, 2.0, 1, 10), ("A", 2.0, 1.0, 1, 11),
+                   ("A", 3.0, 1.0, 2, 10), ("B", 5.0, 1.0, 2, 11)],
     )
     rows = {r["flag"]: r for r in STAGED["agg_weighted_median"]
             .spark(spark, sf).collect()}

@@ -217,3 +217,12 @@ def test_exact_quantiles_defining_property(rows, spark):
         assert set(qs) == set(_QUANTILE_PCTS), t
         vals = [qs[p] for p in sorted(qs)]
         assert vals == sorted(vals), t
+
+
+def test_khop_reach_monotone(rows, spark):
+    """Reach counts are non-decreasing in k, start at the seed-set size,
+    and never exceed the graph's vertex count."""
+    out = {r["k"]: r["n_reached"] for r in rows["graph_khop_reach"]}
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[0] >= 1
+    assert out[0] <= out[1] <= out[2] <= out[3]
