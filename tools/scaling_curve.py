@@ -445,11 +445,20 @@ def main() -> int:
             build_scaled(spark, k, sf_dir)
             print(f"built x{k} in {time.perf_counter() - t0:.1f}s", flush=True)
             for n in names:
-                t0 = time.perf_counter()
-                registry[n].spark(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = round(time.perf_counter() - t0, 2)
+                # best-of-2 (same philosophy as bench.py): the first run
+                # against a freshly-written replica pays page-cache and
+                # JIT warm-up, which for build-heavy plans (graph edge
+                # expansion) dominated the single-run number and read as
+                # fake superlinearity -- measured 70.7/38.6/13.4 s across
+                # three identical khop runs at x10
+                runs = []
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    registry[n].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    runs.append(time.perf_counter() - t0)
+                dt = round(min(runs), 2)
                 results[n][f"x{k}"] = dt
                 print(f"  {n:28s} x{k}: {dt:7.2f}s", flush=True)
     finally:
