@@ -12,6 +12,8 @@ between queries. --all = whole registry. --only=a,b,c = targeted
 re-measure. --isolate = each query in a fresh SparkSession subprocess
 (kills cross-query JVM/cache confounds; ~20 s startup per query, so a
 diagnostic, not the driver path). --no-detail = skip BENCH_DETAIL.json.
+--child (internal) = subprocess mode spawned by --isolate: full-precision
+untruncated stdout line, parsed by the parent. Unknown flags exit 2.
 
 The stdout line is kept COMPACT (2-decimal per-query map, no stddev):
 the round driver captures only the last ~2000 chars of stdout, and the
@@ -117,10 +119,25 @@ HEADLINE = [
 ]
 
 
+USAGE = (
+    "usage: bench.py [--all] [--only=a,b,c] [--isolate] [--no-detail] "
+    "[--child]"
+)
+
+
 def _parse_args(argv: list[str]):
     """Tiny hand-rolled parser (argparse would reject the driver's bare
-    invocation contract): --all, --only=a,b,c, --isolate, --no-detail."""
-    opts = {"all": False, "only": None, "isolate": False, "detail": True}
+    invocation contract): --all, --only=a,b,c, --isolate, --no-detail,
+    --child (internal: emitted by --isolate's subprocess spawn).
+
+    Strict: an unrecognized flag, or --only consuming a flag-looking
+    token, returns None (caller prints usage, exits 2) -- a typo like
+    ``--isolte`` or ``--only --isolate`` must never silently degrade to
+    an unintended full headline run (ADVICE r8)."""
+    opts = {
+        "all": False, "only": None, "isolate": False, "detail": True,
+        "child": False,
+    }
     it = iter(argv)
     for a in it:
         if a == "--all":
@@ -129,10 +146,21 @@ def _parse_args(argv: list[str]):
             opts["isolate"] = True
         elif a == "--no-detail":
             opts["detail"] = False
+        elif a == "--child":
+            opts["child"] = True
+            opts["detail"] = False
         elif a == "--only":
-            opts["only"] = next(it, "").split(",")
+            val = next(it, "")
+            if not val or val.startswith("--"):
+                print(f"bench: --only needs a query list, got {val!r}",
+                      file=sys.stderr)
+                return None
+            opts["only"] = val.split(",")
         elif a.startswith("--only="):
             opts["only"] = a.split("=", 1)[1].split(",")
+        else:
+            print(f"bench: unrecognized argument {a!r}", file=sys.stderr)
+            return None
     return opts
 
 
@@ -150,7 +178,7 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
     for name in names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
-             "--only", name, "--no-detail"],
+             "--only", name, "--child"],
             capture_output=True, text=True,
         )
         lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
@@ -171,7 +199,7 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
 
 
 def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
-          failed: list[str] | None = None):
+          failed: list[str] | None = None, child: bool = False):
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -198,20 +226,22 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
     # prefers losing the per-query map over losing the whole line.
     line = dict(payload)
     line["queries"] = {n: round(t, 2) for n, t in timings.items()}
-    if not detail:
+    if child:
         # child mode (--isolate parent parses this): keep full precision
         line["queries"] = timings
     else:
         line.pop("stddev")
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1900 and detail:
+    if len(out) > 1900 and not child:
         # degrade gracefully: keep the SLOWEST queries that fit (the ones
         # a reader of the capture window actually needs), flag the drop
         # count, and leave the complete map to BENCH_DETAIL.json. The r8
         # full map crossed the window (70 queries = 1925 chars); the old
         # guard dropped all per-query visibility from the driver line.
-        # Child mode (--no-detail) is exempt: its stdout is parsed by the
-        # --isolate parent, never captured by the driver window.
+        # Child mode (--child) is exempt: its stdout is parsed by the
+        # --isolate parent, never captured by the driver window. A bare
+        # --no-detail run is NOT exempt (ADVICE r8): its line can still
+        # land in the driver's capture window.
         ranked = sorted(timings.items(), key=lambda kv: -kv[1])
         full = line.pop("queries")
         while ranked:
@@ -234,6 +264,9 @@ def main() -> int:
     from clueso_spark.session import get_spark
 
     opts = _parse_args(sys.argv[1:])
+    if opts is None:
+        print(USAGE, file=sys.stderr)
+        return 2
     run_all = opts["all"]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -316,7 +349,7 @@ def main() -> int:
         # this changes nothing about what any single timing measures.
         release_persisted(spark)
 
-    _emit(timings, spread, noisy, sf, opts["detail"])
+    _emit(timings, spread, noisy, sf, opts["detail"], child=opts["child"])
     return 0
 
 

@@ -552,6 +552,12 @@ def pipeline_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # Day bucketing: Spark `div` and DuckDB's bigint `//` BOTH truncate
+    # toward zero (measured, and pinned by
+    # test_staged_r9_properties.test_day_bucket_div_matches_duckdb), so
+    # cross-engine parity holds for ALL timestamps including pre-1970;
+    # the "day" label is only calendar-meaningful for ts >= epoch, which
+    # the events table satisfies (ADVICE r8).
     d = ev.select(
         "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
     ).distinct()
@@ -740,6 +746,8 @@ def ev_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the deduped (user, day) relation feeds three consumers (days,
     # dau, the fan-out); unpinned, each re-runs the corpus-sized
     # distinct. Pinned it is 2 ints per active user-day.
+    # `div` vs DuckDB `//`: both truncate toward zero on bigints -- see
+    # the ev_activity_streaks note + the pinned cross-engine test.
     d = persist_swap(
         spark,
         "dau_wau_d",
@@ -1191,6 +1199,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ev_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    # `div` vs DuckDB `//`: both truncate toward zero on bigints -- see
+    # the ev_activity_streaks note + the pinned cross-engine test.
     daily = (
         ev.select(
             "event_type",

@@ -40,13 +40,14 @@ def bench(tmp_path, monkeypatch):
     return mod
 
 
-def _emit_line(bench, timings, detail):
+def _emit_line(bench, timings, detail, child=False):
     buf = io.StringIO()
     old = sys.stdout
     sys.stdout = buf
     try:
         bench._emit(
-            timings, {k: 0.01 for k in timings}, [], 0.1, detail=detail
+            timings, {k: 0.01 for k in timings}, [], 0.1, detail=detail,
+            child=child,
         )
     finally:
         sys.stdout = old
@@ -86,11 +87,43 @@ def test_total_survives_degradation(bench):
 
 
 def test_child_mode_never_truncates(bench):
-    line = json.loads(_emit_line(bench, LONG_MAP, detail=False))
+    line = json.loads(_emit_line(bench, LONG_MAP, detail=False, child=True))
     # full map, full precision -- the --isolate parent reads exact values
     assert line["queries"] == LONG_MAP
     assert "queries_top" not in line
     assert "stddev" in line
+
+
+def test_bare_no_detail_still_truncates(bench):
+    # ADVICE r8: a direct `bench.py --all --no-detail` line can land in
+    # the driver's ~2000-char capture window -- the truncation exemption
+    # belongs to --child, not --no-detail
+    raw = _emit_line(bench, LONG_MAP, detail=False, child=False)
+    assert len(raw) <= 1901
+    line = json.loads(raw)
+    assert "queries" not in line
+    assert line["n_dropped"] > 0
+
+
+def test_parse_args_rejects_unknown_flag(bench):
+    assert bench._parse_args(["--isolte"]) is None  # the ADVICE r8 typo
+    assert bench._parse_args(["--all", "extra"]) is None
+
+
+def test_parse_args_only_refuses_flag_token(bench):
+    assert bench._parse_args(["--only", "--isolate"]) is None
+    assert bench._parse_args(["--only"]) is None
+
+
+def test_parse_args_accepts_driver_and_isolate_contracts(bench):
+    assert bench._parse_args([]) == {
+        "all": False, "only": None, "isolate": False, "detail": True,
+        "child": False,
+    }
+    opts = bench._parse_args(["--only", "q1,q2", "--child"])
+    assert opts["only"] == ["q1", "q2"]
+    assert opts["child"] is True and opts["detail"] is False
+    assert bench._parse_args(["--only=q1"])["only"] == ["q1"]
 
 
 def test_detail_artifact_always_complete(bench, tmp_path):

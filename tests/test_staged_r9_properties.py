@@ -1,4 +1,4 @@
-"""Invariant (law) tests for the round-8 staged tier (plans/staged_r9.py).
+"""Invariant (law) tests for the round-9 staged tier (plans/staged_r9.py).
 
 The parity gate (test_staged_r9.py) proves each staged query equals its
 DuckDB oracle; these tests pin the *mathematical laws* the results must
@@ -226,3 +226,31 @@ def test_khop_reach_monotone(rows, spark):
     assert sorted(out) == [0, 1, 2, 3]
     assert out[0] >= 1
     assert out[0] <= out[1] <= out[2] <= out[3]
+
+
+def test_day_bucket_div_matches_duckdb(spark):
+    """ADVICE r8 claimed Spark `div` (truncate toward zero) diverges
+    from DuckDB `//` (alleged floor) for pre-1970 timestamps. Measured:
+    DuckDB's `//` on BIGINT operands ALSO truncates toward zero
+    (-129600000000 // 86400000000 = -1, not -2), so the two engines
+    agree for every timestamp. Pin that agreement on both signs and on
+    exact day boundaries so a DuckDB semantics change would surface
+    here rather than as a silent oracle drift."""
+    import duckdb
+
+    us = [
+        -129_600_000_000,   # 1969-12-30 12:00 -> -1.5 days
+        -86_400_000_000,    # exactly -1 day
+        -1, 0, 1,
+        86_400_000_000,     # exactly +1 day
+        129_600_000_000,    # +1.5 days
+    ]
+    duck = [
+        duckdb.sql(f"select {u} // 86400000000").fetchone()[0] for u in us
+    ]
+    got = (
+        spark.createDataFrame([(u,) for u in us], "us long")
+        .selectExpr("us div 86400000000 as day")
+        .collect()
+    )
+    assert [r["day"] for r in got] == duck == [-1, -1, 0, 0, 0, 1, 1]
