@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from clueso_spark.functions.multimodal import attach_payload, featurize
-from clueso_spark.plans.catalog import register
+from clueso_spark.plans.catalog import persist_swap, register
 from clueso_spark.sources.tables import load_table
 
 
@@ -175,28 +175,46 @@ select cast((select count(*) from p) as bigint) as n_payloads,
     "multimodal", "dedup",
 )
 def mm_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scan discipline (r9): exactly TWO corpus reads. Scan 1 builds the
+    # length histogram and NEVER materializes the payload bytes (length
+    # is all stage 1 needs); n_payloads and the collision-group count
+    # both come off that tiny pinned histogram instead of re-counting
+    # the corpus. Scan 2 reads payloads only for collided lengths; every
+    # stage-2 metric (rows hashed, dup groups, dup rows) derives from
+    # ONE pinned per-(length, md5) group aggregate. The previous shape
+    # re-scanned the corpus per metric (5 FileScans measured); nothing
+    # corpus-sized is ever persisted -- both pins are histogram-sized.
     p = attach_payload(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "payload", F.length("payload").cast("bigint").alias("n_bytes")
     )
-    collided = (
-        p.groupBy("n_bytes")
-        .agg(F.count("*").alias("n_rows"))
-        .where(F.col("n_rows") > 1)
-        .select("n_bytes")
+    len_groups = persist_swap(
+        spark,
+        "mm_dedup_lens",
+        p.groupBy("n_bytes").agg(F.count("*").alias("n_rows")),
     )
+    collided = len_groups.where(F.col("n_rows") > 1).select("n_bytes")
     hashed = p.join(F.broadcast(collided), "n_bytes").select(
         "doc_id", "n_bytes", F.md5("payload").alias("content_md5")
     )
-    dup_groups = (
-        hashed.groupBy("n_bytes", "content_md5")
-        .agg(F.count("*").alias("n_copies"))
-        .where(F.col("n_copies") > 1)
+    grp = persist_swap(
+        spark,
+        "mm_dedup_grps",
+        hashed.groupBy("n_bytes", "content_md5").agg(
+            F.count("*").alias("n_copies")
+        ),
     )
-    totals = p.agg(F.count("*").cast("bigint").alias("n_payloads"))
+    dup_groups = grp.where(F.col("n_copies") > 1)
+    totals = len_groups.agg(
+        F.coalesce(F.sum("n_rows"), F.lit(0)).cast("bigint")
+        .alias("n_payloads")
+    )
     coll_n = collided.agg(
         F.count("*").cast("bigint").alias("n_len_collision_groups")
     )
-    hash_n = hashed.agg(F.count("*").cast("bigint").alias("n_rows_hashed"))
+    hash_n = grp.agg(
+        F.coalesce(F.sum("n_copies"), F.lit(0)).cast("bigint")
+        .alias("n_rows_hashed")
+    )
     dup_n = dup_groups.agg(
         F.count("*").cast("bigint").alias("n_dup_groups"),
         F.coalesce(F.sum("n_copies"), F.lit(0))

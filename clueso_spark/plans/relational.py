@@ -1460,33 +1460,60 @@ select 'range_violations',
     "pipeline", "quality", "audit",
 )
 def pipeline_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass shape (r9): the naive form -- one anti join or filter
+    # per metric -- scanned lineitem 3x and orders 4x (7 FileScans, zero
+    # reuse). All five checks are functions of the per-orderkey profile,
+    # so: ONE scan + keyed pre-aggregate per table, one full-outer join
+    # of the (already small) per-key profiles, one global aggregate,
+    # stack() to the long (metric, value) report. At 100 TB that is the
+    # difference between reading each table once and reading the fact
+    # table three times; the pre-aggregates also shrink the join to
+    # |distinct keys| rows per side. Values (and the DuckDB oracle) are
+    # unchanged: orphans/empties count ROWS, so they sum the other
+    # side's per-key row count where the join partner is absent.
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
-
-    def metric(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").cast("bigint").alias("value")).select(
-            F.lit(name).alias("metric"), "value"
+    lk = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_l"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") <= 0)
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_viol"),
+    )
+    ok = orders.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_o"),
+        F.sum(
+            F.when(F.col("o_custkey").isNull(), 1).otherwise(0)
+        ).alias("n_nullcust"),
+    )
+    j = ok.join(lk, ok.o_orderkey == lk.l_orderkey, "full_outer")
+    wide = j.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("n_o").isNull(), F.col("n_l"))), F.lit(0)
+        ).cast("bigint").alias("orphan_lineitems"),
+        F.count(F.when(F.col("n_o") > 1, 1)).cast("bigint")
+        .alias("dup_orderkeys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_l").isNull(), F.col("n_o"))), F.lit(0)
+        ).cast("bigint").alias("empty_orders"),
+        F.coalesce(F.sum("n_nullcust"), F.lit(0)).cast("bigint")
+        .alias("null_custkeys"),
+        F.coalesce(F.sum("n_viol"), F.lit(0)).cast("bigint")
+        .alias("range_violations"),
+    )
+    return wide.select(
+        F.expr(
+            "stack(5,"
+            " 'orphan_lineitems', orphan_lineitems,"
+            " 'dup_orderkeys', dup_orderkeys,"
+            " 'empty_orders', empty_orders,"
+            " 'null_custkeys', null_custkeys,"
+            " 'range_violations', range_violations) as (metric, value)"
         )
-
-    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
-    dups = (
-        orders.groupBy("o_orderkey")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-    )
-    empty = orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
-    nulls = orders.where(F.col("o_custkey").isNull())
-    ranges = li.where(
-        (F.col("l_quantity") <= 0)
-        | (F.col("l_discount") < 0)
-        | (F.col("l_discount") > 1)
-    )
-    return (
-        metric("orphan_lineitems", orphans)
-        .union(metric("dup_orderkeys", dups))
-        .union(metric("empty_orders", empty))
-        .union(metric("null_custkeys", nulls))
-        .union(metric("range_violations", ranges))
     )
 
 
