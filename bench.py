@@ -116,6 +116,25 @@ HEADLINE = [
     "mm_shard_manifest",
     "txt_rake_keywords",
     "pipeline_incremental_corpus_diff",
+    # round-9 promoted staged tier (perf-tracked from its first
+    # registered day, same commit as the promotion)
+    "ev_scd2_intervals",
+    "ev_window_funnel",
+    "txt_bm25_topk",
+    "agg_ols_trend",
+    "pipeline_importance_sample",
+    "ev_activity_streaks",
+    "agg_exact_moments",
+    "window_cume_percent_rank",
+    "ev_dau_wau_stickiness",
+    "agg_gini_concentration",
+    "sim_source_jaccard_bottomk",
+    "ev_time_weighted_value",
+    "agg_weighted_median",
+    "ev_cusum_changepoint",
+    "agg_exact_quantiles",
+    "st_static_enrichment",
+    "graph_khop_reach",
 ]
 
 

@@ -79,94 +79,69 @@ QUERY_MODULES = [
     # queries, each pytest-proven against its DuckDB oracle at sf0.001 +
     # sf0.01 before registration; they head the round-8 driver window)
     "clueso_spark.plans.staged_r8",
+    # round 9: the round-8 staged tier is promoted the same way (17
+    # queries; they head the round-9 driver window)
+    "clueso_spark.plans.staged_r9",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-8 rotation, executing the standing policy
+#: part of the contract. Round-9 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 13 promoted staged_r8 queries -- registered this round, so
+#: (1) the 17 promoted staged_r9 queries -- registered this round, so
 #: never driver-verified; pytest-proven against their DuckDB oracles at
-#: sf0.001 + sf0.01 (tests/test_staged_r8.py) but the driver row is the
+#: sf0.001 + sf0.01 (tests/test_staged_r9.py) but the driver row is the
 #: claim that counts;
-#: (2) the one query whose CODE changed this round:
-#: pipeline_pretraining_funnel (exact-dedup fingerprint folded into the
-#: base projection so raw text never enters the persist -- the r7
-#: driver-bench blowup fix; the oracle is unchanged);
-#: (3) the 7 round-7 rotation leftovers (latest green r4 -- the oldest
-#: rows anywhere);
-#: (4) 29 of the 49 queries whose latest green is r5. The 20 deferred
-#: r5 names (tests/test_entry.py ROTATION_LEFTOVERS: trivial, stable,
-#: multiply-green relational/scalar/setop/window shapes) head round 9's
-#: refresh cohort.
-#: Window math: 13 + 1 + 7 + 29 = 50; with 165 registered queries and a
-#: 50-slot window the full-registry refresh cycle is ceil(165/50) = 4
-#: rounds, so the out-of-window freshness invariant is now "no green
-#: older than cycle-1 = 3 rounds behind the newest committed artifact"
-#: (tests/test_entry.py asserts exactly that; the former two-round
-#: horizon is arithmetically impossible at this registry size).
+#: (2) the 6 queries whose CODE changed this round (the scan-reuse
+#: pinning pass -- ROUND8_NOTES item 3): sim_ivfpq_ann /
+#: sim_ivfpq_rerank / sim_ivf_nprobe_curve (pinned training frames +
+#: shared exact-baseline corpus frame; rerank 11 -> 4 FileScans),
+#: pipeline_quality_audit (rewritten: 7 scans -> 2, per-key pre-agg +
+#: one full-outer join), mm_payload_dedup (5 scans -> 2, all metrics
+#: off two pinned histogram-sized aggregates), and sim_bruteforce_topk
+#: (body moved into _brute_topk_from -- analyzed plan verified
+#: IDENTICAL, in the window out of caution);
+#: (3) the 20 round-8 rotation leftovers (latest green r5 -- the oldest
+#: rows anywhere, and at 4 rounds behind they are OUTSIDE the 3-round
+#: freshness horizon: mandatory this round);
+#: (4) 7 of the 46 queries whose latest green is r6 (heavier /
+#: engine-semantics shapes first, per the standing precedent). The 39
+#: deferred r6 names (tests/test_entry.py ROTATION_LEFTOVERS) are
+#: exactly 3 rounds behind at r9 -- inside the horizon -- and head
+#: round 10's refresh cohort.
+#: Window math: 17 + 6 + 20 + 7 = 50; with 182 registered queries and a
+#: 50-slot window the full-registry refresh cycle stays
+#: ceil(182/50) = 4 rounds (tests/test_entry.py pins the arithmetic).
 PRIORITY = [
     # (1) promoted this round -- never driver-verified, head the window
-    "pipeline_domain_caps",
-    "join_bloom_pruned_revenue",
-    "graph_assoc_rules",
-    "pipeline_epoch_shuffle_shards",
-    "ev_rollup_incremental_merge",
-    "txt_cooccurrence_pmi",
-    "dedup_threshold_curve",
-    "ev_decile_lift",
-    "agg_poisson_bootstrap",
-    "st_foreach_batch_upsert",
-    "mm_shard_manifest",
-    "txt_rake_keywords",
-    "pipeline_incremental_corpus_diff",
+    "ev_scd2_intervals",
+    "ev_window_funnel",
+    "txt_bm25_topk",
+    "agg_ols_trend",
+    "pipeline_importance_sample",
+    "ev_activity_streaks",
+    "agg_exact_moments",
+    "window_cume_percent_rank",
+    "ev_dau_wau_stickiness",
+    "agg_gini_concentration",
+    "sim_source_jaccard_bottomk",
+    "ev_time_weighted_value",
+    "agg_weighted_median",
+    "ev_cusum_changepoint",
+    "agg_exact_quantiles",
+    "st_static_enrichment",
+    "graph_khop_reach",
     # (2) changed code this round -- re-verify
-    "pipeline_pretraining_funnel",
-    # (3) the 7 round-7 leftovers: latest green r4, oldest anywhere
-    "q4_priority_check",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "agg_exact_median",
-    "txt_fingerprints",
-    "txt_regex_token_count",
-    "ev_anomaly_zscore",
-    # (4) r5 greens: next-oldest cohort (29 of 49; the heavier /
-    # engine-semantics shapes refresh first, trivial relational shapes
-    # defer to round 9 as documented leftovers)
-    "dedup_connected_components",
-    "dedup_minhash_lsh",
-    "txt_perplexity_proxy",
-    "txt_tfidf_topk_similar",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_rerank",
+    "sim_ivf_nprobe_curve",
+    "sim_bruteforce_topk",
     "pipeline_quality_audit",
-    "ev_hourly_rollup",
-    "ev_json_props",
-    "ev_keyset_page",
-    "ev_latest_dense_rank",
-    "ev_latest_no_tombstone",
-    "ev_pivot_user_activity",
-    "ev_predicate_search",
-    "ev_range_join_attribution",
-    "agg_cube_flag_status",
-    "agg_distinct_counts",
-    "agg_grouping_sets",
-    "agg_price_histogram",
-    "agg_rollup_priority_status",
-    "unpivot_lineitem_measures",
-    "window_rolling_spend",
-    "join_left_order_counts",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q7_nation_volume_shipping",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    # --- window boundary (50) ----------------------------------------
-    # round-9 head: the 20 deferred r5 greens (oldest rows after this
-    # round's refresh), then the remainder in registration order
+    "mm_payload_dedup",
+    # (3) the 20 round-8 leftovers: latest green r5, oldest anywhere,
+    # outside the freshness horizon at r9 -- mandatory
     "scalar_date_functions",
     "scalar_function_showcase",
     "scalar_null_semantics",
@@ -187,7 +162,58 @@ PRIORITY = [
     "q12_priority_shipmode",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    # r6/r7 greens: freshest, rotate last (remainder keeps registration
+    # (4) r6 greens: next-oldest cohort (7 of 46; heavier /
+    # engine-semantics shapes first; the 39 deferred names head round 10)
+    "sim_knn_join",
+    "sim_range_search",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "st_windowed_topk",
+    "ev_gap_fill_forward",
+    "ev_latest_state",
+    # --- window boundary (50) ----------------------------------------
+    # round-10 head: the 39 deferred r6 greens (oldest rows after this
+    # round's refresh), then the remainder in registration order
+    "ev_asof_last_purchase",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_sessionize",
+    "ev_skew_salted_agg",
+    "graph_node_similarity",
+    "mm_fixed_shape_features",
+    "mm_frame_sample",
+    "pipeline_ccnet_buckets",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_dedup_keep_best",
+    "pipeline_doc_chunking",
+    "pipeline_length_filter_curve",
+    "pipeline_token_budget_mix",
+    "pipeline_train_test_split",
+    "profile_lineitem",
+    "sim_ann_recall_at_k",
+    "sim_ivf_cells",
+    "sim_ivf_kmeans_ann",
+    "sim_kmeans_lloyd",
+    "sim_pq_codes",
+    "sim_residual_norms",
+    "sort_limit_top_orders",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
+    "txt_bigram_perplexity",
+    "txt_char_entropy",
+    "txt_gopher_quality_rules",
+    "txt_lang_stats",
+    "txt_langid_heuristic",
+    "txt_lexical_diversity",
+    "txt_quality_classifier_proxy",
+    "txt_quality_score",
+    "txt_tf_df_top_terms",
+    "txt_token_stats",
+    "txt_top_bigrams",
+    "txt_zipf_slope",
+    # r7/r8 greens: freshest, rotate last (remainder keeps registration
     # order after this block -- nothing is dropped)
 ]
 

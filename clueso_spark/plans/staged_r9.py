@@ -1,21 +1,19 @@
-"""Operators STAGED in round 8 for promotion in round 9.
+"""Operators staged in round 8, PROMOTED in round 9 (live).
 
 Same life-cycle as ``plans/staged_r6.py`` (promoted in round 6) and
-``plans/staged_r8.py`` (promoted in round 8): these ship now as library
-code with full pytest parity coverage (tests/test_staged_r9.py runs the
-exact driver comparison -- row count + schema + order-insensitive value
-hash -- against their DuckDB oracles at sf0.001 and sf0.01), because
-the round-8 driver window (50 slots, catalog.PRIORITY[:50]) is fully
-allocated: 13 promotions + 1 changed-code query + 7 r4 leftovers + 29
-r5 refreshes. Round 9 promotes: add this module to
-catalog.QUERY_MODULES, call ``promote()`` at import, place every name
-inside the round-9 window, and add them to bench.py HEADLINE *in the
-same commit*.
+``plans/staged_r8.py`` (promoted in round 8): they shipped in round 8
+as library code with full pytest parity coverage (tests/test_staged_r9.py
+runs the exact driver comparison -- row count + schema +
+order-insensitive value hash -- against their DuckDB oracles at sf0.001
+and sf0.01) because the round-8 driver window was fully allocated.
+Round 9 executed the promotion: this module is in catalog.QUERY_MODULES,
+``promote()`` runs at import, every name heads the round-9 driver
+window, and all 17 are perf-tracked in bench.py HEADLINE (same commit).
 
-Registry arithmetic at promotion: 165 + 17 = 182 registered queries
-against the 50-slot window keeps the refresh cycle at
-ceil(182/50) = 4 rounds -- tests/test_entry.py's
-test_refresh_cycle_matches_registry_size holds without a constant bump.
+Registry arithmetic: 165 + 17 = 182 registered queries against the
+50-slot window keeps the refresh cycle at ceil(182/50) = 4 rounds --
+tests/test_entry.py's test_refresh_cycle_matches_registry_size holds
+without a constant bump.
 
 Reference parity note: none of these exist in the reference engine
 (its whole surface is the metadata merge/search path); they extend the
@@ -69,11 +67,10 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 9 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6 and staged_r8
-    both ran through)."""
+    Executed at import since round 9 (this module is listed in
+    catalog.QUERY_MODULES); the module body keeps the STAGED dict so
+    the per-tier pytest parity gates keep running against the same
+    objects the registry serves."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -1487,3 +1484,8 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = c.select(F.lit(k).cast("int").alias("k"), "n_reached")
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# Round-9 promotion, executed: importing this module (it is listed in
+# catalog.QUERY_MODULES) lands every staged query in the live registry.
+promote()

@@ -39,35 +39,44 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-8 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-8 git diff:
-#: pipeline_pretraining_funnel folded the exact-dedup fingerprint into
-#: its base projection so raw text never enters the persist (the r7
-#: driver-bench blowup fix; ranged_cumsum itself is unchanged this
-#: round -- it freezes its pid relation via persist(), see
-#: functions/ordered.py:73-86, after localCheckpoint was tried and
-#: rejected)
-CHANGED_THIS_ROUND = ("pipeline_pretraining_funnel",)
+#: round-9 rotation: queries whose CODE changed this round -- every
+#: name here must appear in the round-9 git diff (the scan-reuse
+#: pinning pass: pinned training/corpus frames in the IVF-PQ family,
+#: single-pass rewrites of the audit and payload-dedup reports).
+#: sim_bruteforce_topk's body moved into _brute_topk_from with the
+#: analyzed plan verified identical; it is listed out of caution.
+CHANGED_THIS_ROUND = (
+    "sim_ivfpq_ann",
+    "sim_ivfpq_rerank",
+    "sim_ivf_nprobe_curve",
+    "sim_bruteforce_topk",
+    "pipeline_quality_audit",
+    "mm_payload_dedup",
+)
 
-#: round-8 promotions: the former plans/staged_r8.py tier, registered
-#: this round and therefore never driver-verified -- all 13 must head
+#: round-9 promotions: the former plans/staged_r9.py tier, registered
+#: this round and therefore never driver-verified -- all 17 must head
 #: the driver window (test_every_never_verified_query_is_inside_driver_window
 #: asserts this mechanically from the artifact set, this tuple makes
 #: the intent reviewable)
 PROMOTED_THIS_ROUND = (
-    "pipeline_domain_caps",
-    "join_bloom_pruned_revenue",
-    "graph_assoc_rules",
-    "pipeline_epoch_shuffle_shards",
-    "ev_rollup_incremental_merge",
-    "txt_cooccurrence_pmi",
-    "dedup_threshold_curve",
-    "ev_decile_lift",
-    "agg_poisson_bootstrap",
-    "st_foreach_batch_upsert",
-    "mm_shard_manifest",
-    "txt_rake_keywords",
-    "pipeline_incremental_corpus_diff",
+    "ev_scd2_intervals",
+    "ev_window_funnel",
+    "txt_bm25_topk",
+    "agg_ols_trend",
+    "pipeline_importance_sample",
+    "ev_activity_streaks",
+    "agg_exact_moments",
+    "window_cume_percent_rank",
+    "ev_dau_wau_stickiness",
+    "agg_gini_concentration",
+    "sim_source_jaccard_bottomk",
+    "ev_time_weighted_value",
+    "agg_weighted_median",
+    "ev_cusum_changepoint",
+    "agg_exact_quantiles",
+    "st_static_enrichment",
+    "graph_khop_reach",
 )
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -78,15 +87,15 @@ PROMOTED_THIS_ROUND = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 7
+COMMITTED_ROUND = 8
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 165 registered
+#: Full-registry refresh cycle length in rounds. With 182 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(165/50) = 4 rounds, so the freshness invariant below
+#: once per ceil(182/50) = 4 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact. Round 7's two-round
 #: horizon became arithmetically impossible the moment the registry
@@ -95,32 +104,53 @@ WINDOW = 50
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 4
 
-#: the 20 green rows the 50-slot window cannot fit this round: after
-#: the 13 never-verified promotions, the 1 changed-code query, the 7
-#: r4-green leftovers, and 29 of the 49 r5 greens, these 20 r5 names
-#: (trivial, stable, multiply-green relational/scalar/setop/window
-#: shapes) defer to round 9, where they head the refresh cohort
+#: the 39 green rows the 50-slot window cannot fit this round: after
+#: the 17 never-verified promotions, the 6 changed-code queries, and
+#: the 20 mandatory r5 leftovers, only 7 of the 46 r6 greens fit
+#: (heavier / engine-semantics shapes first, per the standing
+#: precedent). These 39 r6 names are exactly REFRESH_CYCLE_ROUNDS - 1
+#: = 3 rounds behind at round 9 -- inside the freshness horizon -- and
+#: head round 10's refresh cohort.
 ROTATION_LEFTOVERS = (
-    "scalar_date_functions",
-    "scalar_function_showcase",
-    "scalar_null_semantics",
-    "setop_except_urgent_only",
-    "setop_intersect_all_multiset",
-    "setop_intersect_buyers",
-    "setop_union_schema_aligned",
-    "subquery_above_avg",
-    "subquery_exists_not_exists",
-    "join_anti_no_urgent_orders",
-    "join_full_outer_nation_profile",
-    "join_inner_big_orders",
-    "join_semi_urgent_customers",
-    "window_lag_reorder_gap",
-    "window_ntile_quartiles",
-    "window_rank_top_balances",
-    "q6_forecast_revenue",
-    "q12_priority_shipmode",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
+    "ev_asof_last_purchase",
+    "ev_funnel_conversion",
+    "ev_retention_cohorts",
+    "ev_sessionize",
+    "ev_skew_salted_agg",
+    "graph_node_similarity",
+    "mm_fixed_shape_features",
+    "mm_frame_sample",
+    "pipeline_ccnet_buckets",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_dedup_keep_best",
+    "pipeline_doc_chunking",
+    "pipeline_length_filter_curve",
+    "pipeline_token_budget_mix",
+    "pipeline_train_test_split",
+    "profile_lineitem",
+    "sim_ann_recall_at_k",
+    "sim_ivf_cells",
+    "sim_ivf_kmeans_ann",
+    "sim_kmeans_lloyd",
+    "sim_pq_codes",
+    "sim_residual_norms",
+    "sort_limit_top_orders",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
+    "txt_bigram_perplexity",
+    "txt_char_entropy",
+    "txt_gopher_quality_rules",
+    "txt_lang_stats",
+    "txt_langid_heuristic",
+    "txt_lexical_diversity",
+    "txt_quality_classifier_proxy",
+    "txt_quality_score",
+    "txt_tf_df_top_terms",
+    "txt_token_stats",
+    "txt_top_bigrams",
+    "txt_zipf_slope",
 )
 
 
@@ -168,9 +198,9 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round8_rotation_window(spark):
+def test_round9_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-8 contract, asserted mechanically and COMPLETELY
+    per round). Round-9 contract, asserted mechanically and COMPLETELY
     (round 6's weakened ">= min(2, ...)" form let a claimed refresh go
     unchecked -- ADVICE r6): every never-verified promotion and every
     changed-code query is in the window, EVERY query whose latest

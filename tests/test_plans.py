@@ -109,6 +109,11 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "graph_assoc_rules",  # 1-row basket-count scalar broadcast (lift)
         "txt_cooccurrence_pmi",  # 1-row doc-count scalar broadcast (PMI)
         "ev_decile_lift",  # 1-row user-count broadcast for ranged ntile
+        # round-9 promoted tier (formerly test_staged_r9's sanction list)
+        "txt_bm25_topk",  # 1-row corpus-totals broadcast x2
+        # 20x20 source-pair inequality join (both sides ~|sources| rows;
+        # the corpus-sized signature joins are broadcast equi-joins)
+        "sim_source_jaccard_bottomk",
     }
     offenders = {}
     for name, cq in registry.items():
