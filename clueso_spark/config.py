@@ -47,6 +47,12 @@ class CluesoSparkConfig:
     # diagnostics (ref: spark_sql_print_explain, MetadataQueryExecutor:88-92)
     print_explain: bool = False
 
+    # metrics transport (ref: CluesoConfig graphiteHost/graphitePort,
+    # SearchMetricsSource.scala:50-58: empty host = metrics stay local)
+    graphite_host: str = ""
+    graphite_port: int = 2003
+    graphite_interval_s: float = 5.0
+
     @classmethod
     def load(
         cls, path: str | None = None, env: dict[str, str] | None = None
@@ -106,4 +112,20 @@ def build_engine(spark, config: CluesoSparkConfig):
         target_file_bytes=config.target_file_bytes,
         stale_lock_s=config.stale_lock_s,
     )
+    if config.graphite_host:
+        # the reference constructs its SearchMetricsSource (and starts a
+        # 5 s GraphiteReporter) only when graphiteHost is set
+        # (SearchMetricsSource.scala:50-58); same switch here
+        from clueso_spark.metrics import (
+            GraphiteReporter,
+            GraphiteSink,
+            SearchMetrics,
+        )
+
+        executor.metrics = SearchMetrics()
+        executor.metrics_reporter = GraphiteReporter(
+            executor.metrics,
+            GraphiteSink(config.graphite_host, config.graphite_port),
+            interval_s=config.graphite_interval_s,
+        ).start()
     return store, executor, compactor

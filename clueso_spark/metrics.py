@@ -58,3 +58,177 @@ class SearchMetrics:
             f"{prefix}.{name} {value} {now}"
             for name, value in sorted(self.snapshot().items())
         ]
+
+    def set_gauge(self, name: str, value: float) -> None:
+        """Gauge semantics (set, not add) -- the Codahale Gauge shape the
+        reference registers per cached RDD (ref:
+        SearchMetricsSource.scala:138-161)."""
+        with self._lock:
+            self.counters[name] = value
+
+
+class GraphiteSink:
+    """Plaintext-protocol Graphite TCP client: ``<path> <value> <ts>\\n``
+    lines over one socket (the reference's transport -- its
+    GraphiteReporter and bin/search.py:52-56 both speak exactly this).
+    Reconnects once per send on a dead socket; close() is idempotent."""
+
+    def __init__(self, host: str, port: int, timeout_s: float = 5.0):
+        import socket as _socket
+
+        self._addr = (host, port)
+        self._timeout = timeout_s
+        self._socket_mod = _socket
+        self._sock = None
+
+    def _connect(self):
+        s = self._socket_mod.create_connection(self._addr, self._timeout)
+        self._sock = s
+        return s
+
+    def send(self, lines: list[str]) -> None:
+        if not lines:
+            return
+        payload = ("\n".join(lines) + "\n").encode()
+        sock = self._sock
+        try:
+            (sock or self._connect()).sendall(payload)
+        except OSError:
+            # one reconnect attempt, then let the error surface: a metrics
+            # reporter must never spin-retry into a dead collector
+            self.close()
+            self._connect().sendall(payload)
+
+    def close(self) -> None:
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+    def __enter__(self) -> "GraphiteSink":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+class GraphiteReporter:
+    """Periodic shipper: every ``interval_s`` (reference default 5 s,
+    ref: SearchMetricsSource.scala:56-58) snapshot the registry and send
+    one batch of graphite lines under ``prefix`` (reference prefix
+    ``spark.clueso_searcher.driver.search``, scala:54-55). ``report()``
+    may also be called directly (the reference exposes the same manual
+    ``sendToGraphite`` path, scala:65-74). Runs on a daemon timer;
+    stop() flushes once so short-lived jobs never lose their final
+    snapshot."""
+
+    def __init__(
+        self,
+        metrics: SearchMetrics,
+        sink: GraphiteSink,
+        prefix: str = "spark.clueso_searcher.driver.search",
+        interval_s: float = 5.0,
+    ):
+        self.metrics = metrics
+        self.sink = sink
+        self.prefix = prefix
+        self.interval_s = interval_s
+        self._timer: threading.Timer | None = None
+        self._stopped = threading.Event()
+
+    def report(self) -> None:
+        self.sink.send(self.metrics.graphite_lines(self.prefix))
+
+    def _tick(self) -> None:
+        if self._stopped.is_set():
+            return
+        try:
+            self.report()
+        finally:
+            self._schedule()
+
+    def _schedule(self) -> None:
+        if self._stopped.is_set():
+            return
+        self._timer = threading.Timer(self.interval_s, self._tick)
+        self._timer.daemon = True
+        self._timer.start()
+
+    def start(self) -> "GraphiteReporter":
+        self._stopped.clear()
+        self._schedule()
+        return self
+
+    def stop(self) -> None:
+        """Cancel the timer and flush one final snapshot (mirrors the
+        reference's shutdown hook closing the Graphite client,
+        scala:41-44)."""
+        self._stopped.set()
+        if self._timer is not None:
+            self._timer.cancel()
+        self.report()
+        self.sink.close()
+
+
+def sweep_rdd_storage_gauges(spark, metrics: SearchMetrics) -> int:
+    """Refresh per-cached-RDD storage gauges from the live SparkContext
+    (the reference's registerRddMetrics sweep, scala:102-136, which
+    walks sparkContext.getRDDStorageInfo for cached RDDs and registers
+    numPartitions / numCachedPartitions / memSize / diskSize gauges per
+    parsed name; externalBlockStoreSize died with Spark 2 and is
+    omitted). RDD names here are sanitized plan/view names; entries for
+    RDDs that got unpersisted are dropped so the gauge set tracks the
+    live cache. Returns the number of cached RDDs swept."""
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    with metrics._lock:
+        for stale in [k for k in metrics.counters if k.startswith("rdd.")]:
+            del metrics.counters[stale]
+    n = 0
+    for info in infos:
+        if not info.isCached():
+            continue
+        n += 1
+        raw = info.name() or f"rdd_{info.id()}"
+        tag = "-".join(str(raw).split())[:80]
+        metrics.set_gauge(f"rdd.{tag}.numPartitions", info.numPartitions())
+        metrics.set_gauge(
+            f"rdd.{tag}.numCachedPartitions", info.numCachedPartitions()
+        )
+        metrics.set_gauge(f"rdd.{tag}.memSize", info.memSize())
+        metrics.set_gauge(f"rdd.{tag}.diskSize", info.diskSize())
+    return n
+
+
+def attach_streaming_metrics(spark, metrics: SearchMetrics):
+    """Register a StreamingQueryListener feeding ingestion progress into
+    the registry: rows ingested and batch duration per query name. This
+    is the metrics-system integration PySpark actually exposes (a
+    Python process cannot subclass the JVM Source interface the
+    reference registers, ref scala:39-60; the Graphite transport and
+    metric names are identical either way). Returns the listener so
+    callers can removeListener() on teardown."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _IngestionListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            metrics.incr("streaming.queries_started")
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            name = p.name or p.id
+            metrics.incr(f"streaming.{name}.input_rows", p.numInputRows)
+            metrics.set_gauge(
+                f"streaming.{name}.batch_duration_ms",
+                p.durationMs.get("triggerExecution", 0),
+            )
+
+        def onQueryTerminated(self, event):
+            metrics.incr("streaming.queries_terminated")
+
+        def onQueryIdle(self, event):
+            pass
+
+    listener = _IngestionListener()
+    spark.streams.addListener(listener)
+    return listener
