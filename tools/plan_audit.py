@@ -100,9 +100,9 @@ def main() -> int:
         "--staged",
         action="store_true",
         help="include the pre-registration tiers (plans/staged_r6.py, "
-        "plans/staged_r8.py, plans/staged_r9.py); extra budget keys are "
-        "inert until promotion, when the budget gate picks them up "
-        "automatically",
+        "plans/staged_r8.py, plans/staged_r9.py, plans/staged_r10.py); "
+        "extra budget keys are inert until promotion, when the budget "
+        "gate picks them up automatically",
     )
     args = ap.parse_args()
 
@@ -126,10 +126,12 @@ def main() -> int:
         from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
         from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
         from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
+        from clueso_spark.plans.staged_r10 import STAGED as STAGED_R10
 
         registry.update(STAGED_R6)  # no-op post-promotion (already live)
         registry.update(STAGED_R8)  # no-op post-promotion (already live)
-        registry.update(STAGED_R9)
+        registry.update(STAGED_R9)  # no-op post-promotion (already live)
+        registry.update(STAGED_R10)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
