@@ -108,21 +108,29 @@ def test_reporter_ships_periodically_and_flushes_on_stop(collector):
 def test_rdd_storage_gauge_sweep(spark):
     """Mirrors SearchMetricsSource.registerRddMetrics: cached RDDs get
     numPartitions/numCachedPartitions/memSize/diskSize gauges; gone
-    means dropped on the next sweep."""
+    means dropped on the next sweep. Other tests in a shared session
+    may legitimately hold caches, so assertions are relative to the
+    pre-test gauge set, never "cache is empty"."""
     m = SearchMetrics()
+    sweep_rdd_storage_gauges(spark, m)
+    before = {k for k in m.snapshot() if k.startswith("rdd.")}
     df = spark.range(1000).toDF("n").persist()
     df.count()  # materialize the cache
     try:
         n = sweep_rdd_storage_gauges(spark, m)
         assert n >= 1
+        after = {k for k in m.snapshot() if k.startswith("rdd.")}
+        mine = after - before
+        assert any(k.endswith(".numCachedPartitions") for k in mine)
         snap = m.snapshot()
-        cached = [k for k in snap if k.startswith("rdd.") and k.endswith(".numCachedPartitions")]
-        assert cached and any(snap[k] >= 1 for k in cached)
-        assert any(k.endswith(".memSize") and snap[k] > 0 for k in snap)
+        assert any(
+            k.endswith(".memSize") and snap[k] > 0 for k in mine
+        )
     finally:
         df.unpersist(blocking=True)
     sweep_rdd_storage_gauges(spark, m)
-    assert not [k for k in m.snapshot() if k.startswith("rdd.")]
+    final = {k for k in m.snapshot() if k.startswith("rdd.")}
+    assert final - before == set()  # my entries dropped; others untouched
 
 
 def test_streaming_listener_feeds_ingestion_metrics(spark, tmp_path):

@@ -434,8 +434,12 @@ def main() -> int:
     from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
     from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
     from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
+    from clueso_spark.plans.staged_r10 import STAGED as STAGED_R10
 
-    registry = {**all_queries(), **STAGED_R6, **STAGED_R8, **STAGED_R9}
+    registry = {
+        **all_queries(), **STAGED_R6, **STAGED_R8, **STAGED_R9,
+        **STAGED_R10,
+    }
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
