@@ -807,7 +807,17 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.groupBy("u").agg(F.lit(0)).select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
-    for _ in range(_LP_ROUNDS):
+    for k in range(_LP_ROUNDS):
+        # each round reads the previous labels TWICE (own label + the
+        # neighbor side of the self-join), so an unpinned unroll doubles
+        # the lineage per round -- measured 2^rounds blowup (13.8 s at
+        # sf0.1, x10 curve bending). Pinning each round's node-count-sized
+        # frame in its OWN slot keeps round k-1 materialized while
+        # round k builds on it (one shared slot would unpersist the
+        # frame its successor still reads). DuckDB's oracle CTEs are
+        # materialized once by the engine -- this is the Spark-side
+        # equivalent of that guarantee.
+        labels = persist_swap(spark, f"lp_labels_{k}", labels)
         nl = labels.select(
             F.col("node").alias("v_node"), F.col("lbl").alias("nlbl")
         )

@@ -1466,15 +1466,23 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") < _KHOP_SEED_BOUND)
         .distinct()
     )
+    # each round reads the previous frontier TWICE (carry-over union arm
+    # + the expansion join) and every round's count aggregate reads it
+    # AGAIN -- unpinned, the unrolled lineage re-derived early rounds
+    # exponentially (r9 scan audit). One vertex-set-sized pin per round,
+    # in its OWN slot so round k-1 stays materialized while round k and
+    # the counts build on it.
+    frontier = persist_swap(spark, "khop_frontier_0", frontier)
     counts = [frontier.agg(F.count("*").cast("bigint").alias("n_reached"))]
-    for _ in range(3):
-        frontier = (
+    for k in range(3):
+        frontier = persist_swap(
+            spark,
+            f"khop_frontier_{k + 1}",
             frontier.unionAll(
                 frontier.join(e, frontier.n == e.u).select(
                     F.col("v").alias("n")
                 )
-            )
-            .distinct()
+            ).distinct(),
         )
         counts.append(
             frontier.agg(F.count("*").cast("bigint").alias("n_reached"))
