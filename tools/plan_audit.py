@@ -154,6 +154,7 @@ def main() -> int:
         }
         with open(BUDGET_PATH, "w") as f:
             json.dump(budgets, f, indent=1, sort_keys=True)
+            f.write("\n")
         print(f"\nwrote {len(budgets)} budgets to {BUDGET_PATH}")
     return 0
 
