@@ -78,6 +78,18 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
         # driver testdata's events.ts); set at session build instead of
         # mutating conf inside table loaders (a read side effect)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store for Structured Streaming: measured on
+        # st_stateful_latest at sf0.1 -- warm 2.9 s -> 2.2 s, cold
+        # 14.6 s -> 4.6 s vs the default HDFS-backed provider; at scale
+        # it also keeps state off the executor HEAP (disk-backed with
+        # block-cache), so watermark-bounded state cannot OOM an
+        # executor during a backlog drain. Results are byte-identical
+        # (provider changes storage, not semantics).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if not os.environ.get("SPARK_MASTER"):
