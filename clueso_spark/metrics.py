@@ -13,17 +13,29 @@ from __future__ import annotations
 
 import threading
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 from contextlib import contextmanager
 
 
+#: per-timing-series retention: the rolling window snapshot() averages
+#: over. A long-lived serve deployment records every search here; an
+#: unbounded list would be a slow leak and O(history) work per report.
+TIMING_WINDOW = 1024
+
+
 class SearchMetrics:
-    """Thread-safe counters: searches per bucket, latency, cache hits."""
+    """Thread-safe counters: searches per bucket, latency, cache hits.
+
+    Timing series keep a bounded rolling window (TIMING_WINDOW samples;
+    ``.avg`` is the window average, ``.last`` the latest) -- lifetime
+    volume lives in the paired ``search_count.*`` counters."""
 
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self.counters: dict[str, int] = defaultdict(int)
-        self.timings_ms: dict[str, list[float]] = defaultdict(list)
+        self.timings_ms: dict[str, deque[float]] = defaultdict(
+            lambda: deque(maxlen=TIMING_WINDOW)
+        )
 
     def incr(self, name: str, by: int = 1) -> None:
         with self._lock:
@@ -80,6 +92,9 @@ class GraphiteSink:
         self._timeout = timeout_s
         self._socket_mod = _socket
         self._sock = None
+        # one socket, potentially two writers (timer tick + stop() final
+        # flush): serialize sends or the plaintext lines interleave
+        self._send_lock = threading.Lock()
 
     def _connect(self):
         s = self._socket_mod.create_connection(self._addr, self._timeout)
@@ -90,16 +105,21 @@ class GraphiteSink:
         if not lines:
             return
         payload = ("\n".join(lines) + "\n").encode()
-        sock = self._sock
-        try:
-            (sock or self._connect()).sendall(payload)
-        except OSError:
-            # one reconnect attempt, then let the error surface: a metrics
-            # reporter must never spin-retry into a dead collector
-            self.close()
-            self._connect().sendall(payload)
+        with self._send_lock:
+            sock = self._sock
+            try:
+                (sock or self._connect()).sendall(payload)
+            except OSError:
+                # one reconnect attempt, then let the error surface: a
+                # single send must never spin-retry into a dead collector
+                self._close_unlocked()
+                self._connect().sendall(payload)
 
     def close(self) -> None:
+        with self._send_lock:
+            self._close_unlocked()
+
+    def _close_unlocked(self) -> None:
         if self._sock is not None:
             try:
                 self._sock.close()
@@ -136,6 +156,9 @@ class GraphiteReporter:
         self.interval_s = interval_s
         self._timer: threading.Timer | None = None
         self._stopped = threading.Event()
+        #: consecutive failed reports; drives the backoff and is
+        #: observable for tests/operators
+        self.consecutive_errors = 0
 
     def report(self) -> None:
         self.sink.send(self.metrics.graphite_lines(self.prefix))
@@ -145,13 +168,21 @@ class GraphiteReporter:
             return
         try:
             self.report()
+            self.consecutive_errors = 0
+        except OSError:
+            # a dead collector must not traceback-spam the timer thread
+            # every interval, and must never kill the app: count, back
+            # off (capped 8x), keep trying -- metrics resume when the
+            # collector does
+            self.consecutive_errors += 1
         finally:
             self._schedule()
 
     def _schedule(self) -> None:
         if self._stopped.is_set():
             return
-        self._timer = threading.Timer(self.interval_s, self._tick)
+        delay = self.interval_s * min(2 ** min(self.consecutive_errors, 3), 8)
+        self._timer = threading.Timer(delay, self._tick)
         self._timer.daemon = True
         self._timer.start()
 
@@ -161,14 +192,20 @@ class GraphiteReporter:
         return self
 
     def stop(self) -> None:
-        """Cancel the timer and flush one final snapshot (mirrors the
+        """Cancel the timer, flush one final snapshot (mirrors the
         reference's shutdown hook closing the Graphite client,
-        scala:41-44)."""
+        scala:41-44), and close the socket. A dead collector at
+        shutdown must not turn a clean exit into a traceback -- the
+        flush is best-effort, the close is unconditional."""
         self._stopped.set()
         if self._timer is not None:
             self._timer.cancel()
-        self.report()
-        self.sink.close()
+        try:
+            self.report()
+        except OSError:
+            self.consecutive_errors += 1
+        finally:
+            self.sink.close()
 
 
 def sweep_rdd_storage_gauges(spark, metrics: SearchMetrics) -> int:

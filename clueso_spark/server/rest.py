@@ -42,6 +42,10 @@ from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
 
 S3_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
 
+#: hard per-request page cap (S3 itself clamps MaxKeys at 1000); a
+#: larger ask is silently clamped, matching S3's behavior
+MAX_PAGE_KEYS = 10_000
+
 #: RESULT_COLS -> S3 Contents field mapping (schemas.RESULT_COLS; the
 #: reference's fixed 8-column projection, ref: CluesoConstants.scala:71-79)
 _XML_HEADER = '<?xml version="1.0" encoding="UTF-8"?>\n'
@@ -143,6 +147,10 @@ class _Handler(BaseHTTPRequestHandler):
                 "application/xml",
             )
             return
+        # silently clamp like S3 clamps MaxKeys (its hard cap is 1000;
+        # we allow 10x that): one unauthenticated request must never be
+        # able to collect() an unbounded page onto the driver
+        limit = max(0, min(limit, MAX_PAGE_KEYS))
         fmt = q.get("format", ["xml"])[0]
         query = MetadataQuery(bucket, where, start_after, limit)
         ex: MetadataQueryExecutor = self.server.executor  # type: ignore[attr-defined]
@@ -150,13 +158,29 @@ class _Handler(BaseHTTPRequestHandler):
             if fmt == "json":
                 self._send(200, ex.execute_json(query), "application/json")
                 return
-            rows = [
-                r.asDict(recursive=True) for r in ex.execute(query).collect()
-            ]
+            # route the XML path through the same per-bucket metrics the
+            # JSON path gets from execute_json's search_timed
+            if ex.metrics is not None:
+                with ex.metrics.search_timed(bucket):
+                    collected = ex.execute(query).collect()
+            else:
+                collected = ex.execute(query).collect()
+            rows = [r.asDict(recursive=True) for r in collected]
         except (ParseException, AnalysisException) as e:
             self._send(
                 400,
                 _error_xml("InvalidArgument", str(e).split("\n")[0]),
+                "application/xml",
+            )
+            return
+        except Exception as e:  # noqa: BLE001 -- any engine error must
+            # still produce an S3-shaped HTTP response: under ANSI mode a
+            # predicate that parses and analyzes can throw at RUNTIME
+            # (cast overflow, divide-by-zero), and an uncaught exception
+            # here aborts the socket with no response at all
+            self._send(
+                500,
+                _error_xml("InternalError", str(e).split("\n")[0]),
                 "application/xml",
             )
             return
@@ -174,13 +198,19 @@ class SearchServer:
     """Threaded HTTP search endpoint over one MetadataQueryExecutor.
 
     ``with SearchServer(executor) as srv: url = srv.url`` -- binds an
-    ephemeral localhost port, serves on a daemon thread, shuts down on
-    exit. One Spark driver hosts it; requests share the driver's
+    ephemeral loopback port by default (pass ``host="0.0.0.0"`` for a
+    network-facing deployment), serves on a daemon thread, shuts down
+    on exit. One Spark driver hosts it; requests share the driver's
     SparkSession exactly as the reference's long-lived Livy session
     serves successive search submissions."""
 
-    def __init__(self, executor: MetadataQueryExecutor, port: int = 0):
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), _Handler)
+    def __init__(
+        self,
+        executor: MetadataQueryExecutor,
+        port: int = 0,
+        host: str = "127.0.0.1",
+    ):
+        self._httpd = ThreadingHTTPServer((host, port), _Handler)
         self._httpd.executor = executor  # type: ignore[attr-defined]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, daemon=True

@@ -21,6 +21,11 @@ def main() -> int:
     ap = argparse.ArgumentParser(description="HTTP metadata-search server")
     ap.add_argument("store_root")
     ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument(
+        "--host",
+        default="127.0.0.1",
+        help="bind address (0.0.0.0 for a network-facing deployment)",
+    )
     ap.add_argument("--config", default=None, help="CluesoSparkConfig JSON")
     ap.add_argument(
         "--no-cache",
@@ -43,18 +48,17 @@ def main() -> int:
     )
     spark = get_spark("clueso-serve")
     _store, executor, _compactor = build_engine(spark, cfg)
-    with SearchServer(executor, port=args.port) as srv:
+    with SearchServer(executor, port=args.port, host=args.host) as srv:
         print(f"serving on {srv.url} (store: {args.store_root})", flush=True)
-        try:
-            import signal
-            import threading
+        # signal handlers replace KeyboardInterrupt delivery, so the
+        # shutdown path is exactly (signal -> Event -> context exit)
+        import signal
+        import threading
 
-            stop = threading.Event()
-            signal.signal(signal.SIGTERM, lambda *a: stop.set())
-            signal.signal(signal.SIGINT, lambda *a: stop.set())
-            stop.wait()
-        except KeyboardInterrupt:
-            pass
+        stop = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *a: stop.set())
+        signal.signal(signal.SIGINT, lambda *a: stop.set())
+        stop.wait()
     reporter = getattr(executor, "metrics_reporter", None)
     if reporter is not None:
         reporter.stop()

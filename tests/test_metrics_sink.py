@@ -209,3 +209,58 @@ def test_build_engine_wires_graphite_when_host_set(spark, tmp_path, collector):
         )
     finally:
         executor.metrics_reporter.stop()
+
+
+def test_timing_window_is_bounded():
+    from clueso_spark.metrics import TIMING_WINDOW
+
+    m = SearchMetrics()
+    for _ in range(TIMING_WINDOW * 3):
+        with m.time("t"):
+            pass
+    assert len(m.timings_ms["t"]) == TIMING_WINDOW
+
+
+def test_reporter_survives_dead_collector_and_stops_cleanly():
+    """A dead collector: ticks count errors and back off instead of
+    traceback-spamming; stop() still closes cleanly (best-effort final
+    flush)."""
+    m = SearchMetrics()
+    m.incr("c", 1)
+    # port 1 on localhost: nothing listens -> ConnectionRefusedError
+    rep = GraphiteReporter(
+        m, GraphiteSink("127.0.0.1", 1), prefix="p", interval_s=0.05
+    ).start()
+    try:
+        deadline = time.time() + 10
+        while rep.consecutive_errors < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert rep.consecutive_errors >= 2
+    finally:
+        rep.stop()  # must not raise
+
+
+def test_sink_sends_are_serialized(collector):
+    """Concurrent send() calls must not interleave the line protocol."""
+    host, port = collector.server_address[:2]
+    sink = GraphiteSink(host, port)
+    sink.send(["warm 0 0"])
+    errs = []
+
+    def blast(tag):
+        try:
+            for i in range(50):
+                sink.send([f"m{tag} {i} 1"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=blast, args=(t,)) for t in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    got = collector.wait_for(lambda ln: ln.startswith("m3 49"))
+    assert got
+    with collector.lock:
+        lines = [ln for ln in collector.lines if ln.startswith("m")]
+    assert all(len(ln.split(" ")) == 3 for ln in lines)  # no interleave
+    sink.close()

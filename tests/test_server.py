@@ -201,3 +201,47 @@ def test_serve_cli_round_trip(spark, tmp_path, monkeypatch):
         status, body = _get(f"{srv.url}/sb?format=json")
         assert status == 200
         assert json.loads(body)[0]["key"] == "k1"
+
+
+def test_runtime_engine_error_is_s3_internal_error(served):
+    """ANSI mode makes cast/arithmetic errors RUNTIME failures (they
+    parse + analyze clean); the endpoint must still answer with an
+    S3-shaped document, never abort the socket."""
+    status, body = _query(served, BUCKET, search="cast(key as int) = 1")
+    assert status == 500
+    root = ET.fromstring(body)
+    assert root.find("Code").text == "InternalError"
+
+
+def test_limit_is_clamped_like_s3_maxkeys(served):
+    from clueso_spark.server.rest import MAX_PAGE_KEYS
+
+    status, body = _query(served, BUCKET, limit=str(MAX_PAGE_KEYS * 1000))
+    assert status == 200
+    root = ET.fromstring(body)
+    assert int(root.find(f"{S3_NS}MaxKeys").text) == MAX_PAGE_KEYS
+
+
+def test_xml_path_records_search_metrics(spark, tmp_path):
+    """The default XML format must feed the same per-bucket counters the
+    JSON path gets -- a graphite dashboard watching an XML-only client
+    must see traffic."""
+    from clueso_spark.metrics import SearchMetrics
+    from clueso_spark.sources import MetadataStore
+
+    store = MetadataStore(spark, str(tmp_path / "m"))
+    store.write_landing(
+        parse_events(
+            raw_df(
+                spark,
+                [wire_event("000001", "put", "mx", "k", put_doc("k", "mx"))],
+            ),
+            compaction_record_interval=10,
+        )
+    )
+    ex = MetadataQueryExecutor(spark, store, metrics=SearchMetrics())
+    with SearchServer(ex) as srv:
+        _get(f"{srv.url}/mx")
+    snap = ex.metrics.snapshot()
+    assert snap.get("search_count.mx", 0) == 1
+    assert "search_time.mx.milli.last" in snap
