@@ -334,13 +334,16 @@ def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WELCH_A, _WELCH_B = "src0", "src1"
 
 #: the shared final-step formula (exact bigint inputs -> double):
-#: identical text on both sides so every IEEE step matches.
+#: identical text on both sides so every IEEE step matches. nullif
+#: guards the n-1 variance denominators: a single-member source is a
+#: legitimate corpus shape and must yield t_stat NULL, not an ANSI
+#: DIVIDE_BY_ZERO crash (caught by tests/test_staged_r10_edges.py).
 _WELCH_EXPR = (
     "(cast(s1 as double) / n1 - cast(s2 as double) / n2) / "
     "sqrt((cast(q1 as double) / n1 - (cast(s1 as double) / n1) * "
-    "(cast(s1 as double) / n1)) / (n1 - 1) + "
+    "(cast(s1 as double) / n1)) / nullif(n1 - 1, 0) + "
     "(cast(q2 as double) / n2 - (cast(s2 as double) / n2) * "
-    "(cast(s2 as double) / n2)) / (n2 - 1))"
+    "(cast(s2 as double) / n2)) / nullif(n2 - 1, 0))"
 )
 
 
