@@ -94,24 +94,31 @@ QUERY_MODULES = [
 #: never driver-verified; pytest-proven against their DuckDB oracles at
 #: sf0.001 + sf0.01 (tests/test_staged_r9.py) but the driver row is the
 #: claim that counts;
-#: (2) the 6 queries whose CODE changed this round (the scan-reuse
-#: pinning pass -- ROUND8_NOTES item 3): sim_ivfpq_ann /
+#: (2) the 8 queries whose CODE changed this round: the scan-reuse
+#: pinning pass (ROUND8_NOTES item 3) -- sim_ivfpq_ann /
 #: sim_ivfpq_rerank / sim_ivf_nprobe_curve (pinned training frames +
 #: shared exact-baseline corpus frame; rerank 11 -> 4 FileScans),
 #: pipeline_quality_audit (rewritten: 7 scans -> 2, per-key pre-agg +
 #: one full-outer join), mm_payload_dedup (5 scans -> 2, all metrics
-#: off two pinned histogram-sized aggregates), and sim_bruteforce_topk
+#: off two pinned histogram-sized aggregates), sim_bruteforce_topk
 #: (body moved into _brute_topk_from -- analyzed plan verified
-#: IDENTICAL, in the window out of caution);
+#: IDENTICAL, in the window out of caution) -- plus the empty-corpus
+#: robustness sweep's two fixes: agg_approx_count_distinct and
+#: agg_hll_partial_merge (the within_5pct ratio rewritten
+#: cross-multiplied so an empty corpus cannot raise ANSI
+#: DIVIDE_BY_ZERO; identical boolean on any non-empty corpus);
 #: (3) the 20 round-8 rotation leftovers (latest green r5 -- the oldest
 #: rows anywhere, and at 4 rounds behind they are OUTSIDE the 3-round
 #: freshness horizon: mandatory this round);
-#: (4) 7 of the 46 queries whose latest green is r6 (heavier /
-#: engine-semantics shapes first, per the standing precedent). The 39
+#: (4) 5 of the 46 queries whose latest green is r6 (heavier /
+#: engine-semantics shapes first, per the standing precedent;
+#: st_windowed_topk and ev_gap_fill_forward were displaced by the two
+#: changed-code robustness fixes -- both re-measured healthy in this
+#: round's bench runs and both join the leftover cohort). The 41
 #: deferred r6 names (tests/test_entry.py ROTATION_LEFTOVERS) are
 #: exactly 3 rounds behind at r9 -- inside the horizon -- and head
 #: round 10's refresh cohort.
-#: Window math: 17 + 6 + 20 + 7 = 50; with 182 registered queries and a
+#: Window math: 17 + 8 + 20 + 5 = 50; with 182 registered queries and a
 #: 50-slot window the full-registry refresh cycle stays
 #: ceil(182/50) = 4 rounds (tests/test_entry.py pins the arithmetic).
 PRIORITY = [
@@ -140,6 +147,8 @@ PRIORITY = [
     "sim_bruteforce_topk",
     "pipeline_quality_audit",
     "mm_payload_dedup",
+    "agg_approx_count_distinct",
+    "agg_hll_partial_merge",
     # (3) the 20 round-8 leftovers: latest green r5, oldest anywhere,
     # outside the freshness horizon at r9 -- mandatory
     "scalar_date_functions",
@@ -162,18 +171,18 @@ PRIORITY = [
     "q12_priority_shipmode",
     "q13_order_count_distribution",
     "q14_promo_revenue",
-    # (4) r6 greens: next-oldest cohort (7 of 46; heavier /
-    # engine-semantics shapes first; the 39 deferred names head round 10)
+    # (4) r6 greens: next-oldest cohort (5 of 46; heavier /
+    # engine-semantics shapes first; the 41 deferred names head round 10)
     "sim_knn_join",
     "sim_range_search",
     "dedup_containment",
     "dedup_incremental_minhash",
-    "st_windowed_topk",
-    "ev_gap_fill_forward",
     "ev_latest_state",
     # --- window boundary (50) ----------------------------------------
-    # round-10 head: the 39 deferred r6 greens (oldest rows after this
+    # round-10 head: the 41 deferred r6 greens (oldest rows after this
     # round's refresh), then the remainder in registration order
+    "st_windowed_topk",
+    "ev_gap_fill_forward",
     "ev_asof_last_purchase",
     "ev_funnel_conversion",
     "ev_retention_cohorts",

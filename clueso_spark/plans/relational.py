@@ -670,10 +670,12 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").alias("exact"),
     ).select(
         F.col("exact").cast("bigint").alias("n_customers_exact"),
+        # cross-multiplied form of |approx-exact|/exact < 0.05: the same
+        # boolean for exact > 0, and no division to raise ANSI
+        # DIVIDE_BY_ZERO on an empty corpus (tools/empty_sweep finding)
         (
             F.abs(F.col("approx") - F.col("exact"))
-            / F.col("exact")
-            < 0.05
+            < F.lit(0.05) * F.col("exact")
         )
         .cast("bigint")
         .alias("within_5pct"),
@@ -2334,10 +2336,11 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     grp_rows = per_group.select(
         F.col("o_orderpriority").alias("grp"),
         "n_exact",
+        # cross-multiplied (see agg_approx_count_distinct): no division,
+        # no ANSI DIVIDE_BY_ZERO on degenerate corpora
         (
             F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
-            / F.col("n_exact")
-            < 0.05
+            < F.lit(0.05) * F.col("n_exact")
         )
         .cast("bigint")
         .alias("within_5pct"),
@@ -2354,8 +2357,8 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__ALL__").alias("grp"),
             "n_exact",
             (
-                F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")
-                < 0.05
+                F.abs(F.col("est") - F.col("n_exact"))
+                < F.lit(0.05) * F.col("n_exact")
             )
             .cast("bigint")
             .alias("within_5pct"),

@@ -52,6 +52,10 @@ CHANGED_THIS_ROUND = (
     "sim_bruteforce_topk",
     "pipeline_quality_audit",
     "mm_payload_dedup",
+    # empty-corpus robustness fixes (cross-multiplied within_5pct --
+    # identical boolean on non-empty corpora, no ANSI DIVIDE_BY_ZERO)
+    "agg_approx_count_distinct",
+    "agg_hll_partial_merge",
 )
 
 #: round-9 promotions: the former plans/staged_r9.py tier, registered
@@ -104,14 +108,18 @@ WINDOW = 50
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 4
 
-#: the 39 green rows the 50-slot window cannot fit this round: after
-#: the 17 never-verified promotions, the 6 changed-code queries, and
-#: the 20 mandatory r5 leftovers, only 7 of the 46 r6 greens fit
+#: the 41 green rows the 50-slot window cannot fit this round: after
+#: the 17 never-verified promotions, the 8 changed-code queries, and
+#: the 20 mandatory r5 leftovers, only 5 of the 46 r6 greens fit
 #: (heavier / engine-semantics shapes first, per the standing
-#: precedent). These 39 r6 names are exactly REFRESH_CYCLE_ROUNDS - 1
-#: = 3 rounds behind at round 9 -- inside the freshness horizon -- and
-#: head round 10's refresh cohort.
+#: precedent; st_windowed_topk and ev_gap_fill_forward were displaced
+#: by the two empty-corpus robustness fixes and join this cohort).
+#: These 41 r6 names are exactly REFRESH_CYCLE_ROUNDS - 1 = 3 rounds
+#: behind at round 9 -- inside the freshness horizon -- and head round
+#: 10's refresh cohort.
 ROTATION_LEFTOVERS = (
+    "st_windowed_topk",
+    "ev_gap_fill_forward",
     "ev_asof_last_purchase",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
