@@ -1,0 +1,43 @@
+"""Empty-corpus regression guard for the live catalog.
+
+The full sweep is tools/empty_sweep.py (182 queries, ~7 min); this
+test pins the queries the round-9 sweep actually caught plus one
+representative per ratio-bearing family, so the DIVIDE_BY_ZERO class
+of regression fails fast in the default suite."""
+
+from __future__ import annotations
+
+import pytest
+
+
+#: the two round-9 crashers + one ratio-bearing representative per tier
+GUARDED = [
+    "agg_approx_count_distinct",
+    "agg_hll_partial_merge",
+    "q1_pricing_summary",
+    "txt_quality_score",
+    "dedup_exact_summary",
+    "pipeline_mixture_reweight",
+    "ev_latest_no_tombstone",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf(tmp_path_factory):
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    out = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{out}/{t}.parquet")
+    return out
+
+
+@pytest.mark.parametrize("name", GUARDED)
+def test_empty_corpus_returns_not_raises(spark, empty_sf, name):
+    from clueso_spark.plans.catalog import all_queries
+
+    rows = all_queries()[name].spark(spark, empty_sf).collect()
+    assert isinstance(rows, list)
