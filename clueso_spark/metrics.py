@@ -92,6 +92,7 @@ class GraphiteSink:
         self._timeout = timeout_s
         self._socket_mod = _socket
         self._sock = None
+        self._closed = False
         # one socket, potentially two writers (timer tick + stop() final
         # flush): serialize sends or the plaintext lines interleave
         self._send_lock = threading.Lock()
@@ -106,6 +107,11 @@ class GraphiteSink:
             return
         payload = ("\n".join(lines) + "\n").encode()
         with self._send_lock:
+            if self._closed:
+                # a tick in flight when stop() closed the sink must not
+                # reconnect: it would leak a socket nothing ever closes
+                # and ship a duplicate post-stop snapshot
+                return
             sock = self._sock
             try:
                 (sock or self._connect()).sendall(payload)
@@ -117,6 +123,7 @@ class GraphiteSink:
 
     def close(self) -> None:
         with self._send_lock:
+            self._closed = True
             self._close_unlocked()
 
     def _close_unlocked(self) -> None:
@@ -181,7 +188,7 @@ class GraphiteReporter:
     def _schedule(self) -> None:
         if self._stopped.is_set():
             return
-        delay = self.interval_s * min(2 ** min(self.consecutive_errors, 3), 8)
+        delay = self.interval_s * 2 ** min(self.consecutive_errors, 3)
         self._timer = threading.Timer(delay, self._tick)
         self._timer.daemon = True
         self._timer.start()

@@ -124,6 +124,17 @@ class MetadataQueryExecutor:
             rows = self.execute(query).toJSON().take(query.limit)
         return "[" + ",".join(rows) + "]"
 
+    def execute_collected(self, query: MetadataQuery) -> list:
+        """Materialize a page as collected Rows, under the same
+        per-bucket metrics instrumentation execute_json gets -- the one
+        place the 'if metrics: search_timed' dance lives for
+        collect()-style callers (the HTTP XML path re-implemented it
+        once and new callers would silently miss metrics again)."""
+        if self.metrics is not None:
+            with self.metrics.search_timed(query.bucket_name):
+                return self.execute(query).collect()
+        return self.execute(query).collect()
+
     def pages(self, query: MetadataQuery):
         """Iterate all pages via keyset pagination (each page re-queries with
         start_key = last key of the previous page)."""

@@ -147,25 +147,43 @@ class _Handler(BaseHTTPRequestHandler):
                 "application/xml",
             )
             return
-        # silently clamp like S3 clamps MaxKeys (its hard cap is 1000;
-        # we allow 10x that): one unauthenticated request must never be
-        # able to collect() an unbounded page onto the driver
-        limit = max(0, min(limit, MAX_PAGE_KEYS))
         fmt = q.get("format", ["xml"])[0]
+        if limit < 0 or (fmt == "json" and limit > MAX_PAGE_KEYS):
+            # negative: S3 rejects negative MaxKeys (a silent 0-clamp
+            # would 200 an empty listing indistinguishable from an empty
+            # bucket). Oversized JSON asks are rejected too: the JSON
+            # array carries NO truncation marker, so a silent clamp
+            # would make a clamped page look like the final page and
+            # break 'len < limit' pagination-termination clients.
+            self._send(
+                400,
+                _error_xml(
+                    "InvalidArgument",
+                    f"limit must be in [0, {MAX_PAGE_KEYS}]"
+                    if fmt == "json"
+                    else "limit must be non-negative",
+                ),
+                "application/xml",
+            )
+            return
+        # the XML path clamps silently like S3 clamps MaxKeys (cap
+        # 10x S3's 1000): the clamp IS signaled -- MaxKeys reports the
+        # effective value and IsTruncated the continuation. Either way
+        # one unauthenticated request can never collect() an unbounded
+        # page onto the driver.
+        limit = min(limit, MAX_PAGE_KEYS)
         query = MetadataQuery(bucket, where, start_after, limit)
         ex: MetadataQueryExecutor = self.server.executor  # type: ignore[attr-defined]
         try:
             if fmt == "json":
                 self._send(200, ex.execute_json(query), "application/json")
                 return
-            # route the XML path through the same per-bucket metrics the
-            # JSON path gets from execute_json's search_timed
-            if ex.metrics is not None:
-                with ex.metrics.search_timed(bucket):
-                    collected = ex.execute(query).collect()
-            else:
-                collected = ex.execute(query).collect()
-            rows = [r.asDict(recursive=True) for r in collected]
+            # executor-level instrumentation: the XML path gets the same
+            # per-bucket metrics as execute_json, from ONE place
+            rows = [
+                r.asDict(recursive=True)
+                for r in ex.execute_collected(query)
+            ]
         except (ParseException, AnalysisException) as e:
             self._send(
                 400,

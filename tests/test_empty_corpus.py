@@ -24,15 +24,12 @@ GUARDED = [
 
 @pytest.fixture(scope="module")
 def empty_sf(tmp_path_factory):
-    import pyarrow.parquet as pq
+    import sys
 
-    src = "/root/testdata/sf0.001"
-    out = str(tmp_path_factory.mktemp("empty_sf"))
-    for t in ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]:
-        schema = pq.read_schema(f"{src}/{t}.parquet")
-        pq.write_table(schema.empty_table(), f"{out}/{t}.parquet")
-    return out
+    sys.path.insert(0, "/root/repo/tools")
+    from empty_sweep import write_empty_corpus
+
+    return write_empty_corpus(str(tmp_path_factory.mktemp("empty_sf")))
 
 
 @pytest.mark.parametrize("name", GUARDED)

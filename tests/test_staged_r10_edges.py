@@ -119,11 +119,13 @@ def test_ks_identical_distributions_give_zero(spark, tmp_path):
         ],
     )
     rows = STAGED["agg_ks_two_sample"].spark(spark, sf).collect()
-    # both sources see lengths {100,101,102} with equal counts per value
-    # pattern? i%2 splits i%3 unevenly -- just assert the law bounds
+    # evens i=0,2,..,10 give i%3 = {0,2,1,0,2,1}; odds give {1,0,2,1,0,2}:
+    # both sources see the identical multiset {100:2, 101:2, 102:2}, so
+    # the KS statistic must be EXACTLY zero
     (r,) = rows
-    assert 0.0 <= r["d_stat"] <= 1.0
-    assert r["d_num"] == r["d_stat"] * r["n_a"] * r["n_b"]
+    assert (r["n_a"], r["n_b"]) == (6, 6)
+    assert r["d_num"] == 0
+    assert r["d_stat"] == 0.0
 
 
 def test_funnel_percentiles_empty_when_nobody_converts(spark, tmp_path):

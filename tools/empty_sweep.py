@@ -20,18 +20,27 @@ from __future__ import annotations
 import sys
 import tempfile
 
+#: the canonical testdata table set; shared with
+#: tests/test_empty_corpus.py via write_empty_corpus so the fast guard
+#: and this full sweep can never drift onto different corpora
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def write_empty_corpus(dst: str, src: str = "/root/testdata/sf0.001") -> str:
+    """Write every testdata table as an EMPTY parquet file with the
+    real schema (copied verbatim from ``src``)."""
+    import pyarrow.parquet as pq
+
+    for t in TABLES:
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), f"{dst}/{t}.parquet")
+    return dst
+
 
 def main() -> int:
     sys.path.insert(0, "/root/repo")
-    import pyarrow.parquet as pq
-
-    src = "/root/testdata/sf0.001"
-    tables = ["region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events", "documents", "embeddings"]
-    tmp = tempfile.mkdtemp(prefix="empty_sf_")
-    for t in tables:
-        schema = pq.read_schema(f"{src}/{t}.parquet")
-        pq.write_table(schema.empty_table(), f"{tmp}/{t}.parquet")
+    tmp = write_empty_corpus(tempfile.mkdtemp(prefix="empty_sf_"))
 
     from clueso_spark.plans.catalog import all_queries, release_persisted
     from clueso_spark.session import get_spark
