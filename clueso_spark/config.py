@@ -82,9 +82,36 @@ class CluesoSparkConfig:
         return cls(**values)
 
 
-def build_engine(spark, config: CluesoSparkConfig):
-    """Composition root: wire a (store, executor, compactor) triple from
-    one config -- the deployment entry point a Livy-style service uses."""
+@dataclass
+class Engine:
+    """What build_engine wires: the (store, executor, compactor) triple
+    plus owned background resources. Iterable for the historical
+    ``store, executor, compactor = build_engine(...)`` unpacking; call
+    :meth:`close` in teardown so a configured GraphiteReporter (daemon
+    timer + TCP socket) is flushed and stopped rather than leaked for
+    the process lifetime (ADVICE r9: only serve_cli knew to stop it)."""
+
+    store: object
+    executor: object
+    compactor: object
+    #: the GraphiteReporter started when graphite_host is set, else None
+    reporter: object | None = None
+
+    def __iter__(self):
+        return iter((self.store, self.executor, self.compactor))
+
+    def close(self) -> None:
+        """Stop owned background resources (best-effort final flush)."""
+        if self.reporter is not None:
+            self.reporter.stop()
+            self.reporter = None
+
+
+def build_engine(spark, config: CluesoSparkConfig) -> Engine:
+    """Composition root: wire an :class:`Engine` from one config -- the
+    deployment entry point a Livy-style service uses. Callers that
+    enable ``graphite_host`` own the returned engine's lifecycle: call
+    ``engine.close()`` on shutdown (serve_cli does)."""
     from clueso_spark.operators.cache import BucketCacheManager
     from clueso_spark.operators.compact import Compactor
     from clueso_spark.operators.query import MetadataQueryExecutor
@@ -112,6 +139,7 @@ def build_engine(spark, config: CluesoSparkConfig):
         target_file_bytes=config.target_file_bytes,
         stale_lock_s=config.stale_lock_s,
     )
+    reporter = None
     if config.graphite_host:
         # the reference constructs its SearchMetricsSource (and starts a
         # 5 s GraphiteReporter) only when graphiteHost is set
@@ -123,9 +151,9 @@ def build_engine(spark, config: CluesoSparkConfig):
         )
 
         executor.metrics = SearchMetrics()
-        executor.metrics_reporter = GraphiteReporter(
+        reporter = GraphiteReporter(
             executor.metrics,
             GraphiteSink(config.graphite_host, config.graphite_port),
             interval_s=config.graphite_interval_s,
         ).start()
-    return store, executor, compactor
+    return Engine(store, executor, compactor, reporter)

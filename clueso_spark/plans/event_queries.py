@@ -490,7 +490,18 @@ def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GAP_FILL_ORACLE = """
+#: Per-user forward-fill horizon: the dense grid covers at most the
+#: trailing 90 days (2,160 hourly cells) of each user's activity span.
+#: INVARIANT this bound exists to keep true: grid rows scale with
+#: O(users x min(span, horizon)), NOT with unbounded per-user lifetime
+#: -- without it a multi-year-lifetime user densifies into years of
+#: hourly rows and a 100x scale-up quietly explodes the grid (r8/r9
+#: verdict item). Users whose span exceeds the horizon fill only the
+#: trailing window; their first grid cells may be unfilled gaps (null)
+#: until the first in-window observation, identically in both engines.
+GAP_FILL_HORIZON_HOURS = 24 * 90
+
+GAP_FILL_ORACLE = f"""
 with e as (
   select user_id, epoch_us(ts) // 3600000000 as hour,
          cast(value as decimal(12,2)) as value
@@ -500,7 +511,10 @@ bounds as (
   select user_id, min(hour) as h0, max(hour) as h1 from e group by user_id
 ),
 grid as (
-  select user_id, unnest(range(h0, h1 + 1)) as hour from bounds
+  select user_id,
+         unnest(range(greatest(h0, h1 - {GAP_FILL_HORIZON_HOURS - 1}),
+                      h1 + 1)) as hour
+  from bounds
 ),
 actual as (
   select user_id, hour, sum(value) as v from e group by user_id, hour
@@ -522,9 +536,11 @@ from j
 
 @register(
     "ev_gap_fill_forward",
-    "Time-series gap filling: per user, a dense hourly grid between "
-    "first and last activity (sequence + explode -- rows generated "
-    "JVM-side, no driver loop), hourly sums left-joined on, gaps "
+    "Time-series gap filling: per user, a dense hourly grid over the "
+    "trailing GAP_FILL_HORIZON_HOURS (90 days) of activity (sequence + "
+    "explode -- rows generated JVM-side, no driver loop; the horizon "
+    "bounds grid growth to O(users x horizon) instead of unbounded "
+    "user-lifetime span), hourly sums left-joined on, gaps "
     "forward-filled with last_value(ignorenulls) over an ordered frame. "
     "The resample/interpolate shape of a hypertable rollup; grid "
     "generation is embarrassingly parallel per user and the fill is one "
@@ -543,7 +559,16 @@ def ev_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
     grid = bounds.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.col("h0"),
+                    F.col("h1") - F.lit(GAP_FILL_HORIZON_HOURS - 1),
+                ),
+                F.col("h1"),
+            )
+        ).alias("hour"),
     )
     actual = ev.groupBy("user_id", "hour").agg(F.sum("value").alias("v"))
     j = grid.join(actual, ["user_id", "hour"], "left")

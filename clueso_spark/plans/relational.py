@@ -672,10 +672,15 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact").cast("bigint").alias("n_customers_exact"),
         # cross-multiplied form of |approx-exact|/exact < 0.05: the same
         # boolean for exact > 0, and no division to raise ANSI
-        # DIVIDE_BY_ZERO on an empty corpus (tools/empty_sweep finding)
+        # DIVIDE_BY_ZERO on an empty corpus (tools/empty_sweep finding).
+        # exact == 0 is handled explicitly: approx == 0 is then a perfect
+        # estimate and must match the oracle's literal 1 (ADVICE r9).
         (
-            F.abs(F.col("approx") - F.col("exact"))
-            < F.lit(0.05) * F.col("exact")
+            ((F.col("exact") == 0) & (F.col("approx") == 0))
+            | (
+                F.abs(F.col("approx") - F.col("exact"))
+                < F.lit(0.05) * F.col("exact")
+            )
         )
         .cast("bigint")
         .alias("within_5pct"),
@@ -1907,6 +1912,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec("l_extendedprice") * dec(F.lit(1) - F.col("l_discount"))
         ).alias("total_revenue")
     )
+    # pinned: revenue feeds BOTH the global max and the winner join --
+    # unpinned, each consumer re-scans the lineitem fact table (3 scans;
+    # at 100 TB a 3x corpus read). The pinned frame is per-supplier
+    # aggregate-sized, not corpus-sized.
+    revenue = _persist_swap(spark, "q15_revenue", revenue)
     mx = revenue.agg(F.max("total_revenue").alias("mx"))
     supp = F.broadcast(_t(spark, sf_dir, "supplier"))
     return (
@@ -2034,6 +2044,11 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
         .select("c_custkey", "c_nationkey", dec("c_acctbal").alias("bal"))
     )
+    # pinned: sel feeds BOTH the balance-threshold scalar and the main
+    # branch -- unpinned, the customer table is scanned twice. The
+    # pinned frame is the 3-column selected-nation projection (filter +
+    # pruning applied before the pin).
+    sel = _persist_swap(spark, "q22_sel", sel)
     avgpos = sel.where(F.col("bal") > 0).agg(
         F.sum("bal").alias("total"), F.count("*").cast("bigint").alias("cnt")
     )
@@ -2337,10 +2352,17 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("grp"),
         "n_exact",
         # cross-multiplied (see agg_approx_count_distinct): no division,
-        # no ANSI DIVIDE_BY_ZERO on degenerate corpora
+        # no ANSI DIVIDE_BY_ZERO on degenerate corpora; exact == 0 with a
+        # zero estimate is a perfect match, not a miss (ADVICE r9)
         (
-            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
-            < F.lit(0.05) * F.col("n_exact")
+            (
+                (F.col("n_exact") == 0)
+                & (F.hll_sketch_estimate("sk") == 0)
+            )
+            | (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                < F.lit(0.05) * F.col("n_exact")
+            )
         )
         .cast("bigint")
         .alias("within_5pct"),
@@ -2357,8 +2379,11 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__ALL__").alias("grp"),
             "n_exact",
             (
-                F.abs(F.col("est") - F.col("n_exact"))
-                < F.lit(0.05) * F.col("n_exact")
+                ((F.col("n_exact") == 0) & (F.col("est") == 0))
+                | (
+                    F.abs(F.col("est") - F.col("n_exact"))
+                    < F.lit(0.05) * F.col("n_exact")
+                )
             )
             .cast("bigint")
             .alias("within_5pct"),

@@ -27,10 +27,21 @@ keyset-bounded), so response size is page-sized regardless of corpus
 size. Long-running service deployments would put this behind the
 bucket cache manager (operators/cache.py) exactly like the reference's
 Livy session reuses its SessionCacheManager.
+
+Security: the ``search`` predicate is an arbitrary Spark SQL boolean
+expression, the same language the reference exposes -- but the
+reference exposes it only behind CloudServer's AUTHENTICATED S3
+endpoint. This server carries no authentication, so (a) predicates
+naming JVM-escape functions (``reflect`` / ``java_method`` -- arbitrary
+static-method invocation on the driver) are rejected with 400
+``AccessDenied`` before any plan is built, and (b) a non-loopback bind
+(``host="0.0.0.0"``) MUST sit behind an authenticating reverse proxy,
+exactly like the reference sits behind CloudServer.
 """
 
 from __future__ import annotations
 
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, unquote, urlparse
@@ -41,6 +52,25 @@ from pyspark.errors import AnalysisException, ParseException
 from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
 
 S3_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
+
+#: Spark SQL functions an unauthenticated predicate must never invoke:
+#: both call arbitrary JVM static methods on the driver. Matched as
+#: whole identifiers, case-insensitively, with backticks stripped first
+#: (`` `reflect` (...)`` parses to the same call as ``reflect(...)``),
+#: so neither quoting nor spacing hides the name. A string LITERAL that
+#: merely contains the word is also rejected -- deliberate overblocking:
+#: this is a security boundary and the words are not plausible keys.
+DENIED_PREDICATE_FUNCTIONS = ("reflect", "java_method")
+
+_DENIED_RE = re.compile(
+    r"\b(" + "|".join(DENIED_PREDICATE_FUNCTIONS) + r")\b", re.IGNORECASE
+)
+
+
+def denied_predicate_token(where: str) -> str | None:
+    """The first denied function name appearing in ``where``, or None."""
+    m = _DENIED_RE.search(where.replace("`", ""))
+    return m.group(1).lower() if m else None
 
 #: hard per-request page cap (S3 itself clamps MaxKeys at 1000); a
 #: larger ask is silently clamped, matching S3's behavior
@@ -172,17 +202,40 @@ class _Handler(BaseHTTPRequestHandler):
         # one unauthenticated request can never collect() an unbounded
         # page onto the driver.
         limit = min(limit, MAX_PAGE_KEYS)
-        query = MetadataQuery(bucket, where, start_after, limit)
+        denied = denied_predicate_token(where)
+        if denied is not None:
+            # JVM-escape functions (arbitrary static-method invocation on
+            # the driver) are never legal on this unauthenticated surface;
+            # reject before any Spark plan exists (ADVICE r9, medium)
+            self._send(
+                403,
+                _error_xml(
+                    "AccessDenied",
+                    f"predicate function '{denied}' is not permitted",
+                ),
+                "application/xml",
+            )
+            return
         ex: MetadataQueryExecutor = self.server.executor  # type: ignore[attr-defined]
         try:
             if fmt == "json":
+                query = MetadataQuery(bucket, where, start_after, limit)
                 self._send(200, ex.execute_json(query), "application/json")
                 return
             # executor-level instrumentation: the XML path gets the same
-            # per-bucket metrics as execute_json, from ONE place
+            # per-bucket metrics as execute_json, from ONE place.
+            # limit+1 probe: IsTruncated must reflect whether MORE rows
+            # exist, not whether this page happens to be exactly full --
+            # a result set sized an exact multiple of limit previously
+            # advertised a NextStartAfter cursor to a final empty page
+            # (ADVICE r9, low). limit == 0 stays an empty un-truncated
+            # listing (no cursor could accompany the signal anyway).
+            probe = MetadataQuery(
+                bucket, where, start_after, limit + 1 if limit else 0
+            )
             rows = [
                 r.asDict(recursive=True)
-                for r in ex.execute_collected(query)
+                for r in ex.execute_collected(probe)
             ]
         except (ParseException, AnalysisException) as e:
             self._send(
@@ -202,12 +255,13 @@ class _Handler(BaseHTTPRequestHandler):
                 "application/xml",
             )
             return
+        truncated = len(rows) > limit
         body = s3_xml_listing(
             bucket,
-            rows,
+            rows[:limit],
             prefix_expr=where,
             max_keys=limit,
-            truncated=len(rows) >= limit > 0,
+            truncated=truncated,
         )
         self._send(200, body, "application/xml")
 
@@ -216,9 +270,12 @@ class SearchServer:
     """Threaded HTTP search endpoint over one MetadataQueryExecutor.
 
     ``with SearchServer(executor) as srv: url = srv.url`` -- binds an
-    ephemeral loopback port by default (pass ``host="0.0.0.0"`` for a
-    network-facing deployment), serves on a daemon thread, shuts down
-    on exit. One Spark driver hosts it; requests share the driver's
+    ephemeral loopback port by default. A network-facing deployment
+    (``host="0.0.0.0"``) MUST sit behind an authenticating reverse
+    proxy: the endpoint itself is unauthenticated (see module
+    docstring; the reference only exposes the predicate language behind
+    CloudServer's authenticated S3 API). Serves on a daemon thread,
+    shuts down on exit. One Spark driver hosts it; requests share the driver's
     SparkSession exactly as the reference's long-lived Livy session
     serves successive search submissions."""
 

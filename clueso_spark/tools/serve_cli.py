@@ -24,7 +24,11 @@ def main() -> int:
     ap.add_argument(
         "--host",
         default="127.0.0.1",
-        help="bind address (0.0.0.0 for a network-facing deployment)",
+        help=(
+            "bind address; 0.0.0.0 exposes the UNAUTHENTICATED search "
+            "endpoint to the network and must sit behind an "
+            "authenticating reverse proxy"
+        ),
     )
     ap.add_argument("--config", default=None, help="CluesoSparkConfig JSON")
     ap.add_argument(
@@ -47,7 +51,8 @@ def main() -> int:
         }
     )
     spark = get_spark("clueso-serve")
-    _store, executor, _compactor = build_engine(spark, cfg)
+    engine = build_engine(spark, cfg)
+    executor = engine.executor
     with SearchServer(executor, port=args.port, host=args.host) as srv:
         print(f"serving on {srv.url} (store: {args.store_root})", flush=True)
         # signal handlers replace KeyboardInterrupt delivery, so the
@@ -59,9 +64,7 @@ def main() -> int:
         signal.signal(signal.SIGTERM, lambda *a: stop.set())
         signal.signal(signal.SIGINT, lambda *a: stop.set())
         stop.wait()
-    reporter = getattr(executor, "metrics_reporter", None)
-    if reporter is not None:
-        reporter.stop()
+    engine.close()  # stop-flush the Graphite reporter, if configured
     return 0
 
 

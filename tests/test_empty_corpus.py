@@ -38,3 +38,18 @@ def test_empty_corpus_returns_not_raises(spark, empty_sf, name):
 
     rows = all_queries()[name].spark(spark, empty_sf).collect()
     assert isinstance(rows, list)
+
+
+@pytest.mark.parametrize(
+    "name", ["agg_approx_count_distinct", "agg_hll_partial_merge"]
+)
+def test_empty_corpus_within_5pct_is_perfect_match(spark, empty_sf, name):
+    """ADVICE r9: exact == 0 with a zero estimate is a PERFECT estimate;
+    the flag must be 1 (the oracle's literal), not 0. The round-9
+    cross-multiplied rewrite silently flipped the degenerate case to 0;
+    this pins the explicit exact==0 branch."""
+    from clueso_spark.plans.catalog import all_queries
+
+    rows = all_queries()[name].spark(spark, empty_sf).collect()
+    for row in rows:
+        assert row["within_5pct"] == 1, (name, row)

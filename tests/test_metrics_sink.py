@@ -187,7 +187,12 @@ def test_build_engine_wires_graphite_when_host_set(spark, tmp_path, collector):
         graphite_port=port,
         graphite_interval_s=0.2,
     )
-    store, executor, _ = build_engine(spark, cfg)
+    engine = build_engine(spark, cfg)
+    store, executor = engine.store, engine.executor
+    assert engine.reporter is not None, (
+        "build_engine must expose the reporter lifecycle handle "
+        "(ADVICE r9: callers other than serve_cli leaked it)"
+    )
     try:
         store.write_landing(
             parse_events(
@@ -208,7 +213,8 @@ def test_build_engine_wires_graphite_when_host_set(spark, tmp_path, collector):
             for ln in got
         )
     finally:
-        executor.metrics_reporter.stop()
+        engine.close()
+    assert engine.reporter is None  # close() is idempotent ownership
 
 
 def test_timing_window_is_bounded():

@@ -290,3 +290,66 @@ def test_pretraining_funnel_is_monotone(spark):
         assert by[i][0] >= by[i + 1][0], (i, by)
         assert by[i][1] >= by[i + 1][1], (i, by)
     assert by[7][0] > 0
+
+
+# -- gap-fill grid bound ---------------------------------------------------
+
+
+def test_gap_fill_grid_is_bounded_by_horizon(spark, tmp_path):
+    """The r8/r9 verdict item, pinned: a user whose activity SPAN is
+    multi-year must produce at most GAP_FILL_HORIZON_HOURS grid rows --
+    grid growth is O(users x horizon), never O(users x lifetime). A
+    short-span user keeps the exact dense span, forward-filled."""
+    import datetime
+
+    from clueso_spark.plans.event_queries import (
+        GAP_FILL_HORIZON_HOURS,
+        ev_gap_fill_forward,
+    )
+
+    def ev(eid, uid, days, val):
+        return {
+            "event_id": eid,
+            "ts": datetime.datetime(2020, 1, 1)
+            + datetime.timedelta(days=days),
+            "user_id": uid,
+            "event_type": "click",
+            "value": val,
+            "props": "{}",
+        }
+
+    rows = [
+        ev(1, 1, 0, 1.0),        # user 1: 3-year span -> truncated grid
+        ev(2, 1, 3 * 365, 2.0),
+        ev(3, 2, 0, 5.0),        # user 2: 2-hour span -> exact dense grid
+        ev(4, 2, 2 / 24, 7.0),
+    ]
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        str(tmp_path / "events.parquet"),
+    )
+    out = ev_gap_fill_forward(spark, str(tmp_path)).collect()
+    u1 = sorted(
+        (r for r in out if r["user_id"] == 1), key=lambda r: r["hour"]
+    )
+    u2 = sorted(
+        (r for r in out if r["user_id"] == 2), key=lambda r: r["hour"]
+    )
+    assert len(u1) == GAP_FILL_HORIZON_HOURS  # capped, not 3 years of rows
+    # only the LAST event sits inside the trailing window: every earlier
+    # cell is an unfilled gap (the out-of-window first event is NOT
+    # forward-filled in), and the final cell carries its value
+    assert all(r["filled_value"] is None and r["is_gap"] == 1 for r in u1[:-1])
+    assert u1[-1]["filled_value"] == 2.0 and u1[-1]["is_gap"] == 0
+    assert [r["filled_value"] for r in u2] == [5.0, 5.0, 7.0]
+    assert [r["is_gap"] for r in u2] == [0, 1, 0]

@@ -222,6 +222,43 @@ def test_limit_is_clamped_like_s3_maxkeys(served):
     assert int(root.find(f"{S3_NS}MaxKeys").text) == MAX_PAGE_KEYS
 
 
+@pytest.mark.parametrize(
+    "expr",
+    [
+        "reflect('java.lang.System','getProperty','user.dir') = 'x'",
+        "JAVA_METHOD('java.lang.Runtime','getRuntime') is not null",
+        "`reflect`('a','b') = 'c'",          # backtick-quoted identifier
+        "key = 'a' or Reflect ('x','y')='z'",  # spacing + mixed case
+    ],
+)
+def test_jvm_escape_predicates_are_denied(served, expr):
+    """ADVICE r9 (medium): reflect/java_method invoke arbitrary JVM
+    static methods on the driver; the unauthenticated surface must
+    reject them BEFORE any plan is built, in both formats."""
+    for fmt in ("xml", "json"):
+        status, body = _query(served, BUCKET, search=expr, format=fmt)
+        assert status == 403, (fmt, expr, body)
+        root = ET.fromstring(body)
+        assert root.find("Code").text == "AccessDenied"
+
+
+def test_exact_multiple_page_is_not_truncated(served):
+    """ADVICE r9 (low): a result set whose size is an exact multiple of
+    limit must report IsTruncated=false on its final (exactly full)
+    page, not advertise a cursor to an empty page. 10 objects, limit=5:
+    page 2 is full AND final."""
+    status, body = _query(served, BUCKET, limit=5)
+    root = ET.fromstring(body)
+    assert root.find(f"{S3_NS}IsTruncated").text == "true"
+    cursor = root.find(f"{S3_NS}NextStartAfter").text
+    status, body = _query(served, BUCKET, limit=5, **{"start-after": cursor})
+    assert status == 200
+    root = ET.fromstring(body)
+    assert root.find(f"{S3_NS}KeyCount").text == "5"
+    assert root.find(f"{S3_NS}IsTruncated").text == "false"
+    assert root.find(f"{S3_NS}NextStartAfter") is None
+
+
 def test_xml_path_records_search_metrics(spark, tmp_path):
     """The default XML format must feed the same per-bucket counters the
     JSON path gets -- a graphite dashboard watching an XML-only client
