@@ -135,6 +135,23 @@ HEADLINE = [
     "agg_exact_quantiles",
     "st_static_enrichment",
     "graph_khop_reach",
+    # round-10 promoted staged tier (perf-tracked from its first
+    # registered day, same commit as the promotion)
+    "join_lateral_top2_per_order",
+    "subquery_correlated_scalar",
+    "agg_mode_exact",
+    "window_nth_value_frames",
+    "setop_except_all_multiset",
+    "agg_welch_ttest",
+    "ev_funnel_time_percentiles",
+    "ev_lorenz_power_users",
+    "ev_bounce_rate_sessions",
+    "ev_inter_event_histogram",
+    "graph_label_propagation",
+    "graph_katz_centrality",
+    "agg_ks_two_sample",
+    "agg_chi2_independence",
+    "mm_phash_hamming_dedup",
 ]
 
 
@@ -193,7 +210,7 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
     driver's default path."""
     import subprocess
 
-    timings, spread, noisy, failed = {}, {}, [], []
+    timings, spread, noisy, failed, cold = {}, {}, [], [], {}
     for name in names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -212,13 +229,16 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
         child = json.loads(lines[-1])
         timings[name] = child["queries"][name]
         spread[name] = child.get("stddev", {}).get(name, 0.0)
+        cold[name] = child.get("cold", {}).get(name, 0.0)
         noisy.extend(child.get("noisy", []))
-    _emit(timings, spread, noisy, sf, detail, isolated=True, failed=failed)
+    _emit(timings, spread, noisy, sf, detail, isolated=True, failed=failed,
+          cold=cold)
     return 1 if failed else 0
 
 
 def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
-          failed: list[str] | None = None, child: bool = False):
+          failed: list[str] | None = None, child: bool = False,
+          cold: dict | None = None):
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -226,6 +246,12 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
         "unit": "sec",
         "queries": timings,
         "stddev": spread,
+        # first-attempt (cold) time per query, alongside the best-of-N
+        # "queries" map: methodology changes (warm-up, persist-slot
+        # release, state-store defaults) move cold and best differently,
+        # and without both recorded the two are indistinguishable in a
+        # round-over-round diff (r8 verdict item 3 / r9 item 4)
+        "cold": cold or {},
         "noisy": noisy,
         "sf": sf,
     }
@@ -234,10 +260,19 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
     if failed:
         payload["failed"] = failed
     if detail:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        detail_path = os.path.join(here, "BENCH_DETAIL.json")
         with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        # archive every detail payload: BENCH_DETAIL.json alone is
+        # overwritten each run, losing sub-top-N per-query history
+        # between rounds (r9 verdict item 4). tools/bench_compare.py
+        # accepts any two archive files.
+        hist_dir = os.path.join(here, "BENCH_HISTORY")
+        os.makedirs(hist_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        with open(os.path.join(hist_dir, f"DETAIL_{stamp}.json"), "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
     # the one driver-visible line: 2-decimal per-query map, stddev only in
@@ -250,6 +285,7 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
         line["queries"] = timings
     else:
         line.pop("stddev")
+        line.pop("cold")  # detail/archive only; the driver line is budget
     out = json.dumps(line, separators=(",", ":"))
     if len(out) > 1900 and not child:
         # degrade gracefully: keep the SLOWEST queries that fit (the ones
@@ -344,7 +380,7 @@ def main() -> int:
     # and its large sigma -- AND is named in the artifact's "noisy"
     # list (r7 lesson: the funnel's gate-capped 34.4 s shipped with no
     # machine-readable marker that the gate had given up on it).
-    timings, spread, noisy = {}, {}, []
+    timings, spread, noisy, cold = {}, {}, [], {}
     for name in names:
         runs: list[float] = []
         while True:
@@ -357,6 +393,7 @@ def main() -> int:
             if sigma / mean <= 0.5 or len(runs) >= 7:
                 break
         timings[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 3)  # first attempt, pre-warm caches
         spread[name] = round(sigma, 3)
         if sigma / mean > 0.5:
             noisy.append(name)
@@ -368,7 +405,8 @@ def main() -> int:
         # this changes nothing about what any single timing measures.
         release_persisted(spark)
 
-    _emit(timings, spread, noisy, sf, opts["detail"], child=opts["child"])
+    _emit(timings, spread, noisy, sf, opts["detail"], child=opts["child"],
+          cold=cold)
     return 0
 
 

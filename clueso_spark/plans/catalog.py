@@ -82,107 +82,66 @@ QUERY_MODULES = [
     # round 9: the round-8 staged tier is promoted the same way (17
     # queries; they head the round-9 driver window)
     "clueso_spark.plans.staged_r9",
+    # round 10: the round-9 staged tier is promoted the same way (15
+    # queries, each pytest-proven against its DuckDB oracle at sf0.001 +
+    # sf0.01 before registration; they head the round-10 driver window)
+    "clueso_spark.plans.staged_r10",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-9 rotation, executing the standing policy
+#: part of the contract. Round-10 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 17 promoted staged_r9 queries -- registered this round, so
+#: (1) the 15 promoted staged_r10 queries -- registered this round, so
 #: never driver-verified; pytest-proven against their DuckDB oracles at
-#: sf0.001 + sf0.01 (tests/test_staged_r9.py) but the driver row is the
+#: sf0.001 + sf0.01 (tests/test_staged_r10.py) but the driver row is the
 #: claim that counts;
-#: (2) the 8 queries whose CODE changed this round: the scan-reuse
-#: pinning pass (ROUND8_NOTES item 3) -- sim_ivfpq_ann /
-#: sim_ivfpq_rerank / sim_ivf_nprobe_curve (pinned training frames +
-#: shared exact-baseline corpus frame; rerank 11 -> 4 FileScans),
-#: pipeline_quality_audit (rewritten: 7 scans -> 2, per-key pre-agg +
-#: one full-outer join), mm_payload_dedup (5 scans -> 2, all metrics
-#: off two pinned histogram-sized aggregates), sim_bruteforce_topk
-#: (body moved into _brute_topk_from -- analyzed plan verified
-#: IDENTICAL, in the window out of caution) -- plus the empty-corpus
-#: robustness sweep's two fixes: agg_approx_count_distinct and
-#: agg_hll_partial_merge (the within_5pct ratio rewritten
-#: cross-multiplied so an empty corpus cannot raise ANSI
-#: DIVIDE_BY_ZERO; identical boolean on any non-empty corpus);
-#: (3) the 20 round-8 rotation leftovers (latest green r5 -- the oldest
-#: rows anywhere, and at 4 rounds behind they are OUTSIDE the 3-round
-#: freshness horizon: mandatory this round);
-#: (4) 5 of the 46 queries whose latest green is r6 (heavier /
-#: engine-semantics shapes first, per the standing precedent;
-#: st_windowed_topk and ev_gap_fill_forward were displaced by the two
-#: changed-code robustness fixes -- both re-measured healthy in this
-#: round's bench runs and both join the leftover cohort). The 41
-#: deferred r6 names (tests/test_entry.py ROTATION_LEFTOVERS) are
-#: exactly 3 rounds behind at r9 -- inside the horizon -- and head
-#: round 10's refresh cohort.
-#: Window math: 17 + 8 + 20 + 5 = 50; with 182 registered queries and a
+#: (2) the 4 non-r6-cohort queries whose CODE changed this round:
+#: agg_approx_count_distinct + agg_hll_partial_merge (the within_5pct
+#: invariant now treats exact==0 with a zero estimate as a perfect
+#: match -- ADVICE r9; identical boolean on any non-empty corpus) and
+#: q15_top_supplier + q22_global_sales_opportunity (the r8 scan-reuse
+#: queue closed: shared subaggregate pinned, 3 scans -> 2 each);
+#: (3) 31 of the 41 queries whose latest green is r6 -- the oldest rows
+#: anywhere, sitting exactly AT the freshness horizon (they become
+#: violations at r11, so they are this round's mandatory head cohort).
+#: ev_gap_fill_forward leads them: it ALSO changed code this round (the
+#: 90-day grid-bound fix, r8 verdict item 4). The 10 deferred r6 names
+#: (the lightest txt_* shapes, per the standing heavier-first
+#: precedent) are enumerated in tests/test_entry.py ROTATION_LEFTOVERS
+#: and are the mandatory head of round 11's window.
+#: Window math: 15 + 4 + 31 = 50; with 197 registered queries and a
 #: 50-slot window the full-registry refresh cycle stays
-#: ceil(182/50) = 4 rounds (tests/test_entry.py pins the arithmetic).
+#: ceil(197/50) = 4 rounds (tests/test_entry.py pins the arithmetic).
 PRIORITY = [
     # (1) promoted this round -- never driver-verified, head the window
-    "ev_scd2_intervals",
-    "ev_window_funnel",
-    "txt_bm25_topk",
-    "agg_ols_trend",
-    "pipeline_importance_sample",
-    "ev_activity_streaks",
-    "agg_exact_moments",
-    "window_cume_percent_rank",
-    "ev_dau_wau_stickiness",
-    "agg_gini_concentration",
-    "sim_source_jaccard_bottomk",
-    "ev_time_weighted_value",
-    "agg_weighted_median",
-    "ev_cusum_changepoint",
-    "agg_exact_quantiles",
-    "st_static_enrichment",
-    "graph_khop_reach",
+    "join_lateral_top2_per_order",
+    "subquery_correlated_scalar",
+    "agg_mode_exact",
+    "window_nth_value_frames",
+    "setop_except_all_multiset",
+    "agg_welch_ttest",
+    "ev_funnel_time_percentiles",
+    "ev_lorenz_power_users",
+    "ev_bounce_rate_sessions",
+    "ev_inter_event_histogram",
+    "graph_label_propagation",
+    "graph_katz_centrality",
+    "agg_ks_two_sample",
+    "agg_chi2_independence",
+    "mm_phash_hamming_dedup",
     # (2) changed code this round -- re-verify
-    "sim_ivfpq_ann",
-    "sim_ivfpq_rerank",
-    "sim_ivf_nprobe_curve",
-    "sim_bruteforce_topk",
-    "pipeline_quality_audit",
-    "mm_payload_dedup",
     "agg_approx_count_distinct",
     "agg_hll_partial_merge",
-    # (3) the 20 round-8 leftovers: latest green r5, oldest anywhere,
-    # outside the freshness horizon at r9 -- mandatory
-    "scalar_date_functions",
-    "scalar_function_showcase",
-    "scalar_null_semantics",
-    "setop_except_urgent_only",
-    "setop_intersect_all_multiset",
-    "setop_intersect_buyers",
-    "setop_union_schema_aligned",
-    "subquery_above_avg",
-    "subquery_exists_not_exists",
-    "join_anti_no_urgent_orders",
-    "join_full_outer_nation_profile",
-    "join_inner_big_orders",
-    "join_semi_urgent_customers",
-    "window_lag_reorder_gap",
-    "window_ntile_quartiles",
-    "window_rank_top_balances",
-    "q6_forecast_revenue",
-    "q12_priority_shipmode",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    # (4) r6 greens: next-oldest cohort (5 of 46; heavier /
-    # engine-semantics shapes first; the 41 deferred names head round 10)
-    "sim_knn_join",
-    "sim_range_search",
-    "dedup_containment",
-    "dedup_incremental_minhash",
-    "ev_latest_state",
-    # --- window boundary (50) ----------------------------------------
-    # round-10 head: the 41 deferred r6 greens (oldest rows after this
-    # round's refresh), then the remainder in registration order
-    "st_windowed_topk",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    # (3) the r6 cohort: latest green r6, oldest anywhere, AT the
+    # freshness horizon -- 31 of 41 fit; ev_gap_fill_forward first
+    # (changed code: the 90-day grid bound)
     "ev_gap_fill_forward",
+    "st_windowed_topk",
     "ev_asof_last_purchase",
     "ev_funnel_conversion",
     "ev_retention_cohorts",
@@ -210,20 +169,24 @@ PRIORITY = [
     "st_session_windows",
     "st_stream_stream_join",
     "st_windowed_counts",
+    "txt_gopher_quality_rules",
+    "txt_quality_classifier_proxy",
+    # --- window boundary (50) ----------------------------------------
+    # round-11 head: the 10 deferred r6 greens (the lightest txt_*
+    # shapes; oldest rows after this round's refresh), then the r7
+    # cohort, then the remainder in registration order
     "txt_bigram_perplexity",
     "txt_char_entropy",
-    "txt_gopher_quality_rules",
     "txt_lang_stats",
     "txt_langid_heuristic",
     "txt_lexical_diversity",
-    "txt_quality_classifier_proxy",
     "txt_quality_score",
     "txt_tf_df_top_terms",
     "txt_token_stats",
     "txt_top_bigrams",
     "txt_zipf_slope",
-    # r7/r8 greens: freshest, rotate last (remainder keeps registration
-    # order after this block -- nothing is dropped)
+    # r7/r8/r9 greens: freshest, rotate last (remainder keeps
+    # registration order after this block -- nothing is dropped)
 ]
 
 

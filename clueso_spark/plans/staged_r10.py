@@ -1,15 +1,16 @@
-"""Operators STAGED in round 9 for promotion in round 10.
+"""Operators staged in round 9, PROMOTED in round 10 (this module is
+now in catalog.QUERY_MODULES and ``promote()`` runs at import).
 
 Same life-cycle as staged_r6 / staged_r8 / staged_r9 (all promoted):
-ship now as library code with full pytest parity coverage
-(tests/test_staged_r10.py runs the exact driver comparison -- row count
-+ schema + order-insensitive value hash -- against DuckDB oracles at
-sf0.001 and sf0.01) because the round-9 driver window (50 slots) is
-fully allocated: 17 promotions + 6 changed-code + 20 mandatory r5
-leftovers + 7 r6 refreshes. Round 10 promotes: add this module to
-catalog.QUERY_MODULES, call ``promote()`` at import, place every name
-inside the round-10 window, and add them to bench.py HEADLINE in the
-same commit.
+these shipped in round 9 as library code with full pytest parity
+coverage (tests/test_staged_r10.py runs the exact driver comparison --
+row count + schema + order-insensitive value hash -- against DuckDB
+oracles at sf0.001 and sf0.01) because the round-9 driver window (50
+slots) was fully allocated: 17 promotions + 8 changed-code + 20
+mandatory r5 leftovers + 5 r6 refreshes (the final shipped split --
+the two empty-corpus robustness fixes displaced st_windowed_topk and
+ev_gap_fill_forward into the r6 leftover cohort). Round 10: every name
+here heads the driver window and joins bench.py HEADLINE.
 
 What this tier adds (all absent from both the reference and the live
 catalog):
@@ -68,11 +69,9 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 10 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6/r8/r9 all ran
-    through)."""
+    Executed at import since round 10 (this module is listed in
+    catalog.QUERY_MODULES) -- the same life-cycle staged_r6/r8/r9 ran
+    through."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -1254,3 +1253,8 @@ def mm_phash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= _PHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# Round-10 promotion, executed: importing this module (it is listed in
+# catalog.QUERY_MODULES) lands every staged query in the live registry.
+promote()

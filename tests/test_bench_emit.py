@@ -131,3 +131,46 @@ def test_detail_artifact_always_complete(bench, tmp_path):
     detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
     assert detail["queries"] == LONG_MAP
     assert set(detail["stddev"]) == set(LONG_MAP)
+
+
+def test_detail_carries_cold_map_and_archives(bench, tmp_path):
+    """Round-10 bookkeeping (r9 verdict item 4): the detail payload
+    records per-query first-attempt (cold) times alongside best-of-N,
+    and every detail run also lands a timestamped BENCH_HISTORY archive
+    so sub-top-N history survives the next overwrite. The driver stdout
+    line stays cold-free (budget)."""
+    timings = {"qa": 1.5, "qb": 0.4}
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            timings, {k: 0.01 for k in timings}, [], 0.1, detail=True,
+            cold={"qa": 2.9, "qb": 0.6},
+        )
+    finally:
+        sys.stdout = old
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["cold"] == {"qa": 2.9, "qb": 0.6}
+    archives = list((tmp_path / "BENCH_HISTORY").glob("DETAIL_*.json"))
+    assert len(archives) == 1
+    assert json.loads(archives[0].read_text()) == detail
+    line = json.loads(buf.getvalue())
+    assert "cold" not in line and "stddev" not in line
+
+
+def test_child_line_carries_cold_for_isolate_parent(bench, tmp_path):
+    """--child stdout is parsed by the --isolate parent, which
+    propagates per-query cold times into the aggregated artifact."""
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            {"qa": 1.5}, {"qa": 0.01}, [], 0.1, detail=False, child=True,
+            cold={"qa": 2.9},
+        )
+    finally:
+        sys.stdout = old
+    line = json.loads(buf.getvalue())
+    assert line["cold"] == {"qa": 2.9}

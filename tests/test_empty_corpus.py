@@ -1,6 +1,6 @@
 """Empty-corpus regression guard for the live catalog.
 
-The full sweep is tools/empty_sweep.py (182 queries, ~7 min); this
+The full sweep is tools/empty_sweep.py (the whole registry, ~7 min); this
 test pins the queries the round-9 sweep actually caught plus one
 representative per ratio-bearing family, so the DIVIDE_BY_ZERO class
 of regression fails fast in the default suite."""

@@ -39,48 +39,43 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-9 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-9 git diff (the scan-reuse
-#: pinning pass: pinned training/corpus frames in the IVF-PQ family,
-#: single-pass rewrites of the audit and payload-dedup reports).
-#: sim_bruteforce_topk's body moved into _brute_topk_from with the
-#: analyzed plan verified identical; it is listed out of caution.
+#: round-10 rotation: queries whose CODE changed this round -- every
+#: name here must appear in the round-10 git diff:
+#: agg_approx_count_distinct / agg_hll_partial_merge (within_5pct now
+#: treats exact==0 with a zero estimate as a perfect match, ADVICE r9),
+#: q15 / q22 (shared subaggregate pinned, 3 scans -> 2 each), and
+#: ev_gap_fill_forward (dense grid bounded to the 90-day trailing
+#: horizon -- ALSO an r6-cohort member, counted there in the window
+#: arithmetic).
 CHANGED_THIS_ROUND = (
-    "sim_ivfpq_ann",
-    "sim_ivfpq_rerank",
-    "sim_ivf_nprobe_curve",
-    "sim_bruteforce_topk",
-    "pipeline_quality_audit",
-    "mm_payload_dedup",
-    # empty-corpus robustness fixes (cross-multiplied within_5pct --
-    # identical boolean on non-empty corpora, no ANSI DIVIDE_BY_ZERO)
     "agg_approx_count_distinct",
     "agg_hll_partial_merge",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "ev_gap_fill_forward",
 )
 
-#: round-9 promotions: the former plans/staged_r9.py tier, registered
-#: this round and therefore never driver-verified -- all 17 must head
+#: round-10 promotions: the former plans/staged_r10.py tier, registered
+#: this round and therefore never driver-verified -- all 15 must head
 #: the driver window (test_every_never_verified_query_is_inside_driver_window
 #: asserts this mechanically from the artifact set, this tuple makes
 #: the intent reviewable)
 PROMOTED_THIS_ROUND = (
-    "ev_scd2_intervals",
-    "ev_window_funnel",
-    "txt_bm25_topk",
-    "agg_ols_trend",
-    "pipeline_importance_sample",
-    "ev_activity_streaks",
-    "agg_exact_moments",
-    "window_cume_percent_rank",
-    "ev_dau_wau_stickiness",
-    "agg_gini_concentration",
-    "sim_source_jaccard_bottomk",
-    "ev_time_weighted_value",
-    "agg_weighted_median",
-    "ev_cusum_changepoint",
-    "agg_exact_quantiles",
-    "st_static_enrichment",
-    "graph_khop_reach",
+    "join_lateral_top2_per_order",
+    "subquery_correlated_scalar",
+    "agg_mode_exact",
+    "window_nth_value_frames",
+    "setop_except_all_multiset",
+    "agg_welch_ttest",
+    "ev_funnel_time_percentiles",
+    "ev_lorenz_power_users",
+    "ev_bounce_rate_sessions",
+    "ev_inter_event_histogram",
+    "graph_label_propagation",
+    "graph_katz_centrality",
+    "agg_ks_two_sample",
+    "agg_chi2_independence",
+    "mm_phash_hamming_dedup",
 )
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -91,15 +86,15 @@ PROMOTED_THIS_ROUND = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 8
+COMMITTED_ROUND = 9
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 182 registered
+#: Full-registry refresh cycle length in rounds. With 197 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(182/50) = 4 rounds, so the freshness invariant below
+#: once per ceil(197/50) = 4 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact. Round 7's two-round
 #: horizon became arithmetically impossible the moment the registry
@@ -108,52 +103,20 @@ WINDOW = 50
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 4
 
-#: the 41 green rows the 50-slot window cannot fit this round: after
-#: the 17 never-verified promotions, the 8 changed-code queries, and
-#: the 20 mandatory r5 leftovers, only 5 of the 46 r6 greens fit
-#: (heavier / engine-semantics shapes first, per the standing
-#: precedent; st_windowed_topk and ev_gap_fill_forward were displaced
-#: by the two empty-corpus robustness fixes and join this cohort).
-#: These 41 r6 names are exactly REFRESH_CYCLE_ROUNDS - 1 = 3 rounds
-#: behind at round 9 -- inside the freshness horizon -- and head round
-#: 10's refresh cohort.
+#: the 10 r6 green rows the 50-slot window cannot fit this round: after
+#: the 15 never-verified promotions and the 4 non-r6 changed-code
+#: queries, 31 of the 41 r6 greens fit (heavier / engine-semantics
+#: shapes first, per the standing precedent; the deferred ten are the
+#: lightest txt_* shapes). The r6 cohort sits exactly AT the freshness
+#: horizon at round 10 (3 = REFRESH_CYCLE_ROUNDS - 1 rounds behind), so
+#: deferring is legal this round but these 10 become violations at
+#: round 11 -- they are round 11's MANDATORY head cohort.
 ROTATION_LEFTOVERS = (
-    "st_windowed_topk",
-    "ev_gap_fill_forward",
-    "ev_asof_last_purchase",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "ev_sessionize",
-    "ev_skew_salted_agg",
-    "graph_node_similarity",
-    "mm_fixed_shape_features",
-    "mm_frame_sample",
-    "pipeline_ccnet_buckets",
-    "pipeline_dedup_cluster_stats",
-    "pipeline_dedup_keep_best",
-    "pipeline_doc_chunking",
-    "pipeline_length_filter_curve",
-    "pipeline_token_budget_mix",
-    "pipeline_train_test_split",
-    "profile_lineitem",
-    "sim_ann_recall_at_k",
-    "sim_ivf_cells",
-    "sim_ivf_kmeans_ann",
-    "sim_kmeans_lloyd",
-    "sim_pq_codes",
-    "sim_residual_norms",
-    "sort_limit_top_orders",
-    "st_dedup_replay",
-    "st_session_windows",
-    "st_stream_stream_join",
-    "st_windowed_counts",
     "txt_bigram_perplexity",
     "txt_char_entropy",
-    "txt_gopher_quality_rules",
     "txt_lang_stats",
     "txt_langid_heuristic",
     "txt_lexical_diversity",
-    "txt_quality_classifier_proxy",
     "txt_quality_score",
     "txt_tf_df_top_terms",
     "txt_token_stats",
@@ -206,46 +169,51 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round9_rotation_window(spark):
+def test_round10_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-9 contract, asserted mechanically and COMPLETELY
+    per round). Round-10 contract, asserted mechanically and COMPLETELY
     (round 6's weakened ">= min(2, ...)" form let a claimed refresh go
     unchecked -- ADVICE r6): every never-verified promotion and every
-    changed-code query is in the window, EVERY query whose latest
-    committed green is the oldest round is in the window, and the
-    next-oldest cohort is partitioned EXACTLY between the window and
-    the documented leftovers -- no name unaccounted, no leftover listed
-    that actually fits."""
+    changed-code query is in the window, and the OLDEST cohort -- which
+    this round is larger than the remaining slots (41 r6 names vs
+    50 - 15 - 4 = 31) -- is partitioned EXACTLY between the window and
+    the documented leftovers: no name unaccounted, no leftover listed
+    that is actually in the window, every leftover really from that
+    cohort. Deferring is legal only because the oldest cohort sits AT
+    the horizon (test_no_query_outside_window_has_stale_green is the
+    mechanical guard); the leftovers are round 11's mandatory head."""
     names = list(entrymod.queries())[:WINDOW]
     for must in PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND:
         assert must in names, f"promoted/changed query {must} not in window"
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
-    oldest = [q for q, r in latest.items() if r == rounds[0]]
-    missing_oldest = [q for q in oldest if q not in names]
-    assert not missing_oldest, (
-        f"oldest-green queries (r{rounds[0]}) outside the window: "
-        f"{missing_oldest}"
+    oldest = {q for q, r in latest.items() if r == rounds[0]}
+    unaccounted = sorted(oldest - set(names) - set(ROTATION_LEFTOVERS))
+    assert not unaccounted, (
+        f"r{rounds[0]}-green queries neither in the window nor "
+        f"documented leftovers: {unaccounted}"
+    )
+    # leftovers must be real deferrals from exactly the oldest cohort
+    misfiled = sorted(set(ROTATION_LEFTOVERS) - oldest)
+    assert not misfiled, (
+        f"ROTATION_LEFTOVERS entries not in the r{rounds[0]} "
+        f"cohort: {misfiled}"
+    )
+    in_window_leftovers = sorted(set(ROTATION_LEFTOVERS) & set(names))
+    assert not in_window_leftovers, (
+        f"ROTATION_LEFTOVERS entries that are actually in the "
+        f"window: {in_window_leftovers}"
     )
     if len(rounds) > 1:
+        # the next-oldest cohort (r7) is strictly inside the horizon at
+        # round 10; nothing from it may displace an oldest-cohort name
         next_oldest = {q for q, r in latest.items() if r == rounds[1]}
-        unaccounted = sorted(
-            next_oldest - set(names) - set(ROTATION_LEFTOVERS)
+        displaced = sorted(
+            (next_oldest & set(names)) - set(CHANGED_THIS_ROUND)
         )
-        assert not unaccounted, (
-            f"r{rounds[1]}-green queries neither in the window nor "
-            f"documented leftovers: {unaccounted}"
-        )
-        # leftovers must be real deferrals from exactly that cohort
-        misfiled = sorted(set(ROTATION_LEFTOVERS) - next_oldest)
-        assert not misfiled, (
-            f"ROTATION_LEFTOVERS entries not in the r{rounds[1]} "
-            f"cohort: {misfiled}"
-        )
-        in_window_leftovers = sorted(set(ROTATION_LEFTOVERS) & set(names))
-        assert not in_window_leftovers, (
-            f"ROTATION_LEFTOVERS entries that are actually in the "
-            f"window: {in_window_leftovers}"
+        assert not displaced, (
+            f"r{rounds[1]}-green queries occupy window slots while "
+            f"r{rounds[0]} names are deferred: {displaced}"
         )
 
 

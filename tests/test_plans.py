@@ -114,6 +114,14 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         # 20x20 source-pair inequality join (both sides ~|sources| rows;
         # the corpus-sized signature joins are broadcast equi-joins)
         "sim_source_jaccard_bottomk",
+        # round-10 promoted tier (formerly test_staged_r10's sanction
+        # list): 1-row totals / boundary relations broadcast against
+        # histogram-sized frames, never the corpus
+        "agg_welch_ttest",  # 1x1 power-sum cross join
+        "agg_ks_two_sample",  # 1-row totals + 1-row max broadcast
+        "agg_chi2_independence",  # 1-row grand-total broadcast
+        "ev_funnel_time_percentiles",  # 1-row total broadcast
+        "ev_lorenz_power_users",  # 1-row totals + 10-row decile ladder
     }
     offenders = {}
     for name, cq in registry.items():

@@ -3,11 +3,16 @@
 
 Usage:
   python tools/bench_compare.py OLD.json NEW.json [--threshold 1.5]
+      [--metric best|cold]
 
-Reads two bench artifacts (BENCH_r{N}.json driver lines or
-BENCH_DETAIL.json files -- both carry a "queries" map; detail files
-also carry "stddev" and "noisy") and prints per-query deltas, flagging
-only changes that clear BOTH gates:
+Reads two bench artifacts (BENCH_r{N}.json driver lines,
+BENCH_DETAIL.json, or BENCH_HISTORY/DETAIL_*.json archives -- all
+carry a "queries" map; detail/archive files also carry "stddev",
+"noisy" and per-query first-attempt "cold" times) and prints per-query
+deltas. --metric cold diffs the first-attempt times instead of
+best-of-N (methodology/warm-up changes move the two differently; only
+detail-file artifacts carry cold). Flags only changes that clear BOTH
+gates:
 
   * ratio gate: new/old (or old/new) >= --threshold (default 1.5x);
   * noise gate: |new - old| > 3 * max(stddev_old, stddev_new) when
@@ -62,11 +67,21 @@ def main() -> int:
     ap.add_argument("old")
     ap.add_argument("new")
     ap.add_argument("--threshold", type=float, default=1.5)
+    ap.add_argument("--metric", choices=("best", "cold"), default="best")
     args = ap.parse_args()
 
     old, new = _load(args.old), _load(args.new)
-    qo = old.get("queries") or old.get("queries_top") or {}
-    qn = new.get("queries") or new.get("queries_top") or {}
+    if args.metric == "cold":
+        qo, qn = old.get("cold") or {}, new.get("cold") or {}
+        if not qo or not qn:
+            raise SystemExit(
+                "--metric cold needs detail-file artifacts that carry a "
+                "'cold' map (BENCH_DETAIL.json / BENCH_HISTORY archives "
+                "from round 10 on)"
+            )
+    else:
+        qo = old.get("queries") or old.get("queries_top") or {}
+        qn = new.get("queries") or new.get("queries_top") or {}
     so, sn = old.get("stddev", {}), new.get("stddev", {})
     noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
 
