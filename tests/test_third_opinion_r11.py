@@ -1,0 +1,186 @@
+"""Third-opinion checks for the math-heaviest staged round-11 operators.
+
+Same rationale as tests/test_third_opinion.py: parity proves
+Spark == DuckDB, but a mis-derived formula SHARED by query and oracle
+would still pass. These recompute Mann-Whitney, the rolling median,
+the EWMA FIR, the sweep-line active counts, and Bellman-Ford a third
+way -- pure Python over pyarrow-read rows, written independently from
+first principles -- and require the Spark output to match exactly
+(every chain is integer-exact, so Python reproduces it bit-for-bit).
+"""
+
+from __future__ import annotations
+
+import datetime
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+import pytest
+
+from clueso_spark.plans.staged_r11 import (
+    _BF_ROUNDS,
+    _BF_SEED_MOD,
+    _BF_SUPP_BASE,
+    _EWMA_TAPS,
+    _EWMA_WEIGHTS,
+    STAGED,
+)
+
+SF = "/root/testdata/sf0.001"
+_DAY_US = 86_400_000_000
+
+
+@pytest.fixture(scope="module")
+def events():
+    return pq.read_table(f"{SF}/events.parquet").to_pylist()
+
+
+def _cents(v: float) -> int:
+    return round(v * 100)
+
+
+def _us(ts: datetime.datetime) -> int:
+    return int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1e6)
+
+
+def test_mann_whitney_third_opinion(spark, events):
+    """Doubled midranks from a literal sort: assign each observation
+    2r = 2*less + ties + 1 by walking the sorted pooled sample, sum per
+    group, U2 = R2 - n(n+1). Verifies tie handling end-to-end."""
+    a = sorted(
+        _cents(e["value"]) for e in events if e["event_type"] == "click"
+    )
+    b = sorted(
+        _cents(e["value"]) for e in events if e["event_type"] == "view"
+    )
+    pooled = sorted((v, "a") for v in a) + sorted((v, "b") for v in b)
+    pooled.sort(key=lambda t: t[0])
+    # doubled midrank per value
+    from collections import Counter
+
+    cnt = Counter(v for v, _ in pooled)
+    less: dict[int, int] = {}
+    run = 0
+    for v in sorted(cnt):
+        less[v] = run
+        run += cnt[v]
+    r2a = sum(2 * less[v] + cnt[v] + 1 for v in a)
+    r2b = sum(2 * less[v] + cnt[v] + 1 for v in b)
+    u2a = r2a - len(a) * (len(a) + 1)
+    u2b = r2b - len(b) * (len(b) + 1)
+    assert u2a + u2b == 2 * len(a) * len(b)  # textbook identity
+    row = STAGED["agg_mann_whitney"].spark(spark, SF).collect()[0]
+    assert (row["n_a"], row["n_b"]) == (len(a), len(b))
+    assert (row["u2_a"], row["u2_b"]) == (u2a, u2b)
+    assert row["identity_resid"] == 0
+
+
+def test_rolling_median_third_opinion(spark, events):
+    """Literal per-user 5-row frames: sort each frame, doubled
+    middle-pair sum, for every row."""
+    series = defaultdict(list)
+    for e in sorted(events, key=lambda e: (_us(e["ts"]), e["event_id"])):
+        series[e["user_id"]].append((e["event_id"], _cents(e["value"])))
+    want = {}
+    for uid, rows in series.items():
+        for i, (eid, _) in enumerate(rows):
+            frame = sorted(c for _, c in rows[max(0, i - 4) : i + 1])
+            n = len(frame)
+            want[eid] = (n, frame[(n - 1) // 2] + frame[n // 2])
+    got = {
+        r["event_id"]: (r["n_in_frame"], r["median_x2_cents"])
+        for r in STAGED["window_rolling_median"].spark(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_ewma_third_opinion(spark, events):
+    """Literal FIR: s_k = sum_j weights[j] * x_{k-j} over each user's
+    time-ordered series, rows with full history only."""
+    series = defaultdict(list)
+    for e in sorted(events, key=lambda e: (_us(e["ts"]), e["event_id"])):
+        series[e["user_id"]].append((e["event_id"], _cents(e["value"])))
+    want = {}
+    for rows in series.values():
+        for i in range(_EWMA_TAPS - 1, len(rows)):
+            eid = rows[i][0]
+            want[eid] = sum(
+                _EWMA_WEIGHTS[j] * rows[i - j][1] for j in range(_EWMA_TAPS)
+            )
+    got = {
+        r["event_id"]: r["ewma_scaled"]
+        for r in STAGED["ev_ewma_smoothed"].spark(spark, SF).collect()
+    }
+    assert got == want
+    # weight vector sanity: geometric 7/8 decay scaled by 8^taps
+    assert _EWMA_WEIGHTS[0] == 8 ** (_EWMA_TAPS - 1)
+    for j in range(1, _EWMA_TAPS):
+        assert _EWMA_WEIGHTS[j] * 8 == _EWMA_WEIGHTS[j - 1] * 7
+
+
+def test_sweepline_third_opinion(spark):
+    """Literal day-by-day interval counting over the lineitem table:
+    for each of the top-reported days, count intervals covering it by
+    brute force."""
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pylist()
+    epoch = datetime.date(1970, 1, 1)
+    intervals = []
+    for r in li:
+        d0 = (r["l_shipdate"].date() - epoch).days
+        intervals.append((d0, d0 + (int(r["l_quantity"]) % 7) + 1))
+    rows = (
+        STAGED["ev_sweepline_active_intervals"].spark(spark, SF).collect()
+    )
+    assert len(rows) == 15
+    for row in rows:
+        brute = sum(1 for s, e in intervals if s <= row["day"] < e)
+        assert brute == row["active"], (row["day"], brute, row["active"])
+    # the report must be the true top by (active desc, day asc)
+    all_days = sorted({d for s, e in intervals for d in (s, e)})
+    cover = sorted(
+        (
+            (-sum(1 for s, e in intervals if s <= d < e), d)
+            for d in range(min(all_days), max(all_days) + 1)
+        )
+    )[:15]
+    assert [(-a, d) for a, d in cover] == [
+        (r["active"], r["day"]) for r in rows
+    ]
+
+
+def test_bellman_ford_third_opinion(spark):
+    """Literal Bellman-Ford over the co-purchase edge dict: relax
+    _BF_ROUNDS times from the seed set, compare per-round reached
+    counts and exact distance sums."""
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in pq.read_table(f"{SF}/orders.parquet").to_pylist()
+    }
+    w: dict[tuple[int, int], int] = {}
+    for r in pq.read_table(f"{SF}/lineitem.parquet").to_pylist():
+        c = orders.get(r["l_orderkey"])
+        if c is None:
+            continue
+        s = _BF_SUPP_BASE + r["l_suppkey"]
+        q = int(r["l_quantity"])
+        for k in ((c, s), (s, c)):
+            w[k] = min(w.get(k, q), q)
+    dist = {
+        u
+        for u, _ in w
+        if u < _BF_SUPP_BASE and u % _BF_SEED_MOD == 0
+    }
+    dist = {u: 0 for u in dist}
+    want = [(len(dist), sum(dist.values()))]
+    for _ in range(_BF_ROUNDS):
+        new = dict(dist)
+        for (u, v), wt in w.items():
+            if u in dist and dist[u] + wt < new.get(v, 1 << 60):
+                new[v] = dist[u] + wt
+        dist = new
+        want.append((len(dist), sum(dist.values())))
+    got = sorted(
+        (r["k"], r["n_reached"], r["sum_dist"])
+        for r in STAGED["graph_shortest_paths"].spark(spark, SF).collect()
+    )
+    assert got == [(k, n, s) for k, (n, s) in enumerate(want)]

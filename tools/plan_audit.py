@@ -99,10 +99,9 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="include the pre-registration tiers (plans/staged_r6.py, "
-        "plans/staged_r8.py, plans/staged_r9.py, plans/staged_r10.py); "
-        "extra budget keys are inert until promotion, when the budget "
-        "gate picks them up automatically",
+        help="include the pre-registration tier (plans/staged_r11.py; "
+        "earlier tiers are live); extra budget keys are inert until "
+        "promotion, when the budget gate picks them up automatically",
     )
     args = ap.parse_args()
 
@@ -123,15 +122,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(all_queries())
     if args.staged:
-        from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
-        from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
-        from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
-        from clueso_spark.plans.staged_r10 import STAGED as STAGED_R10
+        from clueso_spark.plans.staged_r11 import STAGED as STAGED_R11
 
-        registry.update(STAGED_R6)  # no-op post-promotion (already live)
-        registry.update(STAGED_R8)  # no-op post-promotion (already live)
-        registry.update(STAGED_R9)  # no-op post-promotion (already live)
-        registry.update(STAGED_R10)
+        # earlier tiers (r6/r8/r9/r10) are all live post-promotion
+        registry.update(STAGED_R11)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
