@@ -429,17 +429,11 @@ def main() -> int:
         )
         return 0
 
-    # staged operators are curve-eligible before registration (r6/r8
-    # entries are no-ops post-promotion, already in all_queries())
-    from clueso_spark.plans.staged_r6 import STAGED as STAGED_R6
-    from clueso_spark.plans.staged_r8 import STAGED as STAGED_R8
-    from clueso_spark.plans.staged_r9 import STAGED as STAGED_R9
-    from clueso_spark.plans.staged_r10 import STAGED as STAGED_R10
+    # staged operators are curve-eligible before registration (earlier
+    # tiers are no-ops post-promotion, already in all_queries())
+    from clueso_spark.plans.staged_r11 import STAGED as STAGED_R11
 
-    registry = {
-        **all_queries(), **STAGED_R6, **STAGED_R8, **STAGED_R9,
-        **STAGED_R10,
-    }
+    registry = {**all_queries(), **STAGED_R11}
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
