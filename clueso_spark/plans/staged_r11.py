@@ -26,12 +26,18 @@ catalog):
     sweep-line concurrent-interval counting (+1/-1 deltas + one global
     ranged cumsum -- the interval-overlap join family WITHOUT a join);
   * statistics -- exact two-sample Mann-Whitney U from doubled midranks
-    (integer tie handling: 2r = 2*less + ties + 1);
+    (integer tie handling: 2r = 2*less + ties + 1), MAD-based robust
+    per-entity anomaly counts (doubled/quadrupled integer medians via
+    rank arithmetic, no per-user collect);
+  * sketches -- KMV bottom-k distinct estimate whose md5-derived value
+    is the SAME exact integer in any engine (HLL's sketch bits are not);
   * graph -- 3-round Bellman-Ford shortest paths with exact integer
     min-plus weights, plan-unrolled with per-round pins (the SCALE.md
     double-consumption rule);
   * dedup -- edit-distance near-dup verification (levenshtein, identical
-    DP metric in both engines) over (prefix, length-bucket) blocking.
+    DP metric in both engines) over (prefix, length-bucket) blocking,
+    and winnowing fingerprints (Schleimer et al. 2003 / MOSS) with
+    shared-fingerprint candidate pairs from one keyed shuffle.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -846,4 +852,297 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nb, "doc_b")
         .select("doc_a", "doc_b", dist.cast("bigint").alias("edit_distance"))
         .where(F.col("edit_distance") <= _EDIT_MAX_DIST)
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch: the OTHER classic
+# mergeable distinct counter next to HLL. hashes are md5-derived, so --
+# unlike HLL, whose sketch bits are engine-private -- the estimate
+# itself is the SAME exact integer in any engine and hash-verifies
+# directly. Map-side bottom-k, one TakeOrdered merge, estimate
+# (k-1) * 2^56 div kth_hash in pure bigints (14 hex digits = 56 bits
+# keeps the numerator inside int64).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_BITS_HEX = 14  # 56-bit hash domain
+
+
+@_stage(
+    "agg_kmv_distinct",
+    f"KMV bottom-{_KMV_K} distinct sketch over o_custkey: md5-derived "
+    f"{4 * _KMV_BITS_HEX}-bit hashes, k smallest distinct values, "
+    "estimate (k-1) * 2^56 div kth -- every step deterministic and "
+    "integer-exact, so the ESTIMATE hash-verifies cross-engine (HLL's "
+    "cannot; its sketch bits are engine-private). Degenerate corpora "
+    "with fewer than k distinct hashes report the exact count. At "
+    "100 TB the sketch is a k-row mergeable state per partition.",
+    f"""
+    with h as (
+      select distinct
+             cast(('0x' || substr(md5(cast(o_custkey as varchar)), 1,
+                                  {_KMV_BITS_HEX})) as bigint) as hv
+      from orders
+    ),
+    b as (select hv from h order by hv limit {_KMV_K}),
+    s as (select max(hv) as kth, cast(count(*) as bigint) as kk from b),
+    x as (select cast(count(distinct o_custkey) as bigint) as n_exact
+          from orders)
+    select cast({_KMV_K} as bigint) as k,
+           n_exact,
+           cast(coalesce(kth, 0) as bigint) as kth_hash,
+           cast(case when kk < {_KMV_K} then kk
+                else (({_KMV_K} - 1) * {2 ** (4 * _KMV_BITS_HEX)}) // kth
+                end as bigint) as est_kmv
+    from s cross join x
+    """,
+    "aggregate", "sketch", "approx",
+)
+def agg_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1,
+                        _KMV_BITS_HEX),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("hv")
+    ).distinct()
+    bottom = h.orderBy("hv").limit(_KMV_K)  # TakeOrdered: k-row heaps
+    s = bottom.agg(
+        F.max("hv").alias("kth"), F.count("*").cast("bigint").alias("kk")
+    )
+    x = orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    dom = 2 ** (4 * _KMV_BITS_HEX)
+    return s.crossJoin(F.broadcast(x)).select(
+        F.lit(_KMV_K).cast("bigint").alias("k"),
+        "n_exact",
+        F.coalesce("kth", F.lit(0)).cast("bigint").alias("kth_hash"),
+        F.when(F.col("kk") < _KMV_K, F.col("kk"))
+        .otherwise(
+            F.expr(f"({_KMV_K} - 1) * cast({dom} as bigint) div kth")
+        )
+        .cast("bigint")
+        .alias("est_kmv"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust anomaly detection per user -- the data-quality /
+# outlier gate robust to the heavy tails that break z-scores. All in
+# doubled/quadrupled integer medians via RANK ARITHMETIC (two keyed
+# window passes, no per-user collect): m2 = doubled median of cents,
+# d2_i = |2*x_i - m2| (= 2x the absolute deviation), mad2 = doubled
+# median of d2 (= 4x the MAD), anomaly iff 2*d2 > 3*mad2
+# (<=> |x - m| > 1.5 * MAD... scaled 4x on both sides: exact bigints,
+# zero divisions).
+# ---------------------------------------------------------------------------
+
+
+def _doubled_median_sql(src: str, val: str, out: str) -> str:
+    """DuckDB CTE pair computing the per-user doubled median of
+    ``val`` from ``src`` via rank arithmetic (no list collect)."""
+    return f"""
+    {out}_r as (
+      select user_id, {val},
+             row_number() over (partition by user_id
+                                order by {val}, event_id) as rn,
+             count(*) over (partition by user_id) as n
+      from {src}
+    ),
+    {out} as (
+      select user_id,
+             sum({val} * (case when rn = (n + 1) // 2 then 1 else 0 end
+                          + case when rn = (n + 2) // 2 then 1 else 0 end))
+               as {out}_v
+      from {out}_r group by user_id
+    )"""
+
+
+@_stage(
+    "ev_user_value_anomalies",
+    "Per-user robust anomaly counts via MAD: doubled median m2 and "
+    "quadrupled MAD (mad2, the doubled median of doubled absolute "
+    "deviations) computed by RANK ARITHMETIC over two user-keyed "
+    "window passes -- no per-user collect, no division anywhere; an "
+    "event is anomalous iff 2*|2x - m2| > 3*mad2 (|x - median| > 1.5 "
+    "MAD scaled through 4x). The z-score-free outlier gate a quality "
+    "pipeline runs per entity.",
+    f"""
+    with e as (
+      select event_id, user_id,
+             cast(round(value * 100) as bigint) as cents
+      from events
+    ),
+    {_doubled_median_sql("e", "cents", "m")},
+    d as (
+      select e.event_id, e.user_id,
+             abs(2 * e.cents - m.m_v) as d2
+      from e join m using (user_id)
+    ),
+    {_doubled_median_sql("d", "d2", "md")}
+    select d.user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(any_value(m.m_v) as bigint) as median_x2_cents,
+           cast(any_value(md.md_v) as bigint) as mad_x4_cents,
+           cast(sum(case when 2 * d.d2 > 3 * md.md_v then 1 else 0 end)
+                as bigint) as n_anomalies
+    from d join m using (user_id) join md using (user_id)
+    group by d.user_id
+    """,
+    "statistics", "anomaly", "robust",
+)
+def ev_user_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _cents("value").alias("cents")
+    )
+
+    def doubled_median(df: DataFrame, val: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(val, "event_id")
+        wn = Window.partitionBy("user_id")
+        r = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(wn)
+        )
+        pick = F.when(
+            F.col("rn") == F.expr("(n + 1) div 2"), 1
+        ).otherwise(0) + F.when(
+            F.col("rn") == F.expr("(n + 2) div 2"), 1
+        ).otherwise(0)
+        return r.groupBy("user_id").agg(
+            F.sum(F.col(val) * pick).alias("m2")
+        )
+
+    m = doubled_median(ev, "cents")
+    d = ev.join(m, "user_id").select(
+        "event_id",
+        "user_id",
+        F.abs(2 * F.col("cents") - F.col("m2")).alias("d2"),
+        F.col("m2").alias("median_x2_cents"),
+    )
+    d = persist_swap(spark, "mad_deviations", d)
+    md = doubled_median(d, "d2").withColumnRenamed("m2", "mad2")
+    return (
+        d.join(md, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.any_value("median_x2_cents")
+            .cast("bigint")
+            .alias("median_x2_cents"),
+            F.any_value("mad2").cast("bigint").alias("mad_x4_cents"),
+            F.sum(
+                F.when(2 * F.col("d2") > 3 * F.col("mad2"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003, the
+# MOSS algorithm): per window of W consecutive k-gram hashes keep the
+# minimum; the distinct selected hashes are the doc's fingerprint set,
+# and docs sharing >= 2 fingerprints are near-dup/plagiarism
+# candidates. The per-window min is a zip_with chain of `least` over
+# shifted slices -- NOT transform(sequence, i -> slice(...)): slice/
+# zip_with ARGUMENTS evaluate once per row, while a lambda body
+# re-inlines its column's defining expression per element (the
+# measured O(len^2) trap documented in functions/text.py).
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 3  # k-gram size
+_WINNOW_W = 4  # winnowing window (selected density ~ 2/(W+1))
+_WINNOW_MIN_SHARED = 2
+
+
+def _winnow_hashes(words_col: str) -> F.Column:
+    """k-gram md5 hash array (empty for docs shorter than k words)."""
+    from clueso_spark.functions.text import _zip_shingles
+
+    return F.expr(
+        f"""case when size({words_col}) < {_WINNOW_K} then array()
+        else transform({_zip_shingles(words_col, _WINNOW_K)},
+                       s -> md5(s)) end"""
+    )
+
+
+def _winnow_fps(h_col: str) -> F.Column:
+    """Distinct per-window minima over the hash array column ``h_col``
+    (empty when there are fewer than W hashes). The window min is a
+    zip_with(least) chain over shifted slice views of the SAME array
+    column -- slice/zip_with arguments evaluate once per row."""
+    nw = f"size({h_col}) - {_WINNOW_W - 1}"
+    expr = f"slice({h_col}, 1, {nw})"
+    for j in range(2, _WINNOW_W + 1):
+        expr = (
+            f"zip_with({expr}, slice({h_col}, {j}, {nw}),"
+            f" (a, b) -> least(a, b))"
+        )
+    return F.expr(
+        f"""case when size({h_col}) < {_WINNOW_W} then array()
+        else array_distinct({expr}) end"""
+    )
+
+
+@_stage(
+    "dedup_winnowing",
+    "Winnowing fingerprints (Schleimer et al. 2003 / MOSS): md5 "
+    f"{_WINNOW_K}-gram hashes, per-{_WINNOW_W}-window minima selected "
+    "as the doc's fingerprint set (~2/(W+1) density, position-robust "
+    "unlike fixed-stride sampling), candidate pairs = docs sharing >= "
+    f"{_WINNOW_MIN_SHARED} fingerprints via ONE keyed shuffle on the "
+    "fingerprint -- the plagiarism-detection / near-dup shape between "
+    "MinHash (set overlap) and exact-substring (suffix windows). "
+    "Window minima are zip_with(least) chains over shifted slices "
+    "(argument-evaluated once; a lambda would re-inline O(len^2) -- "
+    "functions/text.py note).",
+    f"""
+    with d as (
+      select doc_id, string_split(text, ' ') as w from documents
+    ),
+    g as (
+      select doc_id,
+             list_transform(range(1, len(w) - {_WINNOW_K - 1} + 1),
+               i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) as h
+      from d where len(w) >= {_WINNOW_K + _WINNOW_W - 1}
+    ),
+    f as (
+      select doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, len(h) - {_WINNOW_W - 1} + 1),
+                 i -> least(h[i], h[i + 1], h[i + 2], h[i + 3])))) as fp
+      from g
+    ),
+    p as (
+      select a.doc_id as doc_a, b.doc_id as doc_b,
+             cast(count(*) as bigint) as n_shared
+      from f a join f b on a.fp = b.fp and a.doc_id < b.doc_id
+      group by a.doc_id, b.doc_id
+    )
+    select doc_a, doc_b, n_shared
+    from p where n_shared >= {_WINNOW_MIN_SHARED}
+    """,
+    "dedup", "fingerprint", "winnowing",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.dedup_queries import _bucket_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    hashed = docs.select("doc_id", _winnow_hashes("w").alias("h"))
+    fps = hashed.select(
+        "doc_id", F.explode(_winnow_fps("h")).alias("fp")
+    )
+    pairs = _bucket_pairs(fps, ["fp"], "doc_id", "doc_a", "doc_b")
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )

@@ -46,6 +46,8 @@ def test_staged_plan_shapes(spark):
     sanctioned_bnlj = {
         # 1-row total-count broadcast feeding the ntile rank arithmetic
         "agg_equidepth_histogram",
+        # 1-row exact-count broadcast joined to the 1-row sketch summary
+        "agg_kmv_distinct",
     }
     for name, cq in sorted(STAGED.items()):
         plan = cq.spark(spark, SF_DIRS[1])._jdf.queryExecution().toString()

@@ -72,13 +72,15 @@ def test_streaks_windows_are_user_partitioned(spark):
         assert "user_id" in frag, frag
 
 
-def test_promotion_is_live_and_heads_the_window():
+def test_promotion_is_live_and_benched():
     """Round 9 executed the promotion (the inverse of round 8's
     test_staging_is_not_live honesty guard): every formerly-staged name
-    is in the live registry, sits inside the round-9 driver window
-    (never-driver-verified names must be verifiable this round), and is
-    perf-tracked in bench.py HEADLINE -- the round-6 lesson: never
-    claim that inclusion before it exists."""
+    is in the live registry and perf-tracked in bench.py HEADLINE.
+    The round-9-specific window-headship requirement retired when the
+    driver verified all 17 (CORRECTNESS_r09.json, 17/17 green); from
+    round 10 on they rotate like any other green query, and their
+    window placement is governed by tests/test_entry.py's freshness
+    invariants."""
     import bench
 
     from clueso_spark.plans.catalog import all_queries
@@ -86,9 +88,6 @@ def test_promotion_is_live_and_heads_the_window():
     live = all_queries()
     missing = sorted(set(STAGED) - set(live))
     assert missing == [], missing
-    window = set(list(live)[:50])
-    outside = sorted(set(STAGED) - window)
-    assert outside == [], outside
     unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
     assert unbenched == [], unbenched
     # promote() stays idempotent after the import-time call

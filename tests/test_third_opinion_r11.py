@@ -184,3 +184,106 @@ def test_bellman_ford_third_opinion(spark):
         for r in STAGED["graph_shortest_paths"].spark(spark, SF).collect()
     )
     assert got == [(k, n, s) for k, (n, s) in enumerate(want)]
+
+
+def test_kmv_third_opinion(spark):
+    """Literal bottom-k over Python-computed md5 hashes: the estimate
+    must be the identical integer."""
+    import hashlib
+
+    from clueso_spark.plans.staged_r11 import _KMV_BITS_HEX, _KMV_K, STAGED
+
+    orders = pq.read_table(f"{SF}/orders.parquet").to_pylist()
+    custkeys = {r["o_custkey"] for r in orders}
+    hvs = sorted(
+        {
+            int(
+                hashlib.md5(str(c).encode()).hexdigest()[:_KMV_BITS_HEX], 16
+            )
+            for c in custkeys
+        }
+    )
+    bottom = hvs[:_KMV_K]
+    if len(bottom) < _KMV_K:
+        want_est = len(bottom)
+    else:
+        want_est = (_KMV_K - 1) * (2 ** (4 * _KMV_BITS_HEX)) // bottom[-1]
+    row = STAGED["agg_kmv_distinct"].spark(spark, SF).collect()[0]
+    assert row["n_exact"] == len(custkeys)
+    assert row["kth_hash"] == (bottom[-1] if bottom else 0)
+    assert row["est_kmv"] == want_est
+    # the sketch must actually estimate: within 30% at this k and scale
+    assert abs(row["est_kmv"] - row["n_exact"]) <= 0.3 * row["n_exact"]
+
+
+def test_mad_anomalies_third_opinion(spark, events):
+    """Literal per-user medians: doubled median, doubled deviations,
+    quadrupled MAD, anomaly count -- from plain Python sorts."""
+    from clueso_spark.plans.staged_r11 import STAGED
+
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e["user_id"]].append((e["event_id"], _cents(e["value"])))
+
+    def doubled_median(vals):
+        s = sorted(vals)
+        n = len(s)
+        return s[(n - 1) // 2] + s[n // 2]
+
+    want = {}
+    for uid, rows in by_user.items():
+        m2 = doubled_median([c for _, c in rows])
+        d2s = [abs(2 * c - m2) for _, c in rows]
+        mad2 = doubled_median(d2s)
+        n_anom = sum(1 for d2 in d2s if 2 * d2 > 3 * mad2)
+        want[uid] = (len(rows), m2, mad2, n_anom)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["median_x2_cents"],
+            r["mad_x4_cents"],
+            r["n_anomalies"],
+        )
+        for r in STAGED["ev_user_value_anomalies"].spark(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_winnowing_third_opinion(spark):
+    """Literal winnowing over Python md5: k-gram hashes, per-window
+    minima, distinct fingerprint sets, shared-fingerprint pair counts."""
+    import hashlib
+    from itertools import combinations
+
+    from clueso_spark.plans.staged_r11 import (
+        _WINNOW_K,
+        _WINNOW_MIN_SHARED,
+        _WINNOW_W,
+        STAGED,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    fsets = {}
+    for doc in docs:
+        w = doc["text"].split(" ")
+        if len(w) < _WINNOW_K + _WINNOW_W - 1:
+            continue
+        grams = [
+            " ".join(w[i : i + _WINNOW_K])
+            for i in range(len(w) - _WINNOW_K + 1)
+        ]
+        h = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        fsets[doc["doc_id"]] = {
+            min(h[i : i + _WINNOW_W])
+            for i in range(len(h) - _WINNOW_W + 1)
+        }
+    want = {}
+    for a, b in combinations(sorted(fsets), 2):
+        shared = len(fsets[a] & fsets[b])
+        if shared >= _WINNOW_MIN_SHARED:
+            want[(a, b)] = shared
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in STAGED["dedup_winnowing"].spark(spark, SF).collect()
+    }
+    assert got == want
