@@ -321,3 +321,17 @@ def test_every_never_verified_query_is_inside_driver_window(spark):
         f"{len(stranded)} never-driver-verified queries outside the "
         f"window: {stranded}"
     )
+
+
+def test_priority_names_are_registered_and_unique(spark):
+    """catalog.PRIORITY is the driver-window contract; a typo'd or
+    stale name would be SILENTLY dropped by all_queries() and shift
+    every subsequent window slot. Pin: every PRIORITY entry resolves,
+    none repeats."""
+    from clueso_spark.plans.catalog import PRIORITY
+
+    qs = entrymod.queries()
+    missing = [n for n in PRIORITY if n not in qs]
+    assert missing == [], f"PRIORITY names not in the registry: {missing}"
+    dupes = sorted({n for n in PRIORITY if PRIORITY.count(n) > 1})
+    assert dupes == [], f"duplicate PRIORITY entries: {dupes}"
