@@ -1146,3 +1146,95 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= _WINNOW_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (the rsync/LBFS/casync dedup primitive for
+# BINARY payloads): split each payload where the hash of a local window
+# matches a boundary mask, so chunk edges survive insertions -- the
+# property fixed-stride chunking lacks, and the reason CDC underlies
+# every blob-dedup store. Here: hex-encode the payload, 8-hex-char
+# (4-byte) blocks, boundary where md5(block) starts with '0' (rate
+# 1/16 -> mean chunk 64 bytes). Every lambda touches only its element/
+# index variables (the functions/text.py inlining rule); block arrays
+# are built ONCE per row by regexp_extract_all.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "mm_cdc_chunking",
+    "Content-defined chunking over binary payloads (rsync/LBFS shape): "
+    "4-byte hex blocks, boundary where md5(block) LIKE '0%' (1/16 "
+    "rate), per-payload chunk count and max chunk size derived from "
+    "boundary positions with pure array algebra -- map-only, no "
+    "shuffle until the final per-doc rows; chunk edges are "
+    "insertion-stable, which fixed-stride sampling is not. Lambdas "
+    "touch only element/index variables (the O(len^2) lambda-inlining "
+    "trap is documented in functions/text.py).",
+    """
+    with b as (
+      select doc_id,
+             regexp_extract_all(hex(encode(text)), '.{8}') as blocks
+      from documents
+    ),
+    p as (
+      select doc_id, len(blocks) as n_blocks,
+             list_filter(range(0, len(blocks)),
+                         i -> md5(blocks[i + 1]) like '0%') as bpos
+      from b where len(blocks) > 0
+    ),
+    s as (
+      select doc_id, n_blocks,
+             list_filter(
+               list_transform(range(1, len(bpos) + 2),
+                 j -> coalesce(bpos[j], n_blocks - 1)
+                      - coalesce(bpos[j - 1], -1)),
+               x -> x > 0) as sizes
+      from p
+    )
+    select doc_id,
+           cast(n_blocks as bigint) as n_blocks,
+           cast(len(sizes) as bigint) as n_chunks,
+           cast(list_aggregate(sizes, 'max') as bigint) as max_chunk_blocks
+    from s
+    """,
+    "multimodal", "cdc", "dedup",
+)
+def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.multimodal import attach_payload
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    b = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(hex(payload), '.{8}', 0)").alias(
+            "blocks"
+        ),
+    ).where(F.size("blocks") > 0)
+    p = b.select(
+        "doc_id",
+        F.size("blocks").alias("n_blocks"),
+        # 0-based boundary indices; (b, i) index lambda touches only
+        # its own variables
+        F.expr(
+            "filter(transform(blocks, (b, i) -> "
+            "case when md5(b) like '0%' then i end), x -> x is not null)"
+        ).alias("bpos"),
+    )
+    # chunk sizes: ends = bpos ++ [n_blocks-1], starts = [-1] ++ bpos;
+    # a trailing boundary yields one zero-size phantom, filtered out
+    s = p.select(
+        "doc_id",
+        "n_blocks",
+        F.expr(
+            "filter(zip_with("
+            "  concat(bpos, array(n_blocks - 1)),"
+            "  concat(array(-1), bpos),"
+            "  (e, st) -> e - st), x -> x > 0)"
+        ).alias("sizes"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n_blocks").cast("bigint").alias("n_blocks"),
+        F.size("sizes").cast("bigint").alias("n_chunks"),
+        F.array_max("sizes").cast("bigint").alias("max_chunk_blocks"),
+    )

@@ -287,3 +287,62 @@ def test_winnowing_third_opinion(spark):
         for r in STAGED["dedup_winnowing"].spark(spark, SF).collect()
     }
     assert got == want
+
+
+def test_cdc_chunking_third_opinion(spark):
+    """Literal content-defined chunking in Python: hex blocks, md5
+    boundary mask, chunk sizes from boundary positions -- plus the CDC
+    defining property: inserting bytes at the FRONT of a payload
+    leaves the chunk boundaries in the untouched suffix aligned (the
+    reason CDC beats fixed-stride for dedup)."""
+    import hashlib
+
+    from clueso_spark.plans.staged_r11 import STAGED
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+
+    def chunks(payload: bytes):
+        h = payload.hex().upper()
+        blocks = [h[i : i + 8] for i in range(0, len(h) - 7, 8)]
+        bpos = [
+            i
+            for i, b in enumerate(blocks)
+            if hashlib.md5(b.encode()).hexdigest().startswith("0")
+        ]
+        ends = bpos + [len(blocks) - 1]
+        starts = [-1] + bpos
+        sizes = [e - s for e, s in zip(ends, starts) if e - s > 0]
+        return len(blocks), sizes
+
+    want = {}
+    for d in docs:
+        n_blocks, sizes = chunks(d["text"].encode())
+        if n_blocks:
+            want[d["doc_id"]] = (n_blocks, len(sizes), max(sizes))
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_chunks"], r["max_chunk_blocks"])
+        for r in STAGED["mm_cdc_chunking"].spark(spark, SF).collect()
+    }
+    assert got == want
+    # insertion stability: prepend 4 bytes (one whole block) -- every
+    # original boundary shifts by exactly one block index
+    payload = docs[0]["text"].encode()
+    n0, _ = chunks(payload)
+    h0 = payload.hex().upper()
+    b0 = [
+        i
+        for i, b in enumerate(
+            [h0[i : i + 8] for i in range(0, len(h0) - 7, 8)]
+        )
+        if hashlib.md5(b.encode()).hexdigest().startswith("0")
+    ]
+    shifted = b"XXXX" + payload
+    h1 = shifted.hex().upper()
+    b1 = [
+        i
+        for i, b in enumerate(
+            [h1[i : i + 8] for i in range(0, len(h1) - 7, 8)]
+        )
+        if hashlib.md5(b.encode()).hexdigest().startswith("0")
+    ]
+    assert [i + 1 for i in b0] == [i for i in b1 if i >= 1]
