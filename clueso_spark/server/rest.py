@@ -33,7 +33,7 @@ expression, the same language the reference exposes -- but the
 reference exposes it only behind CloudServer's AUTHENTICATED S3
 endpoint. This server carries no authentication, so (a) predicates
 naming JVM-escape functions (``reflect`` / ``java_method`` -- arbitrary
-static-method invocation on the driver) are rejected with 400
+static-method invocation on the driver) are rejected with HTTP 403
 ``AccessDenied`` before any plan is built, and (b) a non-loopback bind
 (``host="0.0.0.0"``) MUST sit behind an authenticating reverse proxy,
 exactly like the reference sits behind CloudServer.

@@ -79,10 +79,18 @@ def main() -> int:
                 "'cold' map (BENCH_DETAIL.json / BENCH_HISTORY archives "
                 "from round 10 on)"
             )
+        # cold times are SINGLE samples -- the best-of-3 stddev maps
+        # describe a different (warm) distribution and would mis-gate;
+        # cold deltas run ungated and the output says so
+        so, sn = {}, {}
+        print(
+            "note: cold deltas are single-sample, ungated by the warm "
+            "stddev noise floor -- expect JVM/page-cache jitter"
+        )
     else:
         qo = old.get("queries") or old.get("queries_top") or {}
         qn = new.get("queries") or new.get("queries_top") or {}
-    so, sn = old.get("stddev", {}), new.get("stddev", {})
+        so, sn = old.get("stddev", {}), new.get("stddev", {})
     noisy = set(old.get("noisy", [])) | set(new.get("noisy", []))
 
     common = sorted(set(qo) & set(qn))

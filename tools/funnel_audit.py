@@ -63,7 +63,6 @@ def main() -> int:
     # stage-split: materialize each persisted checkpoint separately.
     # Import the module internals deliberately -- this is a diagnostic
     # tool pinned to the funnel's structure.
-    from clueso_spark.plans import text_queries as tq
     from clueso_spark.plans.catalog import _PERSISTED
 
     spark.catalog.clearCache()
