@@ -913,11 +913,21 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
         ),
     )
-    w1 = edges.groupBy("v").agg(F.count("*").cast("bigint").alias("w"))
-    w2 = (
+    # w1 and w2 each feed TWO consumers (the next walk round + the
+    # final score join) -- the SCALE.md double-consumption rule: one
+    # vertex-set-sized pin per round, own slots (round-10 review; the
+    # recompute read the pinned edges, so this trims joins, not scans)
+    w1 = persist_swap(
+        spark,
+        "katz_w1",
+        edges.groupBy("v").agg(F.count("*").cast("bigint").alias("w")),
+    )
+    w2 = persist_swap(
+        spark,
+        "katz_w2",
         edges.join(w1.select(F.col("v").alias("u"), "w"), "u")
         .groupBy("v")
-        .agg(F.sum("w").cast("bigint").alias("w"))
+        .agg(F.sum("w").cast("bigint").alias("w")),
     )
     w3 = (
         edges.join(w2.select(F.col("v").alias("u"), "w"), "u")
@@ -945,10 +955,17 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("katz_scaled"),
         )
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: per-task
+    # heaps, driver merge), THEN rank the k survivors -- the previous
+    # partition-less row_number window sorted the ENTIRE vertex set
+    # through one task (1.5e9 customer nodes at target scale; the
+    # single-partition trap this repo's ranged helpers exist to avoid,
+    # round-10 review finding). The post-limit window is over exactly
+    # _KATZ_TOP rows: bounded-constant, not a scale surface.
+    top = c.orderBy(F.col("katz_scaled").desc(), "node").limit(_KATZ_TOP)
     w = Window.orderBy(F.col("katz_scaled").desc(), F.col("node"))
     return (
-        c.withColumn("rk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rk") <= _KATZ_TOP)
+        top.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .select(
             "node",
             F.col("katz_scaled").cast("bigint").alias("katz_scaled"),

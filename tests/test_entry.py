@@ -53,6 +53,10 @@ CHANGED_THIS_ROUND = (
     "q15_top_supplier",
     "q22_global_sales_opportunity",
     "ev_gap_fill_forward",
+    # round-10 review fix: top-k BEFORE rank (TakeOrdered, no
+    # vertex-set single-partition window) + w1/w2 walk-frame pins.
+    # Already in the window via PROMOTED_THIS_ROUND.
+    "graph_katz_centrality",
 )
 
 #: round-10 promotions: the former plans/staged_r10.py tier, registered
