@@ -36,8 +36,11 @@ catalog):
     double-consumption rule);
   * dedup -- edit-distance near-dup verification (levenshtein, identical
     DP metric in both engines) over (prefix, length-bucket) blocking,
-    and winnowing fingerprints (Schleimer et al. 2003 / MOSS) with
-    shared-fingerprint candidate pairs from one keyed shuffle.
+    winnowing fingerprints (Schleimer et al. 2003 / MOSS) with
+    shared-fingerprint candidate pairs from one keyed shuffle, and the
+    CDC pair: content-defined chunking (map-only boundary algebra) +
+    cross-payload duplicate-chunk accounting (the measured payoff a
+    content-addressed blob store gets).
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -1249,4 +1252,115 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_blocks").cast("bigint").alias("n_blocks"),
         F.size("sizes").cast("bigint").alias("n_chunks"),
         F.array_max("sizes").cast("bigint").alias("max_chunk_blocks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The CDC PAYOFF measured: cross-payload duplicate-chunk accounting --
+# what fraction of stored blocks a chunk-level blob store would
+# deduplicate away. Chunk identity is md5 over the chunk's block
+# sequence; chunk membership comes from a doc-keyed running sum of
+# boundary flags (NOT per-chunk array lambdas: slicing the block array
+# once per chunk would re-evaluate its defining expression per chunk --
+# the documented O(len^2) inlining trap). Everything downstream of the
+# posexplode is keyed aggregation.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "mm_cdc_dedup",
+    "Chunk-level dedup accounting over CDC chunks (mm_cdc_chunking's "
+    "boundary rule): posexplode blocks, chunk id = running boundary "
+    "count per payload (one doc-keyed window), chunk hash = md5 of the "
+    "order-preserved block concatenation (one keyed aggregate), then "
+    "corpus-wide duplicate-chunk stats: total/distinct chunks, total "
+    "blocks, and blocks a content-addressed store would NOT re-store "
+    "(sum (copies-1) x chunk size). The measured payoff of "
+    "content-defined chunking, exactly.",
+    """
+    with b as (
+      select doc_id,
+             regexp_extract_all(hex(encode(text)), '.{8}') as blocks
+      from documents
+    ),
+    e as (
+      select doc_id, unnest(blocks) as block,
+             unnest(range(1, len(blocks) + 1)) as pos
+      from b
+    ),
+    c as (
+      select doc_id, pos, block,
+             coalesce(sum(case when md5(block) like '0%' then 1 else 0
+                          end) over (
+               partition by doc_id order by pos
+               rows between unbounded preceding and 1 preceding), 0)
+               as chunk_id
+      from e
+    ),
+    ch as (
+      select doc_id, chunk_id,
+             md5(string_agg(block, '' order by pos)) as chunk_hash,
+             cast(count(*) as bigint) as nb
+      from c group by doc_id, chunk_id
+    ),
+    g as (
+      select chunk_hash, cast(count(*) as bigint) as cnt,
+             max(nb) as nb
+      from ch group by chunk_hash
+    )
+    select cast(sum(cnt) as bigint) as n_chunks,
+           cast(count(*) as bigint) as n_distinct,
+           cast(sum(cnt * nb) as bigint) as blocks_total,
+           cast(sum((cnt - 1) * nb) as bigint) as blocks_saved
+    from g
+    """,
+    "multimodal", "cdc", "dedup",
+)
+def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.multimodal import attach_payload
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    e = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(hex(payload), '.{8}', 0)")
+        ).alias("pos", "block"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = e.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(
+                F.when(F.md5("block").like("0%"), 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    ch = c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                    lambda s: s["block"],
+                ),
+                "",
+            )
+        ).alias("chunk_hash"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    g = ch.groupBy("chunk_hash").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.max("nb").alias("nb"),
+    )
+    return g.agg(
+        F.sum("cnt").cast("bigint").alias("n_chunks"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(F.col("cnt") * F.col("nb")).cast("bigint").alias("blocks_total"),
+        F.sum((F.col("cnt") - 1) * F.col("nb"))
+        .cast("bigint")
+        .alias("blocks_saved"),
     )

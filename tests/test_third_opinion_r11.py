@@ -346,3 +346,50 @@ def test_cdc_chunking_third_opinion(spark):
         if hashlib.md5(b.encode()).hexdigest().startswith("0")
     ]
     assert [i + 1 for i in b0] == [i for i in b1 if i >= 1]
+
+
+def test_cdc_dedup_third_opinion(spark):
+    """Literal chunk-level dedup accounting in Python: chunk every
+    payload with the boundary rule, hash chunk contents, count
+    duplicate copies and the blocks a content-addressed store skips."""
+    import hashlib
+    from collections import Counter
+
+    from clueso_spark.plans.staged_r11 import STAGED
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pylist()
+    chunk_counts: Counter = Counter()
+    chunk_blocks: dict[str, int] = {}
+    for d in docs:
+        h = d["text"].encode().hex().upper()
+        blocks = [h[i : i + 8] for i in range(0, len(h) - 7, 8)]
+        cur: list[str] = []
+        chunks: list[list[str]] = []
+        for b in blocks:
+            cur.append(b)
+            if hashlib.md5(b.encode()).hexdigest().startswith("0"):
+                chunks.append(cur)
+                cur = []
+        if cur:
+            chunks.append(cur)
+        for ch in chunks:
+            key = hashlib.md5("".join(ch).encode()).hexdigest()
+            chunk_counts[key] += 1
+            chunk_blocks[key] = len(ch)
+    n_chunks = sum(chunk_counts.values())
+    n_distinct = len(chunk_counts)
+    blocks_total = sum(
+        cnt * chunk_blocks[k] for k, cnt in chunk_counts.items()
+    )
+    blocks_saved = sum(
+        (cnt - 1) * chunk_blocks[k] for k, cnt in chunk_counts.items()
+    )
+    row = STAGED["mm_cdc_dedup"].spark(spark, SF).collect()[0]
+    assert (
+        row["n_chunks"],
+        row["n_distinct"],
+        row["blocks_total"],
+        row["blocks_saved"],
+    ) == (n_chunks, n_distinct, blocks_total, blocks_saved)
+    # the synthetic corpus HAS near/exact dups: savings must be real
+    assert row["blocks_saved"] > 0
