@@ -2082,7 +2082,14 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
 PR_SCALE = 1_000_000_000_000  # rank unit = 1e-12
 PR_ROUNDS = 3
 PR_TOP = 20
-_PR_SUPP_BASE = 1_000_000  # supplier node id offset
+#: supplier node id offset. 1e12 (round-11 migration off the original
+#: 1e6): custkeys pass 1e6 at SF ~7, so the old offset silently MERGED
+#: customer and supplier nodes at exactly the scale this engine targets
+#: -- invisible to small-SF parity because the oracle embeds the same
+#: encoding. 1e12 clears any plausible custkey (150k x SF < 1e12 up to
+#: SF ~6.6M); tests/test_plans.py pins the no-overlap invariant and
+#: that every graph op shares one encoding (_BF_SUPP_BASE et al.).
+_PR_SUPP_BASE = 1_000_000_000_000
 
 
 def _pr_round_sql(i: int) -> str:

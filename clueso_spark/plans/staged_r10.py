@@ -738,7 +738,10 @@ def ev_inter_event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the contract (the Pregel-superstep shape).
 # ---------------------------------------------------------------------------
 
-_LP_SUPP_BASE = 1_000_000  # same node-id offset as graph_pagerank_copurchase
+#: same node-id offset as graph_pagerank_copurchase (shared encoding;
+#: round-11 migration 1e6 -> 1e12 -- custkeys pass 1e6 at SF ~7 and the
+#: old offset merged customer/supplier nodes; see _PR_SUPP_BASE)
+_LP_SUPP_BASE = 1_000_000_000_000
 _LP_ROUNDS = 3
 
 

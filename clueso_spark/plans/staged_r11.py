@@ -662,14 +662,13 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BF_ROUNDS = 3
-#: supplier-node id offset. 1e12, NOT the 1e6 the older graph ops use
-#: (_PR_SUPP_BASE / _LP_SUPP_BASE): at the corpus scale this engine
-#: targets, custkeys pass 1e6 (SF ~7) and a 1e6 offset would MERGE
-#: customer and supplier nodes -- silently wrong results that small-SF
-#: parity cannot catch because the oracle embeds the same encoding.
-#: Custkeys stay far below 1e12 at any plausible SF; migrating the two
-#: older ops to this base is a round-11 item (changing them re-keys
-#: live verified results, so it must ride a driver window slot).
+#: supplier-node id offset, 1e12: custkeys pass 1e6 at SF ~7, so a
+#: small offset would MERGE customer and supplier nodes -- silently
+#: wrong results that small-SF parity cannot catch because the oracle
+#: embeds the same encoding. Custkeys stay far below 1e12 at any
+#: plausible SF. Round 11 migrated the older graph ops
+#: (_PR_SUPP_BASE / _LP_SUPP_BASE) onto this same encoding;
+#: tests/test_plans.py pins that all three agree.
 _BF_SUPP_BASE = 1_000_000_000_000
 _BF_SEED_MOD = 20
 

@@ -267,3 +267,20 @@ def test_exchange_budgets_hold(spark, registry):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert not over, over
+
+
+def test_graph_node_encoding_shared_and_collision_free():
+    """Round-11 regression pin: every bipartite co-purchase graph op
+    encodes supplier nodes at ONE shared offset, and that offset clears
+    any plausible custkey. The original 1e6 offset merged customer and
+    supplier nodes from SF ~7 (custkey cardinality = 150k x SF) --
+    wrong graphs at target scale, invisible to small-SF parity because
+    the oracles share the encoding."""
+    from clueso_spark.plans.relational import _PR_SUPP_BASE
+    from clueso_spark.plans.staged_r10 import _LP_SUPP_BASE
+    from clueso_spark.plans.staged_r11 import _BF_SUPP_BASE
+
+    assert _PR_SUPP_BASE == _LP_SUPP_BASE == _BF_SUPP_BASE == 10**12
+    # headroom: even an SF-1M deployment (150 B customers) cannot reach
+    # the supplier id range
+    assert 150_000 * 1_000_000 < _PR_SUPP_BASE
