@@ -31,29 +31,68 @@ N_BANDS = 8
 _persist_swap = persist_swap
 
 
+#: degenerate-bucket guard for _bucket_pairs(cap=...): above this size a
+#: bucket emits a STAR (every member paired with the bucket minimum,
+#: O(b) rows) instead of all combinations (O(b^2)). Adaptive band
+#: widths keep EXPECTED buckets small, but one mass-duplicated
+#: boilerplate family -- a certainty in a web-scale crawl -- would
+#: otherwise concentrate the full quadratic expansion in a single task.
+#: A bucket past this size is a near-certain 100%-dup family, and the
+#: star keeps exactly the rows downstream dedup needs: each member is
+#: verified against one shared representative, so exact-similarity
+#: verification still confirms every member and connected components /
+#: keep-best still unify the family. Sized far above every measured
+#: bucket at the oracle SFs (max 63 at sf0.1), so capped callers are
+#: bit-identical to their DuckDB oracles everywhere parity runs;
+#: tests/test_bucket_cap.py plants a pathological bucket to pin
+#: the star behavior itself.
+LSH_BUCKET_CAP = 256
+
+
 def _bucket_pairs(
-    long: DataFrame, keys: list[str], id_col: str, a: str, b: str
+    long: DataFrame,
+    keys: list[str],
+    id_col: str,
+    a: str,
+    b: str,
+    cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from bucket-key rows via ONE keyed shuffle: group
     each bucket, emit the per-bucket pair combinations (id-ordered, so
     ``a < b`` by construction). A self-join on the bucket key would
     re-evaluate the (often expensive) sketch projection on both
     branches; this evaluates it once. Per-bucket pair fan-out is the LSH
-    contract -- buckets stay small for honest sketch/band parameters."""
+    contract -- buckets stay small for honest sketch/band parameters.
+
+    ``cap``: when set, buckets larger than ``cap`` fall back to a STAR
+    expansion (see LSH_BUCKET_CAP). Dup-detection callers pass it;
+    similarity-search callers (sim_knn_join / sim_range_search) must
+    NOT -- their contract is every in-radius pair among candidates, so
+    dropped combinations there are silent recall loss, and their guard
+    is the measured candidate-volume observation in SCALE.md instead.
+    Note the per-bucket collect_set row itself stays O(b) -- one
+    aggregation buffer, the same order as any keyed groupBy under skew
+    -- the cap removes the O(b^2) *expansion*, which is what turns one
+    hot bucket into a runaway task."""
+    all_pairs = F.expr(
+        f"""flatten(transform(sequence(1, size(ds) - 1),
+             i -> transform(sequence(i + 1, size(ds)),
+               j -> struct(element_at(ds, i) as {a},
+                           element_at(ds, j) as {b}))))"""
+    )
+    if cap is None:
+        pairs = all_pairs
+    else:
+        star = F.expr(
+            f"""transform(slice(ds, 2, size(ds) - 1),
+                 x -> struct(element_at(ds, 1) as {a}, x as {b}))"""
+        )
+        pairs = F.when(F.size("ds") > cap, star).otherwise(all_pairs)
     return (
         long.groupBy(*keys)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ds"))
         .where(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    f"""flatten(transform(sequence(1, size(ds) - 1),
-                         i -> transform(sequence(i + 1, size(ds)),
-                           j -> struct(element_at(ds, i) as {a},
-                                       element_at(ds, j) as {b}))))"""
-                )
-            ).alias("p")
-        )
+        .select(F.explode(pairs).alias("p"))
         .select(f"p.{a}", f"p.{b}")
     )
 
@@ -219,7 +258,9 @@ def minhash_pairs(
     )
     # candidate pairs via ONE shuffle on (band, sig); distinct because a
     # pair can collide in several bands
-    cand = _bucket_pairs(long, ["band", "sig"], "doc_id", "doc_a", "doc_b").distinct()
+    cand = _bucket_pairs(
+        long, ["band", "sig"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    ).distinct()
     # verification: melt each pair into (pair, doc_id) rows and join the
     # shingle sets back ONCE (a second join branch would re-evaluate the
     # whole shingle projection); min_by/max_by reassemble the pair's two
@@ -415,7 +456,9 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = _simhash_sketches(
         sets.select("doc_id", F.col("ws").alias("w")), bits
     )
-    cand = _bucket_pairs(sk, ["simhash"], "doc_id", "doc_a", "doc_b")
+    cand = _bucket_pairs(
+        sk, ["simhash"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
     # verification: attach each side's word set with two plain equi-joins
     # and let the planner choose (broadcast locally, keyed shuffle at
     # scale) -- a melt + per-pair argmax agg would force every candidate's
@@ -633,7 +676,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.expr(f"stack({EMB_BANDS}, {stack_args}) as (band, bucket)")
     )
     cand = _bucket_pairs(
-        long, ["band", "bucket"], "vec_id", "vec_a", "vec_b"
+        long, ["band", "bucket"], "vec_id", "vec_a", "vec_b",
+        cap=LSH_BUCKET_CAP,
     ).distinct()
     # exact verification: attach each side's (v, sq) with two plain
     # equi-joins and let the optimizer pick the strategy -- local/small

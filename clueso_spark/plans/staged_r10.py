@@ -1234,7 +1234,10 @@ def _phash_sig_sql() -> str:
     "multimodal", "dedup", "phash",
 )
 def mm_phash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.dedup_queries import _bucket_pairs
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _bucket_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", _phash_sig_spark().alias("sig")
@@ -1254,7 +1257,9 @@ def mm_phash_hamming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.expr(f"substring(sig, 1 + band * {band_w}, {band_w})").alias("bk"),
     )
-    cand = _bucket_pairs(long, ["band", "bk"], "doc_id", "doc_a", "doc_b")
+    cand = _bucket_pairs(
+        long, ["band", "bk"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
     cand = cand.distinct()
     sa = docs.select(
         F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")

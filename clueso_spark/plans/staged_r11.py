@@ -836,7 +836,10 @@ _EDIT_LEN_BUCKET = 20
     "dedup", "editdistance", "blocking",
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.dedup_queries import _bucket_pairs
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _bucket_pairs,
+    )
 
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -857,7 +860,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_chars div {_EDIT_LEN_BUCKET}").alias("lenb"),
         ),
     )
-    pairs = _bucket_pairs(b, ["pfx", "lenb"], "doc_id", "doc_a", "doc_b")
+    pairs = _bucket_pairs(
+        b, ["pfx", "lenb"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
     na = b.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
     nb = b.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))
     dist = F.levenshtein(F.col("na"), F.col("nb"))
@@ -1145,7 +1150,10 @@ def _winnow_fps(h_col: str) -> F.Column:
     "dedup", "fingerprint", "winnowing",
 )
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.dedup_queries import _bucket_pairs
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _bucket_pairs,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
@@ -1154,7 +1162,9 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = hashed.select(
         "doc_id", F.explode(_winnow_fps("h")).alias("fp")
     )
-    pairs = _bucket_pairs(fps, ["fp"], "doc_id", "doc_a", "doc_b")
+    pairs = _bucket_pairs(
+        fps, ["fp"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
     return (
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))

@@ -857,6 +857,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parameterized scorer when the ngram tier rotates in (round 6).
     from clueso_spark.plans.catalog import persist_swap
     from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
         _bucket_pairs,
         _ngram_bits,
         _simhash_sketches,
@@ -879,7 +880,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = _simhash_sketches(
         sets.select("doc_id", F.col("ws").alias("w")), bits
     )
-    cand = _bucket_pairs(sk, ["simhash"], "doc_id", "doc_a", "doc_b")
+    cand = _bucket_pairs(
+        sk, ["simhash"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
     inter = F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
