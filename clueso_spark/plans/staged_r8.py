@@ -579,16 +579,17 @@ def txt_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dw = persist_swap(spark, "pmi_incidence", dw)
     n_docs = docs.agg(F.count("*").cast("bigint").alias("n_docs"))
-    voc_w = Window.orderBy(F.col("df").desc(), "word")
-    # the vocab relation is V rows -- the global rank window here runs
-    # over an already-aggregated word list (corpus vocab), not the
-    # corpus; it is broadcast back to the incidence relation
+    # top-V vocab via orderBy+limit (TakeOrderedAndProject: per-task
+    # heaps, driver merge) -- the former partition-less row_number
+    # window pushed the ENTIRE corpus vocabulary through one task;
+    # aggregate-sized today, but web-scale vocab is 1e8+ rows (the
+    # graph_katz_centrality round-10 lesson applied here). The rank
+    # column was filter-only, so no post-limit window is needed at all.
     voc = (
         dw.groupBy("word")
         .agg(F.count("*").cast("bigint").alias("df"))
-        .withColumn("vr", F.row_number().over(voc_w))
-        .where(F.col("vr") <= _PMI_VOCAB)
-        .drop("vr")
+        .orderBy(F.col("df").desc(), "word")
+        .limit(_PMI_VOCAB)
     )
     dv = dw.join(F.broadcast(voc.select("word")), "word")
     a, b = dv.alias("a"), dv.alias("b")
@@ -1124,13 +1125,19 @@ def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("phrase_len").cast("bigint").alias("degree"),
     )
     score = F.col("degree").cast("double") / F.col("freq").cast("double")
-    # vocabulary-sized relation: the global rank window here orders the
-    # word-stats list, not the corpus (same stance as txt_cooccurrence_pmi)
-    rw = Window.orderBy(score.desc(), "word")
-    return (
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject), THEN rank
+    # the k survivors -- the former partition-less row_number window
+    # sorted the whole word-stats vocabulary through one task (the
+    # graph_katz_centrality round-10 lesson; web-scale vocab is 1e8+
+    # rows). The post-limit window is over exactly _RAKE_TOP rows.
+    top = (
         stats.withColumn("score", score)
-        .withColumn("rk", F.row_number().over(rw).cast("bigint"))
-        .where(F.col("rk") <= _RAKE_TOP)
+        .orderBy(F.col("score").desc(), "word")
+        .limit(_RAKE_TOP)
+    )
+    rw = Window.orderBy(F.col("score").desc(), "word")
+    return (
+        top.withColumn("rk", F.row_number().over(rw).cast("bigint"))
         .select("word", "freq", "degree", "score", "rk")
     )
 
