@@ -229,7 +229,12 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
         child = json.loads(lines[-1])
         timings[name] = child["queries"][name]
         spread[name] = child.get("stddev", {}).get(name, 0.0)
-        cold[name] = child.get("cold", {}).get(name, 0.0)
+        # only record cold when the child actually measured it: the
+        # warm-up query deliberately omits its first-attempt time, and
+        # writing 0.0 for it would be a recorded lie that skews any
+        # --metric cold comparison (ADVICE r10)
+        if name in child.get("cold", {}):
+            cold[name] = child["cold"][name]
         noisy.extend(child.get("noisy", []))
     _emit(timings, spread, noisy, sf, detail, isolated=True, failed=failed,
           cold=cold)

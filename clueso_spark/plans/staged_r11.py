@@ -481,7 +481,8 @@ def ev_sweepline_active_intervals(
 # ---------------------------------------------------------------------------
 # 8-tap exact-integer EWMA: s_k = sum_{j=0..7} 7^j * 8^(7-j) * x_{k-j}
 # -- the (7/8)-decay exponential smoother truncated to 8 taps and
-# scaled by 8^8 so every term is an exact bigint (max |s| ~ 3.6e11,
+# scaled by 8^(taps-1) = 8^7 (each weight = (7/8)^j * 8^7; their sum is
+# 8^8 - 7^8) so every term is an exact bigint (max |s| ~ 3.6e11,
 # far inside bigint). Emitted only where the full 8-row history exists,
 # so the weight vector never re-normalizes and both engines compute the
 # identical integer.
@@ -506,7 +507,7 @@ def _ewma_terms_sql() -> str:
     "ev_ewma_smoothed",
     "Per-user exponentially weighted moving average of event value as "
     f"an exact {_EWMA_TAPS}-tap FIR: decay 7/8, scaled by 8^"
-    f"{_EWMA_TAPS} into pure bigint arithmetic (no float power chain "
+    f"{_EWMA_TAPS - 1} into pure bigint arithmetic (no float power chain "
     "to diverge across engines). Rows emitted only with full history "
     "(row_number >= taps). One user-keyed window shuffle.",
     f"""

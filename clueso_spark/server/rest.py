@@ -54,13 +54,24 @@ from clueso_spark.operators.query import MetadataQuery, MetadataQueryExecutor
 S3_NS = "http://s3.amazonaws.com/doc/2006-03-01/"
 
 #: Spark SQL functions an unauthenticated predicate must never invoke:
-#: both call arbitrary JVM static methods on the driver. Matched as
+#: all call arbitrary JVM static methods on the driver. Matched as
 #: whole identifiers, case-insensitively, with backticks stripped first
 #: (`` `reflect` (...)`` parses to the same call as ``reflect(...)``),
 #: so neither quoting nor spacing hides the name. A string LITERAL that
 #: merely contains the word is also rejected -- deliberate overblocking:
 #: this is a security boundary and the words are not plausible keys.
-DENIED_PREDICATE_FUNCTIONS = ("reflect", "java_method")
+#: NOTE ``try_reflect`` is listed on its own: ``_`` is a word character,
+#: so ``\breflect\b`` does NOT match inside ``try_reflect`` -- the
+#: try-variant (Spark 3.5+, TryReflect) would sail through a
+#: reflect-only list.
+#: This list is NOT maintained by hand against release notes: a
+#: registry audit test (tests/test_server.py::
+#: test_denylist_covers_every_registered_reflection_function) asserts
+#: at every run that ALL functions the live Spark session registers
+#: with a reflection-backed expression class are covered, so a Spark
+#: upgrade that adds another driver-escape name fails the suite loudly
+#: instead of silently reopening the surface.
+DENIED_PREDICATE_FUNCTIONS = ("reflect", "java_method", "try_reflect")
 
 _DENIED_RE = re.compile(
     r"\b(" + "|".join(DENIED_PREDICATE_FUNCTIONS) + r")\b", re.IGNORECASE

@@ -174,3 +174,39 @@ def test_child_line_carries_cold_for_isolate_parent(bench, tmp_path):
         sys.stdout = old
     line = json.loads(buf.getvalue())
     assert line["cold"] == {"qa": 2.9}
+
+
+def test_isolate_parent_skips_missing_cold_keys(bench, tmp_path, monkeypatch):
+    """A child that omits a query's cold time (the warm-up query does,
+    deliberately) must NOT be recorded as cold=0.0 in the aggregated
+    artifact -- exactly the 'recorded as a lie' the non-isolated path
+    avoids (ADVICE r10)."""
+    import subprocess
+    import types
+
+    payloads = {
+        "q_warm": {"queries": {"q_warm": 1.0}, "stddev": {}, "cold": {}},
+        "q_b": {"queries": {"q_b": 2.0}, "stddev": {},
+                "cold": {"q_b": 3.5}},
+    }
+
+    def fake_run(cmd, capture_output, text):
+        name = cmd[cmd.index("--only") + 1]
+        return types.SimpleNamespace(
+            returncode=0, stdout=json.dumps(payloads[name]) + "\n",
+            stderr="",
+        )
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        # cold lives in the detail artifact only (the driver line is
+        # byte-budgeted), so emit with detail and read it back
+        bench._isolated(["q_warm", "q_b"], 0.1, detail=True)
+    finally:
+        sys.stdout = old
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["cold"] == {"q_b": 3.5}
+    assert "q_warm" not in detail["cold"]

@@ -229,6 +229,11 @@ def test_limit_is_clamped_like_s3_maxkeys(served):
         "JAVA_METHOD('java.lang.Runtime','getRuntime') is not null",
         "`reflect`('a','b') = 'c'",          # backtick-quoted identifier
         "key = 'a' or Reflect ('x','y')='z'",  # spacing + mixed case
+        # the try-variant: `_` is a word char, so a reflect-only \b
+        # pattern does NOT match inside try_reflect -- it needs its own
+        # denylist entry (round-11 registry audit finding)
+        "try_reflect('java.lang.System','getProperty','user.dir') = 'x'",
+        "`TRY_REFLECT`('a','b') = 'c'",
     ],
 )
 def test_jvm_escape_predicates_are_denied(served, expr):
@@ -282,3 +287,28 @@ def test_xml_path_records_search_metrics(spark, tmp_path):
     snap = ex.metrics.snapshot()
     assert snap.get("search_count.mx", 0) == 1
     assert "search_time.mx.milli.last" in snap
+
+
+def test_denylist_covers_every_registered_reflection_function(spark):
+    """Mechanical version pin for the JVM-escape deny-list (ADVICE
+    r10): enumerate the LIVE session's function registry and assert
+    every function implemented by a reflection expression class is
+    denied. A Spark upgrade that registers a new driver-escape name
+    (as 3.5 did with try_reflect / TryReflect) fails here loudly
+    instead of silently reopening the unauthenticated surface."""
+    from clueso_spark.server.rest import DENIED_PREDICATE_FUNCTIONS
+
+    reflection_backed = {
+        f.name.lower()
+        for f in spark.catalog.listFunctions()
+        if f.className and "reflect" in f.className.lower()
+    }
+    # sanity: the known escape hatches must actually be in the registry
+    # (an empty set would mean the enumeration broke, not that Spark
+    # dropped reflection)
+    assert {"reflect", "java_method", "try_reflect"} <= reflection_backed
+    uncovered = reflection_backed - set(DENIED_PREDICATE_FUNCTIONS)
+    assert not uncovered, (
+        f"reflection-backed SQL functions not in the deny-list: "
+        f"{sorted(uncovered)}"
+    )
