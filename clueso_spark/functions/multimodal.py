@@ -7,10 +7,13 @@ Design (what a 100 TB multimodal pipeline needs from the engine):
   * decode / feature-extract runs as an Arrow-batched ``mapInPandas`` --
     whole partitions stream through Python in columnar batches, the only
     sanctioned Python boundary in the engine;
-  * real codecs (image/audio/video) are STUBS here: the container has no
-    media libraries, so :func:`decode_media` raises NotImplementedError.
+  * real codecs are OPTIONAL: :func:`decode_media` try-imports Pillow
+    for images and returns typed metadata when it is installed;
+    audio/video (and image, in codec-less containers like this one)
+    raise NotImplementedError -- an explicit seam, never a silent fake.
     The batch shape, schema contract, and partition flow around it are
-    real and tested with the deterministic byte-level featurizer.
+    real and tested with the deterministic byte-level featurizer either
+    way (tests/test_multimodal_codec.py pins both sides).
 """
 
 from __future__ import annotations
@@ -47,14 +50,46 @@ def attach_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def decode_media(payload: bytes, modality: str):
-    """Real media decode (image/audio/video). STUB: the runtime has no
-    codec libraries; a deployment plugs Pillow/torchaudio/av in here.
-    The engine-side contract (binary in, feature columns out, Arrow
-    batches) does not change when this is filled in."""
+def _image_codec():
+    """Pillow if importable, else None. Resolved lazily (inside the
+    Arrow worker, not at module import) so executors without the
+    library still run every byte-level path."""
+    try:
+        from PIL import Image  # optional dependency, never required
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_media(payload: bytes, modality: str) -> dict:
+    """Real media decode. Image decoding uses Pillow WHEN INSTALLED
+    (try-import; this container ships no codec libraries, so the seam
+    stays a documented stub here) and returns typed metadata features
+    ``{width, height, mode, n_pixels}``. Audio/video still raise --
+    a deployment plugs torchaudio/av in the same way. The engine-side
+    contract (binary in, feature columns out, Arrow batches) does not
+    change when a codec is present: ``featurize_batches`` stays the
+    partition-parallel shape either way.
+    tests/test_multimodal_codec.py exercises the real decode when
+    Pillow exists and pins the NotImplementedError contract otherwise.
+    """
+    if modality == "image":
+        Image = _image_codec()
+        if Image is not None:
+            import io
+
+            img = Image.open(io.BytesIO(payload))
+            img.load()
+            return {
+                "width": int(img.width),
+                "height": int(img.height),
+                "mode": str(img.mode),
+                "n_pixels": int(img.width) * int(img.height),
+            }
     raise NotImplementedError(
         f"no codec for modality={modality!r} in this runtime; "
-        "install a decoder and replace decode_media"
+        "install a decoder (e.g. Pillow for images) to enable decode_media"
     )
 
 
