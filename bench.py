@@ -152,6 +152,23 @@ HEADLINE = [
     "agg_ks_two_sample",
     "agg_chi2_independence",
     "mm_phash_hamming_dedup",
+    # round-11 promoted staged tier (perf-tracked from its first
+    # registered day, same commit as the promotion)
+    "agg_pivot_shipmode",
+    "window_rolling_median",
+    "ev_cumulative_distinct_users",
+    "ev_top_paths",
+    "agg_equidepth_histogram",
+    "ev_sweepline_active_intervals",
+    "ev_ewma_smoothed",
+    "agg_mann_whitney",
+    "graph_shortest_paths",
+    "dedup_edit_distance",
+    "agg_kmv_distinct",
+    "ev_user_value_anomalies",
+    "dedup_winnowing",
+    "mm_cdc_chunking",
+    "mm_cdc_dedup",
 ]
 
 

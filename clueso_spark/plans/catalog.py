@@ -86,95 +86,52 @@ QUERY_MODULES = [
     # queries, each pytest-proven against its DuckDB oracle at sf0.001 +
     # sf0.01 before registration; they head the round-10 driver window)
     "clueso_spark.plans.staged_r10",
+    # round 11: the round-10 staged tier is promoted the same way (15
+    # queries; registry 197 -> 212, refresh cycle ceil(212/50) = 5)
+    "clueso_spark.plans.staged_r11",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-10 rotation, executing the standing policy
+#: part of the contract. Round-11 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 15 promoted staged_r10 queries -- registered this round, so
+#: (1) the 10 r6-green txt_* queries round 10 documented as
+#: ROTATION_LEFTOVERS -- they sat exactly AT the freshness horizon and
+#: are this round's MANDATORY head (tests/test_entry.py enforced it);
+#: (2) the 15 promoted staged_r11 queries -- registered this round, so
 #: never driver-verified; pytest-proven against their DuckDB oracles at
-#: sf0.001 + sf0.01 (tests/test_staged_r10.py) but the driver row is the
-#: claim that counts;
-#: (2) the 4 non-r6-cohort queries whose CODE changed this round:
-#: agg_approx_count_distinct + agg_hll_partial_merge (the within_5pct
-#: invariant now treats exact==0 with a zero estimate as a perfect
-#: match -- ADVICE r9; identical boolean on any non-empty corpus) and
-#: q15_top_supplier + q22_global_sales_opportunity (the r8 scan-reuse
-#: queue closed: shared subaggregate pinned, 3 scans -> 2 each);
-#: (3) 31 of the 41 queries whose latest green is r6 -- the oldest rows
-#: anywhere, sitting exactly AT the freshness horizon (they become
-#: violations at r11, so they are this round's mandatory head cohort).
-#: ev_gap_fill_forward leads them: it ALSO changed code this round (the
-#: 90-day grid-bound fix, r8 verdict item 4). The 10 deferred r6 names
-#: (the lightest txt_* shapes, per the standing heavier-first
-#: precedent) are enumerated in tests/test_entry.py ROTATION_LEFTOVERS
-#: and are the mandatory head of round 11's window.
-#: Window math: 15 + 4 + 31 = 50; with 197 registered queries and a
-#: 50-slot window the full-registry refresh cycle stays
-#: ceil(197/50) = 4 rounds (tests/test_entry.py pins the arithmetic).
+#: sf0.001 + sf0.01 (tests/test_staged_r11.py) but the driver row is
+#: the claim that counts;
+#: (3) the 16 queries whose CODE changed this round:
+#:     - graph_pagerank_copurchase / graph_label_propagation /
+#:       graph_katz_centrality: supplier-node offset migrated 1e6 ->
+#:       1e12 (output node ids change -- the r10 verdict's
+#:       wrong-at-scale defect, closed);
+#:     - the 11 dup-detection consumers of _bucket_pairs, which now
+#:       pass the degenerate-bucket star cap (results identical at
+#:       oracle SFs, re-verified, but the candidate expression
+#:       changed): dedup_minhash_lsh, dedup_connected_components,
+#:       pipeline_curated_corpus, dedup_threshold_curve,
+#:       pipeline_dedup_cluster_stats, pipeline_pretraining_funnel,
+#:       dedup_ngram_jaccard, dedup_ngram_jaccard_pairs,
+#:       dedup_embedding_cosine, dedup_containment,
+#:       mm_phash_hamming_dedup;
+#:     - txt_cooccurrence_pmi / txt_rake_keywords: vocabulary top-k now
+#:       precedes the rank window (TakeOrderedAndProject, the katz
+#:       pattern);
+#: (4) 9 of the 37 remaining r7-green queries (oldest rows after this
+#: round's head cohorts), heavier-first by recorded bench time. The 28
+#: deferred r7 names are enumerated in tests/test_entry.py
+#: ROTATION_LEFTOVERS and head round 12's window.
+#: Window math: 10 + 15 + 16 + 9 = 50 (five of the changed-code names
+#: are themselves r7 greens, so the r7 cohort refreshes 14 of 42 this
+#: round). With 212 registered queries the full-registry refresh cycle
+#: becomes ceil(212/50) = 5 rounds (tests/test_entry.py re-derives the
+#: constant from the live registry).
 PRIORITY = [
-    # (1) promoted this round -- never driver-verified, head the window
-    "join_lateral_top2_per_order",
-    "subquery_correlated_scalar",
-    "agg_mode_exact",
-    "window_nth_value_frames",
-    "setop_except_all_multiset",
-    "agg_welch_ttest",
-    "ev_funnel_time_percentiles",
-    "ev_lorenz_power_users",
-    "ev_bounce_rate_sessions",
-    "ev_inter_event_histogram",
-    "graph_label_propagation",
-    "graph_katz_centrality",
-    "agg_ks_two_sample",
-    "agg_chi2_independence",
-    "mm_phash_hamming_dedup",
-    # (2) changed code this round -- re-verify
-    "agg_approx_count_distinct",
-    "agg_hll_partial_merge",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    # (3) the r6 cohort: latest green r6, oldest anywhere, AT the
-    # freshness horizon -- 31 of 41 fit; ev_gap_fill_forward first
-    # (changed code: the 90-day grid bound)
-    "ev_gap_fill_forward",
-    "st_windowed_topk",
-    "ev_asof_last_purchase",
-    "ev_funnel_conversion",
-    "ev_retention_cohorts",
-    "ev_sessionize",
-    "ev_skew_salted_agg",
-    "graph_node_similarity",
-    "mm_fixed_shape_features",
-    "mm_frame_sample",
-    "pipeline_ccnet_buckets",
-    "pipeline_dedup_cluster_stats",
-    "pipeline_dedup_keep_best",
-    "pipeline_doc_chunking",
-    "pipeline_length_filter_curve",
-    "pipeline_token_budget_mix",
-    "pipeline_train_test_split",
-    "profile_lineitem",
-    "sim_ann_recall_at_k",
-    "sim_ivf_cells",
-    "sim_ivf_kmeans_ann",
-    "sim_kmeans_lloyd",
-    "sim_pq_codes",
-    "sim_residual_norms",
-    "sort_limit_top_orders",
-    "st_dedup_replay",
-    "st_session_windows",
-    "st_stream_stream_join",
-    "st_windowed_counts",
-    "txt_gopher_quality_rules",
-    "txt_quality_classifier_proxy",
-    # --- window boundary (50) ----------------------------------------
-    # round-11 head: the 10 deferred r6 greens (the lightest txt_*
-    # shapes; oldest rows after this round's refresh), then the r7
-    # cohort, then the remainder in registration order
+    # (1) round-10 leftovers at the freshness horizon -- mandatory head
     "txt_bigram_perplexity",
     "txt_char_entropy",
     "txt_lang_stats",
@@ -185,8 +142,80 @@ PRIORITY = [
     "txt_token_stats",
     "txt_top_bigrams",
     "txt_zipf_slope",
-    # r7/r8/r9 greens: freshest, rotate last (remainder keeps
-    # registration order after this block -- nothing is dropped)
+    # (2) promoted this round -- never driver-verified
+    "agg_pivot_shipmode",
+    "window_rolling_median",
+    "ev_cumulative_distinct_users",
+    "ev_top_paths",
+    "agg_equidepth_histogram",
+    "ev_sweepline_active_intervals",
+    "ev_ewma_smoothed",
+    "agg_mann_whitney",
+    "graph_shortest_paths",
+    "dedup_edit_distance",
+    "agg_kmv_distinct",
+    "ev_user_value_anomalies",
+    "dedup_winnowing",
+    "mm_cdc_chunking",
+    "mm_cdc_dedup",
+    # (3) changed code this round -- re-verify
+    "graph_pagerank_copurchase",
+    "graph_label_propagation",
+    "graph_katz_centrality",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "pipeline_curated_corpus",
+    "dedup_threshold_curve",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_pretraining_funnel",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_containment",
+    "mm_phash_hamming_dedup",
+    "txt_cooccurrence_pmi",
+    "txt_rake_keywords",
+    # (4) r7 cohort refreshes, heavier-first by recorded bench time
+    "graph_triangle_count",
+    "st_stateful_latest",
+    "dedup_semantic",
+    "dedup_exact_substring",
+    "ev_rfm_segmentation",
+    "txt_cms_heavy_hitters",
+    "pipeline_contamination_check",
+    "ev_result_projection",
+    "sim_sq_int8_ann",
+    # --- window boundary (50) ----------------------------------------
+    # round-12 head: the 28 deferred r7 greens (oldest rows after this
+    # round's refresh), then the remainder in registration order
+    "agg_approx_percentile",
+    "dedup_exact_summary",
+    "dedup_simhash",
+    "ev_asof_attribution",
+    "ev_engine_latest",
+    "ev_isin_subpartitions",
+    "ev_markov_transitions",
+    "ev_message_flatten",
+    "ev_range_interval_join",
+    "ev_version_filter",
+    "mm_binary_featurize",
+    "mm_modality_stats",
+    "mm_resize_fixed",
+    "pipeline_domain_blocklist",
+    "pipeline_mixture_reweight",
+    "pipeline_sequence_packing",
+    "pipeline_stratified_sample",
+    "q21_waiting_supplier",
+    "q8_market_share",
+    "sim_lsh_ann",
+    "sim_matryoshka_recall",
+    "sim_mmr_rerank",
+    "st_asof_attribution",
+    "st_dedup_within_watermark",
+    "st_sliding_counts",
+    "txt_pii_redaction",
+    "txt_repetition_signals",
+    "window_time_range_frame",
 ]
 
 

@@ -1,14 +1,15 @@
-"""Operators STAGED in round 10 for promotion in round 11.
+"""Operators staged in round 10, PROMOTED in round 11 (this module is
+now in catalog.QUERY_MODULES and ``promote()`` runs at import).
 
 Same life-cycle as staged_r6 / staged_r8 / staged_r9 / staged_r10 (all
-promoted): ship now as library code with full pytest parity coverage
-(tests/test_staged_r11.py runs the exact driver comparison -- row count
-+ schema + order-insensitive value hash -- against DuckDB oracles at
-sf0.001 and sf0.01) because the round-10 driver window (50 slots) is
-fully allocated: 15 promotions + 4 changed-code + 31 r6 refreshes.
-Round 11 promotes: add this module to catalog.QUERY_MODULES, call
-``promote()`` at import, place every name inside the round-11 window,
-and add them to bench.py HEADLINE in the same commit.
+promoted): these shipped in round 10 as library code with full pytest
+parity coverage (tests/test_staged_r11.py runs the exact driver
+comparison -- row count + schema + order-insensitive value hash --
+against DuckDB oracles at sf0.001 and sf0.01) because the round-10
+driver window (50 slots) was fully allocated: 15 promotions + 4
+changed-code + 31 r6 refreshes. Round 11: every name here sits inside
+the driver window (after the 10 mandatory r6 leftovers) and joins
+bench.py HEADLINE; registry 197 -> 212, refresh cycle 4 -> 5 rounds.
 
 What this tier adds (all absent from both the reference and the live
 catalog):
@@ -84,11 +85,9 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 11 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6/r8/r9/r10 all
-    ran through)."""
+    Executed at import since round 11 (this module is listed in
+    catalog.QUERY_MODULES) -- the same life-cycle staged_r6/r8/r9/r10
+    ran through."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -1374,3 +1373,8 @@ def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("blocks_saved"),
     )
+
+
+# Round-11 promotion, executed: importing this module (it is listed in
+# catalog.QUERY_MODULES) lands every staged query in the live registry.
+promote()

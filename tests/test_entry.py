@@ -39,47 +39,55 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-10 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-10 git diff:
-#: agg_approx_count_distinct / agg_hll_partial_merge (within_5pct now
-#: treats exact==0 with a zero estimate as a perfect match, ADVICE r9),
-#: q15 / q22 (shared subaggregate pinned, 3 scans -> 2 each), and
-#: ev_gap_fill_forward (dense grid bounded to the 90-day trailing
-#: horizon -- ALSO an r6-cohort member, counted there in the window
-#: arithmetic).
+#: round-11 rotation: queries whose CODE changed this round -- every
+#: name here must appear in the round-11 git diff:
+#: the three co-purchase graph ops (supplier-node offset migrated
+#: 1e6 -> 1e12; output node ids change), the 11 dup-detection
+#: consumers of _bucket_pairs (degenerate-bucket star cap; identical
+#: results at oracle SFs, re-verified, but the candidate expression
+#: changed), and txt_cooccurrence_pmi / txt_rake_keywords (vocabulary
+#: top-k now precedes the rank window).
 CHANGED_THIS_ROUND = (
-    "agg_approx_count_distinct",
-    "agg_hll_partial_merge",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "ev_gap_fill_forward",
-    # round-10 review fix: top-k BEFORE rank (TakeOrdered, no
-    # vertex-set single-partition window) + w1/w2 walk-frame pins.
-    # Already in the window via PROMOTED_THIS_ROUND.
-    "graph_katz_centrality",
-)
-
-#: round-10 promotions: the former plans/staged_r10.py tier, registered
-#: this round and therefore never driver-verified -- all 15 must head
-#: the driver window (test_every_never_verified_query_is_inside_driver_window
-#: asserts this mechanically from the artifact set, this tuple makes
-#: the intent reviewable)
-PROMOTED_THIS_ROUND = (
-    "join_lateral_top2_per_order",
-    "subquery_correlated_scalar",
-    "agg_mode_exact",
-    "window_nth_value_frames",
-    "setop_except_all_multiset",
-    "agg_welch_ttest",
-    "ev_funnel_time_percentiles",
-    "ev_lorenz_power_users",
-    "ev_bounce_rate_sessions",
-    "ev_inter_event_histogram",
+    "graph_pagerank_copurchase",
     "graph_label_propagation",
     "graph_katz_centrality",
-    "agg_ks_two_sample",
-    "agg_chi2_independence",
+    "dedup_minhash_lsh",
+    "dedup_connected_components",
+    "pipeline_curated_corpus",
+    "dedup_threshold_curve",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_pretraining_funnel",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine",
+    "dedup_containment",
     "mm_phash_hamming_dedup",
+    "txt_cooccurrence_pmi",
+    "txt_rake_keywords",
+)
+
+#: round-11 promotions: the former plans/staged_r11.py tier, registered
+#: this round and therefore never driver-verified -- all 15 sit in the
+#: driver window right after the 10 mandatory r6 leftovers
+#: (test_every_never_verified_query_is_inside_driver_window asserts the
+#: window membership mechanically; this tuple makes the intent
+#: reviewable)
+PROMOTED_THIS_ROUND = (
+    "agg_pivot_shipmode",
+    "window_rolling_median",
+    "ev_cumulative_distinct_users",
+    "ev_top_paths",
+    "agg_equidepth_histogram",
+    "ev_sweepline_active_intervals",
+    "ev_ewma_smoothed",
+    "agg_mann_whitney",
+    "graph_shortest_paths",
+    "dedup_edit_distance",
+    "agg_kmv_distinct",
+    "ev_user_value_anomalies",
+    "dedup_winnowing",
+    "mm_cdc_chunking",
+    "mm_cdc_dedup",
 )
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -90,42 +98,57 @@ PROMOTED_THIS_ROUND = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 9
+COMMITTED_ROUND = 10
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 197 registered
+#: Full-registry refresh cycle length in rounds. With 212 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(197/50) = 4 rounds, so the freshness invariant below
+#: once per ceil(212/50) = 5 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
-#: rounds behind the newest committed artifact. Round 7's two-round
-#: horizon became arithmetically impossible the moment the registry
-#: crossed 100 (2 x WINDOW) names; this constant states the honest
-#: bound and test_refresh_cycle_matches_registry_size pins it to the
+#: rounds behind the newest committed artifact.
+#: test_refresh_cycle_matches_registry_size re-derives this from the
 #: live registry size rather than trusting the comment.
-REFRESH_CYCLE_ROUNDS = 4
+REFRESH_CYCLE_ROUNDS = 5
 
-#: the 10 r6 green rows the 50-slot window cannot fit this round: after
-#: the 15 never-verified promotions and the 4 non-r6 changed-code
-#: queries, 31 of the 41 r6 greens fit (heavier / engine-semantics
-#: shapes first, per the standing precedent; the deferred ten are the
-#: lightest txt_* shapes). The r6 cohort sits exactly AT the freshness
-#: horizon at round 10 (3 = REFRESH_CYCLE_ROUNDS - 1 rounds behind), so
-#: deferring is legal this round but these 10 become violations at
-#: round 11 -- they are round 11's MANDATORY head cohort.
+#: the 28 r7 greens the 50-slot window cannot fit this round: after the
+#: 10 mandatory r6 leftovers, the 15 never-verified promotions, and the
+#: 16 changed-code names (5 of which are themselves r7 greens), 9 of
+#: the remaining 37 r7 names fit -- heavier-first by recorded bench
+#: time, per the standing precedent. The r7 cohort is 3 rounds behind
+#: at commit time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4), so
+#: deferring is legal this round; these 28 head round 12's window.
 ROTATION_LEFTOVERS = (
-    "txt_bigram_perplexity",
-    "txt_char_entropy",
-    "txt_lang_stats",
-    "txt_langid_heuristic",
-    "txt_lexical_diversity",
-    "txt_quality_score",
-    "txt_tf_df_top_terms",
-    "txt_token_stats",
-    "txt_top_bigrams",
-    "txt_zipf_slope",
+    "agg_approx_percentile",
+    "dedup_exact_summary",
+    "dedup_simhash",
+    "ev_asof_attribution",
+    "ev_engine_latest",
+    "ev_isin_subpartitions",
+    "ev_markov_transitions",
+    "ev_message_flatten",
+    "ev_range_interval_join",
+    "ev_version_filter",
+    "mm_binary_featurize",
+    "mm_modality_stats",
+    "mm_resize_fixed",
+    "pipeline_domain_blocklist",
+    "pipeline_mixture_reweight",
+    "pipeline_sequence_packing",
+    "pipeline_stratified_sample",
+    "q21_waiting_supplier",
+    "q8_market_share",
+    "sim_lsh_ann",
+    "sim_matryoshka_recall",
+    "sim_mmr_rerank",
+    "st_asof_attribution",
+    "st_dedup_within_watermark",
+    "st_sliding_counts",
+    "txt_pii_redaction",
+    "txt_repetition_signals",
+    "window_time_range_frame",
 )
 
 
@@ -173,34 +196,44 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round10_rotation_window(spark):
+def test_round11_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-10 contract, asserted mechanically and COMPLETELY
-    (round 6's weakened ">= min(2, ...)" form let a claimed refresh go
-    unchecked -- ADVICE r6): every never-verified promotion and every
-    changed-code query is in the window, and the OLDEST cohort -- which
-    this round is larger than the remaining slots (41 r6 names vs
-    50 - 15 - 4 = 31) -- is partitioned EXACTLY between the window and
-    the documented leftovers: no name unaccounted, no leftover listed
-    that is actually in the window, every leftover really from that
-    cohort. Deferring is legal only because the oldest cohort sits AT
-    the horizon (test_no_query_outside_window_has_stale_green is the
-    mechanical guard); the leftovers are round 11's mandatory head."""
+    per round). Round-11 contract, asserted mechanically and
+    COMPLETELY: every never-verified promotion and every changed-code
+    query is in the window; the OLDEST cohort (the 10 r6 txt_* greens
+    round 10 documented as its leftovers -- this round's MANDATORY
+    head) is entirely inside the window; and the SECOND-oldest cohort
+    (r7), which is larger than the remaining slots (42 names vs
+    50 - 10 - 15 - 16 = 9 pure-refresh slots + 5 changed-code
+    overlaps), is partitioned EXACTLY between the window and the
+    documented leftovers: no name unaccounted, no leftover listed that
+    is actually in the window, every leftover really from that cohort.
+    Deferring r7 names is legal only because they sit 3 rounds behind
+    with a 4-round horizon (test_no_query_outside_window_has_stale_green
+    is the mechanical guard); the leftovers are round 12's head."""
     names = list(entrymod.queries())[:WINDOW]
     for must in PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND:
         assert must in names, f"promoted/changed query {must} not in window"
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = {q for q, r in latest.items() if r == rounds[0]}
-    unaccounted = sorted(oldest - set(names) - set(ROTATION_LEFTOVERS))
+    # round 10's documented leftovers ARE the oldest cohort; every one
+    # of them must occupy a window slot this round
+    missing_head = sorted(oldest - set(names))
+    assert not missing_head, (
+        f"r{rounds[0]}-green mandatory head names not in the window: "
+        f"{missing_head}"
+    )
+    # the r7 cohort partitions exactly between window and leftovers
+    second = {q for q, r in latest.items() if r == rounds[1]}
+    unaccounted = sorted(second - set(names) - set(ROTATION_LEFTOVERS))
     assert not unaccounted, (
-        f"r{rounds[0]}-green queries neither in the window nor "
+        f"r{rounds[1]}-green queries neither in the window nor "
         f"documented leftovers: {unaccounted}"
     )
-    # leftovers must be real deferrals from exactly the oldest cohort
-    misfiled = sorted(set(ROTATION_LEFTOVERS) - oldest)
+    misfiled = sorted(set(ROTATION_LEFTOVERS) - second)
     assert not misfiled, (
-        f"ROTATION_LEFTOVERS entries not in the r{rounds[0]} "
+        f"ROTATION_LEFTOVERS entries not in the r{rounds[1]} "
         f"cohort: {misfiled}"
     )
     in_window_leftovers = sorted(set(ROTATION_LEFTOVERS) & set(names))
@@ -208,17 +241,15 @@ def test_round10_rotation_window(spark):
         f"ROTATION_LEFTOVERS entries that are actually in the "
         f"window: {in_window_leftovers}"
     )
-    if len(rounds) > 1:
-        # the next-oldest cohort (r7) is strictly inside the horizon at
-        # round 10; nothing from it may displace an oldest-cohort name
-        next_oldest = {q for q, r in latest.items() if r == rounds[1]}
-        displaced = sorted(
-            (next_oldest & set(names)) - set(CHANGED_THIS_ROUND)
-        )
-        assert not displaced, (
-            f"r{rounds[1]}-green queries occupy window slots while "
-            f"r{rounds[0]} names are deferred: {displaced}"
-        )
+    # nothing fresher (r8+) may occupy a slot while r7 names are
+    # deferred, except the changed-code re-verifications (promotions
+    # have no artifact rows, so they never appear in `latest`)
+    fresher = {q for q, r in latest.items() if r > rounds[1]}
+    displaced = sorted((fresher & set(names)) - set(CHANGED_THIS_ROUND))
+    assert not displaced, (
+        f"post-r{rounds[1]} greens occupy window slots while "
+        f"r{rounds[1]} names are deferred: {displaced}"
+    )
 
 
 def test_no_query_outside_window_has_stale_green(spark):

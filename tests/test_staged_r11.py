@@ -56,23 +56,28 @@ def test_staged_plan_shapes(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
-def test_staging_is_not_live():
-    """Honesty guard: no staged name is registered until round 11
-    executes the promotion -- __spark_entry__.queries() must stay a
-    list of driver-verifiable claims. promote() itself is exercised
-    against the live registry and rolled back."""
-    from clueso_spark.plans.catalog import REGISTRY, all_queries
+def test_promotion_is_live_and_heads_the_window():
+    """Round 11 executed the promotion (the inverse of round 10's
+    test_staging_is_not_live honesty guard): every formerly-staged name
+    is in the live registry, sits inside the round-11 driver window
+    (never-driver-verified names must be verifiable this round), and is
+    perf-tracked in bench.py HEADLINE -- the round-6 lesson: never
+    claim that inclusion before it exists."""
+    import bench
+
+    from clueso_spark.plans.catalog import all_queries
 
     live = all_queries()
-    overlap = sorted(set(STAGED) & set(live))
-    assert overlap == [], overlap
-    try:
-        promote()
-        assert set(STAGED) <= set(REGISTRY)
-    finally:
-        for name in STAGED:
-            REGISTRY.pop(name, None)
-    assert not set(STAGED) & set(REGISTRY)
+    missing = sorted(set(STAGED) - set(live))
+    assert missing == [], missing
+    window = set(list(live)[:50])
+    outside = sorted(set(STAGED) - window)
+    assert outside == [], outside
+    unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
+    assert unbenched == [], unbenched
+    # promote() stays idempotent after the import-time call
+    promote()
+    assert len(all_queries()) == len(live)
 
 
 def test_no_global_single_partition_windows(spark):
