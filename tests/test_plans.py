@@ -122,6 +122,10 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "agg_chi2_independence",  # 1-row grand-total broadcast
         "ev_funnel_time_percentiles",  # 1-row total broadcast
         "ev_lorenz_power_users",  # 1-row totals + 10-row decile ladder
+        # round-11 promoted tier (formerly test_staged_r11's sanction
+        # list)
+        "agg_equidepth_histogram",  # 1-row total-count broadcast (ntile ranks)
+        "agg_kmv_distinct",  # 1-row exact-count x 1-row sketch summary
     }
     offenders = {}
     for name, cq in registry.items():

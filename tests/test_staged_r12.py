@@ -1,0 +1,150 @@
+"""Parity gate for the round-11 STAGED operators (plans/staged_r12.py).
+
+Runs the exact driver comparison -- row count + schema + order-
+insensitive value hash against the DuckDB oracle -- at sf0.001 and
+sf0.01, so each staged query is proven green BEFORE round 12 promotes
+it into the registry and the driver's verification window (the same
+life-cycle staged_r6 .. staged_r11 all ran through).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clueso_spark.plans.parity import compare, duckdb_connect
+from clueso_spark.plans.staged_r12 import STAGED, promote
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(STAGED))
+def test_staged_parity(spark, name, sf_dir):
+    cq = STAGED[name]
+    df = cq.spark(spark, sf_dir)
+    if cq.oracle_valid is not None and not cq.oracle_valid(sf_dir):
+        assert df.count() >= 0
+        return
+    con = duckdb_connect(sf_dir)
+    res = compare(name, df, cq.oracle, con)
+    assert res.ok, (name, res.detail)
+
+
+def test_staged_rows_nonempty(spark):
+    """Every staged query returns at least one row at sf0.01 (the
+    driver's smoke bar for registered queries)."""
+    for name, cq in sorted(STAGED.items()):
+        assert cq.spark(spark, SF_DIRS[1]).count() > 0, name
+
+
+def test_staged_plan_shapes(spark):
+    """No staged plan contains a CartesianProduct; the only
+    BroadcastNestedLoopJoins are the sanctioned tiny broadcasts; and
+    every Window node is either keyed or bounded-constant (the global
+    ones run over sketch-sized or top-k-limited frames only)."""
+    sanctioned_bnlj = {
+        # 3-row quantile spec x bucket-count-sized sketch / rank frames
+        # (both join sides bounded; the corpus is touched keyed-only)
+        "agg_hdr_quantile_merge",
+        # 1-row cohort-totals broadcast onto the shared-type relation
+        "agg_kl_divergence_drift",
+        # per-round 1-row node-count x 1-row edge-count cross joins
+        "graph_kcore_decomposition",
+        # 1-row vertex-count broadcast per PageRank round (the same
+        # sanction graph_pagerank_copurchase carries in test_plans)
+        "txt_textrank_keywords",
+    }
+    for name, cq in sorted(STAGED.items()):
+        plan = cq.spark(spark, SF_DIRS[1])._jdf.queryExecution().toString()
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name not in sanctioned_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_staging_is_not_live():
+    """Honesty guard: no staged name is registered until round 12
+    executes the promotion -- __spark_entry__.queries() must stay a
+    list of driver-verifiable claims. promote() itself is exercised
+    against the live registry and rolled back."""
+    from clueso_spark.plans.catalog import REGISTRY, all_queries
+
+    live = all_queries()
+    overlap = sorted(set(STAGED) & set(live))
+    assert overlap == [], overlap
+    try:
+        promote()
+        assert set(STAGED) <= set(REGISTRY)
+    finally:
+        for name in STAGED:
+            REGISTRY.pop(name, None)
+    assert not set(STAGED) & set(REGISTRY)
+
+
+def test_index_delta_maintenance_equals_rebuild(spark):
+    """The LSM invariant is hash-verified data, but pin it as a law
+    too: every band's maintained count equals the rebuild."""
+    rows = STAGED["dedup_minhash_index_delta"].spark(
+        spark, SF_DIRS[1]
+    ).collect()
+    assert len(rows) == 8
+    assert all(r["matches_rebuild"] == 1 for r in rows)
+
+
+def test_cms_estimates_dominate_truth(spark):
+    """The count-min guarantee: estimate >= exact count, for every
+    probed heavy hitter, at both SFs."""
+    for sf in SF_DIRS:
+        rows = STAGED["agg_cms_partial_merge"].spark(spark, sf).collect()
+        assert rows, sf
+        assert all(r["ge_truth"] == 1 for r in rows), sf
+        assert all(r["overcount"] >= 0 for r in rows), sf
+
+
+def test_hdr_buckets_contain_exact_quantiles(spark):
+    """The sketch's accuracy claim: every quantile's exact value lies
+    inside the sketch's answered bucket (relative error <= 2x by
+    construction of log2 buckets)."""
+    for sf in SF_DIRS:
+        rows = STAGED["agg_hdr_quantile_merge"].spark(spark, sf).collect()
+        assert {r["pct"] for r in rows} == {50, 90, 99}, sf
+        assert all(r["within_bucket"] == 1 for r in rows), sf
+
+
+def test_kcore_monotonically_shrinks(spark):
+    """Peeling can only remove: node and edge counts are non-increasing
+    across rounds."""
+    rows = sorted(
+        STAGED["graph_kcore_decomposition"].spark(spark, SF_DIRS[1]).collect(),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_nodes"] <= a["n_nodes"]
+        assert b["n_edges"] <= a["n_edges"]
+
+
+def test_interval_union_bounds(spark):
+    """Union coverage is bounded: one interval's length <= covered_us
+    <= n_events * interval length."""
+    from clueso_spark.plans.staged_r12 import _IVL_LEN_US
+
+    rows = STAGED["ev_interval_union_length"].spark(
+        spark, SF_DIRS[1]
+    ).collect()
+    assert rows
+    for r in rows:
+        assert _IVL_LEN_US <= r["covered_us"] <= r["n_events"] * _IVL_LEN_US
+
+
+def test_asof_tolerance_never_exceeds_bound(spark):
+    """Every matched purchase's gap is within tolerance; unmatched rows
+    carry the -1 sentinel in both columns."""
+    from clueso_spark.plans.staged_r12 import _ASOF_TOL_US
+
+    rows = STAGED["ev_asof_tolerance_join"].spark(spark, SF_DIRS[1]).collect()
+    assert rows
+    for r in rows:
+        if r["click_id"] == -1:
+            assert r["gap_us"] == -1
+        else:
+            assert 0 <= r["gap_us"] <= _ASOF_TOL_US
