@@ -41,7 +41,15 @@ catalog):
   * events -- day-of-week seasonal baseline deviations via rank-
     arithmetic integer medians, an as-of join with a tolerance bound
     (the pandas merge_asof(tolerance=...) semantic), and per-user
-    interval-union coverage time (the billing meter) with no join.
+    interval-union coverage time (the billing meter) with no join;
+  * joins -- a corpus-GLOBAL interval-point range join via time
+    bucketing (one keyed shuffle; the oracle is the naive inequality
+    join, so parity proves the bucketing exact);
+  * evaluation -- LSH relative recall by IR pooling (two independent
+    sketch families scored against the exactly-verified pooled union)
+    and Newman modularity of the label-propagation communities in
+    exact integers -- the engine scores its own candidates and
+    clusters, and the scores hash-verify.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -1586,4 +1594,448 @@ def ev_interval_union_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(contrib).cast("bigint").alias("covered_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global range join WITHOUT an entity key, via time bucketing: the
+# scale path when intervals and points share no equi-key (the existing
+# ev_range_interval_join is user-keyed; this one is corpus-global).
+# Each 2-hour interval lands in at most 2 width-2h buckets, points in
+# exactly one; the join is a plain equi-join on bucket id with the
+# range predicate as a post-filter -- ONE keyed shuffle instead of the
+# broadcast-nested-loop a naive t BETWEEN s AND e join plans. The
+# DuckDB oracle runs the NAIVE inequality join, so parity proves the
+# bucketing is semantically exact, not just replicated.
+# ---------------------------------------------------------------------------
+
+_RB_WIDTH_US = 7_200_000_000  # bucket width == interval length (2 h)
+
+
+@_stage(
+    "join_range_bucketed_global",
+    "Corpus-global interval-point range join via time bucketing: every "
+    "signup opens a 2-hour window; for EVERY error event (no shared "
+    "user key) count the open signup windows covering it. Intervals "
+    "explode to <= 2 width-2h buckets, points join on bucket id (one "
+    "keyed shuffle), the range predicate post-filters. The oracle is "
+    "the NAIVE inequality join -- parity proves the bucketed plan "
+    "computes exactly the quadratic-join semantics without one.",
+    f"""
+    with s as (
+      select event_id as s_id, epoch_us(ts) as s_us,
+             epoch_us(ts) + {_RB_WIDTH_US} as e_us
+      from events where event_type = 'signup'
+    ),
+    p as (
+      select event_id as e_id, epoch_us(ts) as t_us
+      from events where event_type = 'error'
+    )
+    select p.e_id as error_id,
+           cast(count(s.s_id) as bigint) as n_open_windows
+    from p left join s on p.t_us >= s.s_us and p.t_us < s.e_us
+    group by p.e_id
+    """,
+    "join", "range", "bucketed",
+)
+def join_range_bucketed_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_id"),
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + _RB_WIDTH_US).alias("e_us"),
+    )
+    # interval -> its (at most 2) covering buckets; array_distinct
+    # collapses the exact-alignment case
+    sb = s.select(
+        "s_id",
+        "s_us",
+        "e_us",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"s_us div {_RB_WIDTH_US}"),
+                    F.expr(f"(e_us - 1) div {_RB_WIDTH_US}"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    p = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.unix_micros("ts").alias("t_us"),
+    ).select(
+        "e_id", "t_us", F.expr(f"t_us div {_RB_WIDTH_US}").alias("bucket")
+    )
+    hits = (
+        p.join(sb, "bucket")
+        .where((F.col("t_us") >= F.col("s_us")) & (F.col("t_us") < F.col("e_us")))
+        .groupBy("e_id")
+        .agg(F.count("*").cast("bigint").alias("n_open"))
+    )
+    return (
+        p.select("e_id")
+        .join(hits, "e_id", "left")
+        .select(
+            F.col("e_id").alias("error_id"),
+            F.coalesce(F.col("n_open"), F.lit(0))
+            .cast("bigint")
+            .alias("n_open_windows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH evaluation: relative recall + exact precision of two INDEPENDENT
+# banded sketch families over the same shingle sets. Absolute recall
+# needs the all-pairs ground truth no 100 TB corpus can afford; the
+# standard substitute (IR pooling) verifies the UNION of both
+# families' candidates exactly and scores each family against it.
+# Family A is the registered production family (minhash_band_sigs,
+# 8 bands, r=2); family B is a salt-disjoint 4-band family -- every
+# number is md5-deterministic, so the evaluation itself hash-verifies.
+# ---------------------------------------------------------------------------
+
+_RR_TAU = 0.5
+_RR_B_BANDS = 4
+_RR_B_SALTS = ("a+", "b+", "c+", "d+")
+
+
+def _rr_oracle() -> str:
+    from clueso_spark.plans.dedup_queries import N_BANDS
+
+    b_band_sql = "\n      union all\n".join(
+        f"""      select doc_id, {b} as band,
+             min(substr(md5('{salt}' || shingle), 1, 8))
+             || min(substr(md5('{salt}' || shingle), 9, 8)) as sig
+      from sh group by doc_id"""
+        for b, salt in enumerate(_RR_B_SALTS)
+    )
+    return f"""
+    with t as (select doc_id, string_split(text, ' ') as w from documents),
+    sh as (
+      select distinct doc_id,
+             unnest(list_transform(range(1, len(w) - 1),
+                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) as shingle
+      from t where len(w) >= 3
+    ),
+    bands_a as (
+      select doc_id, b.range as band,
+             min(substr(md5(shingle) || md5('~' || shingle)
+                        || md5('#' || shingle) || md5('@' || shingle),
+                        cast(b.range * 16 + 1 as int), 8))
+             || min(substr(md5(shingle) || md5('~' || shingle)
+                           || md5('#' || shingle) || md5('@' || shingle),
+                           cast(b.range * 16 + 9 as int), 8)) as sig
+      from sh cross join range({N_BANDS}) b
+      group by doc_id, b.range
+    ),
+    bands_b as (
+{b_band_sql}
+    ),
+    cand_a as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from bands_a a join bands_a b
+        on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+    ),
+    cand_b as (
+      select distinct a.doc_id as doc_a, b.doc_id as doc_b
+      from bands_b a join bands_b b
+        on a.band = b.band and a.sig = b.sig and a.doc_id < b.doc_id
+    ),
+    pool as (select * from cand_a union select * from cand_b),
+    sets as (select doc_id, list(shingle) as ss from sh group by doc_id),
+    verified as (
+      select doc_a, doc_b
+      from pool join sets x on doc_a = x.doc_id
+                join sets y on doc_b = y.doc_id
+      where len(list_intersect(x.ss, y.ss))::double
+              / len(list_distinct(x.ss || y.ss)) >= {_RR_TAU}
+    ),
+    u as (select cast(count(*) as bigint) as n_union from verified),
+    fam as (
+      select 'A' as family,
+             cast((select count(*) from cand_a) as bigint) as n_candidates,
+             cast((select count(*) from cand_a
+                   join verified using (doc_a, doc_b)) as bigint) as n_verified
+      union all
+      select 'B',
+             cast((select count(*) from cand_b) as bigint),
+             cast((select count(*) from cand_b
+                   join verified using (doc_a, doc_b)) as bigint)
+    )
+    select family, n_candidates, n_verified, u.n_union as n_union_verified,
+           cast(case when u.n_union = 0 then 1000000
+                else 1000000 * n_verified // u.n_union end as bigint)
+             as recall_rel_scaled,
+           cast(case when n_candidates = 0 then 1000000
+                else 1000000 * n_verified // n_candidates end as bigint)
+             as precision_scaled
+    from fam cross join u
+    """
+
+
+@_stage(
+    "dedup_lsh_relative_recall",
+    "LSH evaluation by pooling: two independent banded minhash "
+    "families (the registered 8-band r=2 production family vs a "
+    f"salt-disjoint {_RR_B_BANDS}-band family) generate candidates, "
+    f"the pooled union is verified exactly (Jaccard >= {_RR_TAU}), "
+    "and each family reports exact precision and recall RELATIVE to "
+    "the pooled truth -- the IR-pooling protocol, because absolute "
+    "recall needs the all-pairs ground truth no 100 TB corpus can "
+    "afford. Every number is md5-deterministic, so the evaluation "
+    "itself hash-verifies cross-engine.",
+    _rr_oracle(),
+    "dedup", "minhash", "lsh", "evaluation",
+)
+def dedup_lsh_relative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.functions.text import tokens, word_shingles
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _bucket_pairs,
+        minhash_band_sigs,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("w", tokens())
+    )
+    sets = persist_swap(
+        spark,
+        "rr_sets",
+        docs.where(F.size("w") >= 3).select(
+            "doc_id", F.array_distinct(word_shingles("w", 3)).alias("ss")
+        ),
+    )
+    long_a = sets.select(
+        "doc_id", F.posexplode(minhash_band_sigs()).alias("band", "sig")
+    )
+    # family B: per band one salted digest per shingle; r=2 from its
+    # two disjoint 8-hex halves, one aggregate fold per half per band
+    b_sigs = F.array(
+        *[
+            F.expr(
+                f"""concat(
+                  aggregate(transform(ss, s -> substring(md5(concat('{salt}', s)), 1, 8)),
+                            'g', (acc, x) -> least(acc, x)),
+                  aggregate(transform(ss, s -> substring(md5(concat('{salt}', s)), 9, 8)),
+                            'g', (acc, x) -> least(acc, x)))"""
+            )
+            for salt in _RR_B_SALTS
+        ]
+    )
+    long_b = sets.select(
+        "doc_id", F.posexplode(b_sigs).alias("band", "sig")
+    )
+    cand_a = persist_swap(
+        spark,
+        "rr_cand_a",
+        _bucket_pairs(
+            long_a, ["band", "sig"], "doc_id", "doc_a", "doc_b",
+            cap=LSH_BUCKET_CAP,
+        ).distinct(),
+    )
+    cand_b = persist_swap(
+        spark,
+        "rr_cand_b",
+        _bucket_pairs(
+            long_b, ["band", "sig"], "doc_id", "doc_a", "doc_b",
+            cap=LSH_BUCKET_CAP,
+        ).distinct(),
+    )
+    pool = cand_a.unionByName(cand_b).distinct()
+    x = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    y = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    jac = F.size(F.array_intersect("ss_a", "ss_b")).cast("double") / F.size(
+        F.array_union("ss_a", "ss_b")
+    )
+    verified = persist_swap(
+        spark,
+        "rr_verified",
+        pool.join(x, "doc_a")
+        .join(y, "doc_b")
+        .where(jac >= _RR_TAU)
+        .select("doc_a", "doc_b"),
+    )
+    u = F.broadcast(verified.agg(F.count("*").alias("n_union")))
+
+    def fam(cand: DataFrame, name: str) -> DataFrame:
+        n_cand = cand.agg(F.count("*").alias("n_candidates"))
+        n_ver = cand.join(verified, ["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_verified")
+        )
+        return (
+            n_cand.crossJoin(n_ver)
+            .crossJoin(u)
+            .select(
+                F.lit(name).alias("family"),
+                F.col("n_candidates").cast("bigint").alias("n_candidates"),
+                F.col("n_verified").cast("bigint").alias("n_verified"),
+                F.col("n_union").cast("bigint").alias("n_union_verified"),
+                F.expr(
+                    "cast(case when n_union = 0 then 1000000"
+                    " else 1000000 * n_verified div n_union end as bigint)"
+                ).alias("recall_rel_scaled"),
+                F.expr(
+                    "cast(case when n_candidates = 0 then 1000000"
+                    " else 1000000 * n_verified div n_candidates end"
+                    " as bigint)"
+                ).alias("precision_scaled"),
+            )
+        )
+
+    return fam(cand_a, "A").unionByName(fam(cand_b, "B"))
+
+
+# ---------------------------------------------------------------------------
+# Community-quality evaluation: Newman modularity of the 3-round
+# label-propagation communities, in EXACT integer arithmetic.
+# Q = sum_c [ e_c/m - (d_c/2m)^2 ]; cross-multiplying by 4m^2 gives
+# Q * 4m^2 = sum_c (4m*e_c - d_c^2) -- pure bigints (safe to SF ~2000:
+# sum d_c^2 <= (2m)^2). The clustering-evaluation sibling of
+# sim_ann_recall_at_k: the engine does not just produce communities,
+# it scores them, and the score hash-verifies.
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from clueso_spark.plans.staged_r10 import _LP_ROUND_SQL, _lp_edges_sql
+
+    return f"""
+    with {_lp_edges_sql()},
+    l0 as (
+      select u as node, u as lbl from (select u from e group by u)
+    )
+    {_LP_ROUND_SQL},
+    lab as (select node, lbl from l3),
+    m as (select cast(count(*) as bigint) // 2 as m from e),
+    ec as (
+      select la.lbl as c, cast(count(*) as bigint) // 2 as e_c
+      from e join lab la on e.u = la.node
+             join lab lb on e.v = lb.node
+      where la.lbl = lb.lbl
+      group by la.lbl
+    ),
+    dc as (
+      select lab.lbl as c, cast(count(*) as bigint) as d_c
+      from e join lab on e.u = lab.node
+      group by lab.lbl
+    ),
+    terms as (
+      select dc.c, coalesce(ec.e_c, 0) as e_c, dc.d_c
+      from dc left join ec on dc.c = ec.c
+    )
+    select m.m as m,
+           cast((select count(*) from dc) as bigint) as n_communities,
+           cast(sum(4 * m.m * e_c - d_c * d_c) as bigint) as q_num,
+           cast(sum(4 * m.m * e_c - d_c * d_c) as double)
+             / cast(4 * m.m * m.m as double) as q
+    from terms cross join m
+    group by m.m
+    """
+
+
+@_stage(
+    "graph_modularity_communities",
+    "Newman modularity of the 3-round label-propagation communities "
+    "on the co-purchase graph, in exact integers: Q * 4m^2 = "
+    "sum_c (4m*e_c - d_c^2) over intra-community edge counts e_c and "
+    "community degree sums d_c (bigint-safe to SF ~2000); q is the "
+    "single final IEEE division of two exact integers. The engine "
+    "scores the communities it produces, and the score hash-verifies.",
+    _modularity_oracle(),
+    "graph", "communities", "evaluation",
+)
+def graph_modularity_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from clueso_spark.plans.staged_r10 import _LP_SUPP_BASE
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    e0 = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("c"),
+            (F.lit(_LP_SUPP_BASE) + F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = persist_swap(
+        spark,
+        "mod_edges",
+        e0.select(F.col("c").alias("u"), F.col("s").alias("v")).unionByName(
+            e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
+        ),
+    )
+    labels = edges.groupBy("u").agg(F.lit(0)).select(
+        F.col("u").alias("node"), F.col("u").alias("lbl")
+    )
+    for k in range(3):
+        # same per-round pin discipline as graph_label_propagation:
+        # each round reads the previous labels twice
+        labels = persist_swap(spark, f"mod_lbl_{k}", labels)
+        nl = labels.select(
+            F.col("node").alias("v_node"), F.col("lbl").alias("nlbl")
+        )
+        labels = (
+            labels.join(edges, labels.node == edges.u, "left")
+            .join(nl, F.col("v") == F.col("v_node"), "left")
+            .groupBy("node", "lbl")
+            .agg(F.min("nlbl").alias("mn"))
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("mn"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+    lab = persist_swap(spark, "mod_labels", labels)
+    m = F.broadcast(
+        edges.agg((F.count("*") / 2).cast("bigint").alias("m"))
+    )
+    la = lab.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
+    ec = (
+        edges.join(la, "u")
+        .join(lb, "v")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("c"))
+        .agg((F.count("*") / 2).cast("bigint").alias("e_c"))
+    )
+    dc = (
+        edges.join(la, "u")
+        .groupBy(F.col("la").alias("c"))
+        .agg(F.count("*").cast("bigint").alias("d_c"))
+    )
+    terms = dc.join(ec, "c", "left").select(
+        "c",
+        F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+        "d_c",
+    )
+    return (
+        terms.crossJoin(m)
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.sum(
+                4 * F.col("m") * F.col("e_c") - F.col("d_c") * F.col("d_c")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+        .select(
+            "m",
+            "n_communities",
+            "q_num",
+            (
+                F.col("q_num").cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            ).alias("q"),
+        )
     )

@@ -53,6 +53,11 @@ def test_staged_plan_shapes(spark):
         # 1-row vertex-count broadcast per PageRank round (the same
         # sanction graph_pagerank_copurchase carries in test_plans)
         "txt_textrank_keywords",
+        # three 1-row counter frames (candidates / verified / pooled
+        # union) cross-joined per family
+        "dedup_lsh_relative_recall",
+        # 1-row undirected-edge-count broadcast onto the community terms
+        "graph_modularity_communities",
     }
     for name, cq in sorted(STAGED.items()):
         plan = cq.spark(spark, SF_DIRS[1])._jdf.queryExecution().toString()

@@ -337,3 +337,45 @@ def test_hdr_power_of_two_boundary(spark, tmp_path):
         assert r["est_low"] == 4096
         assert r["exact_cents"] == 4096
         assert r["within_bucket"] == 1
+
+
+def test_range_bucketed_window_boundaries(spark, tmp_path):
+    """Half-open [start, start + 2h): a point AT the start matches, a
+    point AT the end does not -- including across a bucket boundary."""
+    from clueso_spark.plans.staged_r12 import _RB_WIDTH_US
+
+    W = _RB_WIDTH_US
+    sf = _events_table(
+        tmp_path,
+        [
+            _ev(1, 1, W // 2, "signup"),      # window [W/2, 3W/2)
+            _ev(2, 1, W // 2, "error"),       # at start -> in
+            _ev(3, 1, W, "error"),            # mid-window, NEXT bucket -> in
+            _ev(4, 1, 3 * W // 2, "error"),   # at end -> out
+            _ev(5, 1, 0, "error"),            # before -> out
+        ],
+    )
+    got = {
+        r["error_id"]: r["n_open_windows"]
+        for r in STAGED["join_range_bucketed_global"].spark(spark, sf).collect()
+    }
+    assert got == {2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_relative_recall_planted_identical_docs(spark, tmp_path):
+    """Two identical long docs: BOTH families must bucket them
+    together, the pooled union verifies the pair, and both report
+    recall == precision == 1e6."""
+    text = "the quick brown fox jumps over the lazy dog repeatedly " * 6
+    sf = _docs_table(tmp_path, [_doc(1, text), _doc(2, text)])
+    out = {
+        r["family"]: r
+        for r in STAGED["dedup_lsh_relative_recall"].spark(spark, sf).collect()
+    }
+    for fam in ("A", "B"):
+        r = out[fam]
+        assert r["n_candidates"] == 1
+        assert r["n_verified"] == 1
+        assert r["n_union_verified"] == 1
+        assert r["recall_rel_scaled"] == 1_000_000
+        assert r["precision_scaled"] == 1_000_000

@@ -129,3 +129,46 @@ def test_asof_and_interval_cover_all_users(rows, spark):
     out = rows["ev_interval_union_length"]
     assert len(out) == n_users
     assert len({r["user_id"] for r in out}) == n_users
+
+
+def test_range_bucketed_counts_bounded_by_signups(rows, spark):
+    """No error event can see more open windows than there are
+    signups; every error event appears exactly once."""
+    from clueso_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    n_sign = ev.where("event_type = 'signup'").count()
+    n_err = ev.where("event_type = 'error'").count()
+    out = rows["join_range_bucketed_global"]
+    assert len(out) == n_err
+    assert all(0 <= r["n_open_windows"] <= n_sign for r in out)
+
+
+def test_relative_recall_laws(rows):
+    """Pooling laws: verified <= candidates, verified <= pooled union,
+    scaled ratios in [0, 1e6], and the two families share one union."""
+    out = {r["family"]: r for r in rows["dedup_lsh_relative_recall"]}
+    assert set(out) == {"A", "B"}
+    union = {out[f]["n_union_verified"] for f in out}
+    assert len(union) == 1
+    for r in out.values():
+        assert 0 <= r["n_verified"] <= r["n_candidates"]
+        assert r["n_verified"] <= r["n_union_verified"]
+        assert 0 <= r["recall_rel_scaled"] <= 1_000_000
+        assert 0 <= r["precision_scaled"] <= 1_000_000
+    # the pool is the union of the two families' verified sets: at
+    # least one family must reach every pooled pair it contributed
+    assert (
+        out["A"]["n_verified"] + out["B"]["n_verified"]
+        >= out["A"]["n_union_verified"]
+    )
+
+
+def test_modularity_is_bounded(rows):
+    """Q in [-1/2, 1) always; the integer numerator respects the same
+    bound against 4m^2, and the double is the exact quotient."""
+    r = rows["graph_modularity_communities"][0]
+    denom = 4 * r["m"] * r["m"]
+    assert -denom // 2 <= r["q_num"] < denom
+    assert r["q"] == r["q_num"] / denom
+    assert r["n_communities"] >= 1

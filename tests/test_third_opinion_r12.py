@@ -416,3 +416,131 @@ def test_index_delta_third_opinion(spark, documents):
         for r in STAGED["dedup_minhash_index_delta"].spark(spark, SF).collect()
     }
     assert got == want
+
+
+def test_range_bucketed_third_opinion(spark, events):
+    """Literal quadratic scan: for each error event, count signup
+    windows covering it -- the semantics the bucketed plan must equal."""
+    from clueso_spark.plans.staged_r12 import _RB_WIDTH_US
+
+    signups = [
+        _us(e["ts"]) for e in events if e["event_type"] == "signup"
+    ]
+    want = {}
+    for e in events:
+        if e["event_type"] != "error":
+            continue
+        t = _us(e["ts"])
+        want[e["event_id"]] = sum(
+            1 for s in signups if s <= t < s + _RB_WIDTH_US
+        )
+    got = {
+        r["error_id"]: r["n_open_windows"]
+        for r in STAGED["join_range_bucketed_global"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == want
+
+
+def _band_sigs_a(shingles):
+    sigs = []
+    for band in range(8):
+        digests = [
+            _md5(s) + _md5("~" + s) + _md5("#" + s) + _md5("@" + s)
+            for s in shingles
+        ]
+        sigs.append(
+            min(d[band * 16 : band * 16 + 8] for d in digests)
+            + min(d[band * 16 + 8 : band * 16 + 16] for d in digests)
+        )
+    return sigs
+
+
+def test_lsh_relative_recall_third_opinion(spark, documents):
+    """Literal pooling protocol: both families' candidates from
+    first-principles banding, exact Jaccard on the pooled union,
+    per-family integer precision/recall."""
+    from clueso_spark.plans.staged_r12 import _RR_B_SALTS, _RR_TAU
+
+    sets = {}
+    for d in documents:
+        w = d["text"].split(" ")
+        if len(w) >= 3:
+            sets[d["doc_id"]] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    buckets_a = defaultdict(set)
+    buckets_b = defaultdict(set)
+    for doc, ss in sets.items():
+        for band, sig in enumerate(_band_sigs_a(ss)):
+            buckets_a[(band, sig)].add(doc)
+        for band, salt in enumerate(_RR_B_SALTS):
+            sig = min(_md5(salt + s)[:8] for s in ss) + min(
+                _md5(salt + s)[8:16] for s in ss
+            )
+            buckets_b[(band, sig)].add(doc)
+
+    def pairs(buckets):
+        out = set()
+        for ds in buckets.values():
+            ds = sorted(ds)
+            out |= {
+                (a, b) for i, a in enumerate(ds) for b in ds[i + 1 :]
+            }
+        return out
+
+    cand_a, cand_b = pairs(buckets_a), pairs(buckets_b)
+    pool = cand_a | cand_b
+    verified = {
+        (a, b)
+        for a, b in pool
+        if len(sets[a] & sets[b]) / len(sets[a] | sets[b]) >= _RR_TAU
+    }
+    want = {}
+    for fam, cand in (("A", cand_a), ("B", cand_b)):
+        nv = len(cand & verified)
+        want[fam] = (
+            len(cand),
+            nv,
+            len(verified),
+            1_000_000 if not verified else 1_000_000 * nv // len(verified),
+            1_000_000 if not cand else 1_000_000 * nv // len(cand),
+        )
+    got = {
+        r["family"]: (
+            r["n_candidates"],
+            r["n_verified"],
+            r["n_union_verified"],
+            r["recall_rel_scaled"],
+            r["precision_scaled"],
+        )
+        for r in STAGED["dedup_lsh_relative_recall"].spark(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_modularity_third_opinion(spark):
+    """Literal 3-round min-label propagation + the cross-multiplied
+    modularity sum."""
+    edges, _ = _copurchase_edges()
+    lbl = {u: u for u in edges}
+    for _ in range(3):
+        lbl = {
+            u: min(lbl[u], min((lbl[v] for v in vs), default=lbl[u]))
+            for u, vs in edges.items()
+        }
+    m = sum(len(vs) for vs in edges.values()) // 2
+    ec: Counter = Counter()
+    dc: Counter = Counter()
+    for u, vs in edges.items():
+        dc[lbl[u]] += len(vs)
+        for v in vs:
+            if lbl[u] == lbl[v]:
+                ec[lbl[u]] += 1  # counts each intra edge twice
+    q_num = sum(4 * m * (ec[c] // 2) - dc[c] * dc[c] for c in dc)
+    rows = STAGED["graph_modularity_communities"].spark(spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["m"], r["n_communities"], r["q_num"]) == (m, len(dc), q_num)
+    assert r["q"] == q_num / (4 * m * m)
