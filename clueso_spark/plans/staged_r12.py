@@ -253,18 +253,21 @@ def agg_hdr_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pct")
         .agg(F.min("bucket").alias("bucket"))
     )
-    # exact quantiles by rank arithmetic over the same value stream
-    # (global one-task sort avoided: rank via the ranged helper would
-    # be the 100 TB path; at oracle SFs the orderBy window on the
-    # persisted slim (cents, event_id) projection is the measured
-    # cheaper plan, same stance as agg_exact_quantiles)
-    rw = Window.orderBy("cents", "event_id")
-    ranked = e.select(
-        "cents", F.row_number().over(rw).alias("rn")
-    ).crossJoin(F.broadcast(e.agg(F.count("*").alias("n"))))
+    # exact quantiles the agg_exact_quantiles way: value-domain
+    # histogram (bounded by the cents DOMAIN, not the corpus) + ONE
+    # ranged cumsum -- never a partition-less row_number over the
+    # event stream (the single-task trap; caught in this round's own
+    # review: the first draft ranked the corpus through one window)
+    from clueso_spark.functions.ordered import ranged_cumsum
+
+    hist = e.groupBy("cents").agg(F.count("*").cast("bigint").alias("w"))
+    hist = persist_swap(spark, "hdr_hist", hist)
+    cum2 = ranged_cumsum(hist, ["cents"], "w", "cw").crossJoin(
+        F.broadcast(hist.agg(F.sum("w").alias("n")))
+    )
     exact = (
         F.broadcast(qdf)
-        .join(ranked, F.col("rn") >= F.expr("(pct * n + 99) div 100"))
+        .join(cum2, F.col("cw") >= F.expr("(pct * n + 99) div 100"))
         .groupBy("pct")
         .agg(F.min("cents").alias("exact_cents"))
     )

@@ -153,3 +153,41 @@ def test_asof_tolerance_never_exceeds_bound(spark):
             assert r["gap_us"] == -1
         else:
             assert 0 <= r["gap_us"] <= _ASOF_TOL_US
+
+
+def test_no_corpus_sized_global_windows(spark):
+    """Round-11 review pin: partition-less windows are allowed ONLY
+    over bounded relations -- the merged sketch (<= 64 log2 buckets)
+    and the post-TakeOrdered top-k frames (<= 20 rows). Every op's
+    expected count of partition-less window specs is pinned, so a
+    future edit that ranks a corpus-sized relation through one task
+    fails here (this round's own first HDR draft did exactly that;
+    the fix routes the exact branch through the value-domain
+    histogram + ranged cumsum instead)."""
+    import re
+
+    expected = {
+        "agg_hdr_quantile_merge": 1,  # bucket-count-sized sketch cumsum
+        "txt_textrank_keywords": 1,  # 20-row post-limit rank
+        "graph_adamic_adar_linkpred": 1,  # 20-row post-limit rank
+    }
+    for name, cq in sorted(STAGED.items()):
+        # executedPlan only: queryExecution().toString() prints four
+        # plan sections and would quadruple-count each window spec
+        plan = (
+            cq.spark(spark, SF_DIRS[0])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        unpartitioned = [
+            frag
+            for frag in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+            # a partition column shows up before the sort spec; specs
+            # that START with an ordering direction have no partition
+            if re.match(r"\s*[a-zA-Z_#0-9]+\s+(ASC|DESC)", frag)
+        ]
+        assert len(unpartitioned) <= expected.get(name, 0), (
+            name,
+            unpartitioned,
+        )
