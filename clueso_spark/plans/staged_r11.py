@@ -1276,6 +1276,50 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def cdc_chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_id, chunk_hash, nb) for every CDC chunk of every
+    payload -- the shared identity both mm_cdc_dedup and the staged
+    chunk-GC accounting consume: posexplode blocks, chunk id = running
+    boundary count per payload (one doc-keyed window), chunk hash =
+    md5 of the order-preserved block concatenation (one keyed
+    aggregate)."""
+    from clueso_spark.functions.multimodal import attach_payload
+
+    docs = attach_payload(load_table(spark, sf_dir, "documents"))
+    e = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("regexp_extract_all(hex(payload), '.{8}', 0)")
+        ).alias("pos", "block"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = e.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum(
+                F.when(F.md5("block").like("0%"), 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    return c.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
+                    lambda s: s["block"],
+                ),
+                "",
+            )
+        ).alias("chunk_hash"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+
+
 @_stage(
     "mm_cdc_dedup",
     "Chunk-level dedup accounting over CDC chunks (mm_cdc_chunking's "
@@ -1326,41 +1370,7 @@ def mm_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal", "cdc", "dedup",
 )
 def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.functions.multimodal import attach_payload
-
-    docs = attach_payload(load_table(spark, sf_dir, "documents"))
-    e = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr("regexp_extract_all(hex(payload), '.{8}', 0)")
-        ).alias("pos", "block"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = e.withColumn(
-        "chunk_id",
-        F.coalesce(
-            F.sum(
-                F.when(F.md5("block").like("0%"), 1).otherwise(0)
-            ).over(w),
-            F.lit(0),
-        ),
-    )
-    ch = c.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
-                    lambda s: s["block"],
-                ),
-                "",
-            )
-        ).alias("chunk_hash"),
-        F.count("*").cast("bigint").alias("nb"),
-    )
+    ch = cdc_chunk_frame(spark, sf_dir)
     g = ch.groupBy("chunk_hash").agg(
         F.count("*").cast("bigint").alias("cnt"),
         F.max("nb").alias("nb"),

@@ -1135,41 +1135,9 @@ _GC_CHUNK_CTES = """
     "multimodal", "cdc", "gc",
 )
 def mm_chunk_gc_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.functions.multimodal import attach_payload
+    from clueso_spark.plans.staged_r11 import cdc_chunk_frame
 
-    docs = attach_payload(load_table(spark, sf_dir, "documents"))
-    e = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.expr("regexp_extract_all(hex(payload), '.{8}', 0)")
-        ).alias("pos", "block"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    c = e.withColumn(
-        "chunk_id",
-        F.coalesce(
-            F.sum(
-                F.when(F.md5("block").like("0%"), 1).otherwise(0)
-            ).over(w),
-            F.lit(0),
-        ),
-    )
-    ch = c.groupBy("doc_id", "chunk_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "block"))),
-                    lambda s: s["block"],
-                ),
-                "",
-            )
-        ).alias("chunk_hash"),
-        F.count("*").cast("bigint").alias("nb"),
-    )
+    ch = cdc_chunk_frame(spark, sf_dir)
     dead = F.when(
         _md5_mod(F.col("doc_id").cast("string"), 5) == 0, 1
     ).otherwise(0)
@@ -1814,16 +1782,20 @@ def dedup_lsh_relative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     long_a = sets.select(
         "doc_id", F.posexplode(minhash_band_sigs()).alias("band", "sig")
     )
-    # family B: per band one salted digest per shingle; r=2 from its
-    # two disjoint 8-hex halves, one aggregate fold per half per band
+    # family B: per band one salted digest per shingle, r=2 from its
+    # two disjoint 8-hex halves -- ONE fold per band with a 2-slot
+    # array accumulator, so each shingle is hashed exactly once per
+    # band (a fold per half would double the interpreted md5 work;
+    # the per-fold-evaluation reasoning is minhash_pairs')
     b_sigs = F.array(
         *[
             F.expr(
-                f"""concat(
-                  aggregate(transform(ss, s -> substring(md5(concat('{salt}', s)), 1, 8)),
-                            'g', (acc, x) -> least(acc, x)),
-                  aggregate(transform(ss, s -> substring(md5(concat('{salt}', s)), 9, 8)),
-                            'g', (acc, x) -> least(acc, x)))"""
+                f"""aggregate(
+                  transform(ss, s -> md5(concat('{salt}', s))),
+                  array_repeat('g', 2),
+                  (acc, h) -> array(least(element_at(acc, 1), substring(h, 1, 8)),
+                                    least(element_at(acc, 2), substring(h, 9, 8))),
+                  acc -> concat(element_at(acc, 1), element_at(acc, 2)))"""
             )
             for salt in _RR_B_SALTS
         ]
