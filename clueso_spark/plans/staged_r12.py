@@ -51,6 +51,27 @@ catalog):
     exact integers -- the engine scores its own candidates and
     clusters, and the scores hash-verify.
 
+Session-3 additions (same gate, same promotion round):
+  * curation deletion signals -- corpus n-gram NOVELTY (first-
+    occurrence attribution over a shingle-keyed window) and
+    boilerplate-chunk removal accounting (the CCNet/RefinedWeb
+    duplicated-paragraph pass), both pure keyed shuffles;
+  * sketch set ALGEBRA -- theta/KMV union + inclusion-exclusion
+    intersection estimates from two-level (shard-partial, then merge)
+    bottom-k sketches, with the exact cardinalities riding in the same
+    row so the error itself hash-verifies;
+  * skew -- a salted fact-dim join whose oracle is the UNSALTED join
+    (parity proves the hot-key spread is semantics-free);
+  * bitmap indexes -- per (user, week) 7-bit day masks via
+    bit_or(1 << dow), week-over-week retention as AND + popcount;
+  * ordered analytics -- per-user max drawdown of the signed cash
+    flow through two stacked keyed windows;
+  * spatial blocking -- DBSCAN core points by width-eps grid cells
+    (3x3 neighbor-cell equi-join; oracle = the naive quadratic join,
+    parity proves the blocking exact);
+  * graph -- per-node LOCAL clustering coefficient (each triangle
+    credits its 3 corners; degree-ordered orientation, x3 explode).
+
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
 every computed column aliased identically on both sides; day buckets
@@ -2012,5 +2033,798 @@ def graph_modularity_communities(
                 F.col("q_num").cast("double")
                 / (4 * F.col("m") * F.col("m")).cast("double")
             ).alias("q"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session-3 additions (same staging life-cycle, round-12 promotion).
+#
+# Corpus novelty + boilerplate removal: the two deletion-side signals a
+# crawl-scale curation pipeline runs between exact dedup and near dedup
+# (RefinedWeb / CCNet run the paragraph-level variant). Both are pure
+# keyed shuffles over exploded shingles -- the same shape as the
+# dedup_* family, no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+
+_NOV_N = 5  # novelty shingle width (words)
+
+
+@_stage(
+    "txt_ngram_novelty",
+    f"Corpus novelty curve: per doc, the fraction of its overlapping "
+    f"{_NOV_N}-word shingles whose FIRST corpus occurrence (min doc_id "
+    "over a shingle-keyed window) is this doc -- the marginal-new-text "
+    "measure curation uses to order crawl snapshots. Occurrence-level "
+    "counting; one shingle-keyed shuffle + one doc-keyed aggregate; "
+    "novelty ratio as exact integer permyriad.",
+    f"""
+    with t as (select doc_id, string_split(text, ' ') w from documents),
+    g as (
+      select doc_id,
+             unnest(list_transform(range(1, len(w) - {_NOV_N} + 2),
+                    i -> array_to_string(w[i:i+{_NOV_N - 1}], ' '))) as ng
+      from t where len(w) >= {_NOV_N}
+    ),
+    f as (
+      select doc_id, ng,
+             min(doc_id) over (partition by ng) as first_doc
+      from g
+    )
+    select doc_id,
+           cast(count(*) as bigint) as n_ngrams,
+           cast(sum(case when first_doc = doc_id then 1 else 0 end)
+                as bigint) as n_novel,
+           cast((10000 * sum(case when first_doc = doc_id then 1 else 0
+                end)) // count(*) as bigint) as novelty_x10000
+    from f group by doc_id
+    """,
+    "text", "novelty", "dedup",
+)
+def txt_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    g = docs.where(F.size("w") >= _NOV_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {_NOV_N} + 1), "
+                f"i -> concat_ws(' ', slice(w, i, {_NOV_N})))"
+            )
+        ).alias("ng"),
+    )
+    f = g.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("ng"))
+    )
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        f.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_x10000",
+            F.expr("(10000 * n_novel) div n_ngrams").cast("bigint"),
+        )
+    )
+
+
+_BP_W = 8  # boilerplate chunk width (words, non-overlapping)
+_BP_K = 2  # a chunk present in >= K distinct docs is boilerplate
+
+
+@_stage(
+    "txt_boilerplate_chunks",
+    f"Boilerplate removal accounting (the CCNet/RefinedWeb duplicated-"
+    f"paragraph pass, adapted to this corpus's single-line docs): docs "
+    f"split into non-overlapping {_BP_W}-word chunks; a chunk seen in "
+    f">= {_BP_K} DISTINCT docs is boilerplate. Per doc: chunk counts, "
+    "boilerplate chunks, retained tokens after dropping them. Chunk "
+    "identity via md5; distinct-doc counts from one chunk-keyed "
+    "aggregate re-attached by a second keyed join -- no all-pairs.",
+    f"""
+    with t as (select doc_id, string_split(text, ' ') w from documents),
+    c as (
+      select doc_id,
+             md5(array_to_string(
+               w[(j * {_BP_W} + 1):(j * {_BP_W} + {_BP_W})], ' ')) as ck
+      from t cross join unnest(range(0, len(w) // {_BP_W})) as u(j)
+      where len(w) >= {_BP_W}
+    ),
+    d as (
+      select ck, cast(count(distinct doc_id) as bigint) as n_docs
+      from c group by ck
+    )
+    select c.doc_id,
+           cast(count(*) as bigint) as n_chunks,
+           cast(sum(case when d.n_docs >= {_BP_K} then 1 else 0 end)
+                as bigint) as n_boiler,
+           cast({_BP_W} * (count(*) - sum(case when d.n_docs >= {_BP_K}
+                then 1 else 0 end)) as bigint) as retained_tokens
+    from c join d using (ck)
+    group by c.doc_id
+    """,
+    "text", "dedup", "boilerplate",
+)
+def txt_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    c = docs.where(F.size("w") >= _BP_W).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) div {_BP_W} - 1), "
+                f"j -> md5(concat_ws(' ', "
+                f"slice(w, j * {_BP_W} + 1, {_BP_W}))))"
+            )
+        ).alias("ck"),
+    )
+    d = (
+        c.select("doc_id", "ck")
+        .distinct()
+        .groupBy("ck")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    boiler = F.when(F.col("n_docs") >= _BP_K, 1).otherwise(0)
+    return (
+        c.join(d, "ck")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            F.sum(boiler).cast("bigint").alias("n_boiler"),
+            (_BP_W * (F.count("*") - F.sum(boiler)))
+            .cast("bigint")
+            .alias("retained_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta-sketch SET ALGEBRA: the mergeable-sketch family extended
+# from counting (agg_kmv_distinct, agg_cms_partial_merge) to set
+# operations -- union and intersection cardinality estimated purely
+# from two cohorts' bottom-k hash sketches, the way theta sketches
+# trade exactness for a fixed-size summary at 1000-executor scale.
+# Items are (user, day) activity pairs; hashes are 32-bit md5 prefixes
+# (engine-independent); every estimate is exact integer arithmetic
+# ((k-1) * 2^32 div h_k), and the EXACT cardinalities ride in the same
+# row so the sketch's error is itself hash-verified output.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_M = 4_294_967_296  # 2^32: the hash value domain
+
+
+@_stage(
+    "agg_theta_sketch_setops",
+    f"Theta/KMV sketch set algebra: bottom-{_KMV_K} md5 sketches of "
+    "click user-days (a) and purchase user-days (b); union estimated "
+    "from the sketch of a UNION b, intersection by inclusion-exclusion "
+    f"on the three estimates -- est = ({_KMV_K}-1) * 2^32 div h_k, "
+    "exact integers end-to-end. Exact cardinalities ride alongside, so "
+    "the estimation error is verified output, not a claim. Bottom-k "
+    "runs two-level (8 md5-shard PARTIALS, merge over <= 8k survivors) "
+    "-- the mergeable deployment shape, no cohort-sized window task.",
+    f"""
+    with base as (
+      select event_type, user_id,
+             epoch_us(ts) // {_DAY_US} as day
+      from events where event_type in ('click', 'purchase')
+    ),
+    items as (
+      select distinct
+        case when event_type = 'click' then 'a' else 'b' end as cohort,
+        concat_ws(':', user_id, day) as item
+      from base
+    ),
+    allc as (
+      select cohort, item from items
+      union all
+      select distinct 'u' as cohort, item from items
+    ),
+    h as (
+      select cohort, item,
+             cast(('0x' || substr(md5(item), 1, 8)) as bigint) as hv
+      from allc
+    ),
+    n as (select cohort, cast(count(*) as bigint) as n_exact
+          from h group by cohort),
+    rk as (
+      select cohort, hv,
+             row_number() over (partition by cohort
+                                order by hv, item) as r
+      from h
+    ),
+    kth as (
+      select cohort, cast(count(*) as bigint) as n_k,
+             max(hv) as h_k
+      from rk where r <= {_KMV_K} group by cohort
+    ),
+    s as (
+      select n.cohort, n.n_exact,
+             case when kth.n_k >= {_KMV_K}
+                  then (({_KMV_K} - 1) * {_KMV_M}) // kth.h_k
+                  else n.n_exact end as est
+      from n join kth using (cohort)
+    )
+    select
+      cast(max(case when cohort = 'a' then n_exact end) as bigint)
+        as exact_a,
+      cast(max(case when cohort = 'b' then n_exact end) as bigint)
+        as exact_b,
+      cast(max(case when cohort = 'u' then n_exact end) as bigint)
+        as exact_union,
+      cast(max(case when cohort = 'a' then n_exact end)
+           + max(case when cohort = 'b' then n_exact end)
+           - max(case when cohort = 'u' then n_exact end) as bigint)
+        as exact_intersect,
+      cast(max(case when cohort = 'a' then est end) as bigint) as est_a,
+      cast(max(case when cohort = 'b' then est end) as bigint) as est_b,
+      cast(max(case when cohort = 'u' then est end) as bigint)
+        as est_union,
+      cast(max(case when cohort = 'a' then est end)
+           + max(case when cohort = 'b' then est end)
+           - max(case when cohort = 'u' then est end) as bigint)
+        as est_intersect
+    from s
+    """,
+    "aggregate", "sketch", "mergeable",
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.where(F.col("event_type").isin("click", "purchase")).select(
+        F.when(F.col("event_type") == "click", "a").otherwise("b").alias(
+            "cohort"
+        ),
+        F.concat_ws(":", F.col("user_id"), _day()).alias("item"),
+    )
+    items = base.distinct()
+    allc = items.unionAll(
+        items.select(F.lit("u").alias("cohort"), "item").distinct()
+    )
+    h = allc.withColumn(
+        "hv", F.conv(F.substring(F.md5("item"), 1, 8), 16, 10).cast("bigint")
+    )
+    n = h.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_exact")
+    )
+    # two-level bottom-k, the actual mergeable-sketch deployment shape:
+    # each of the 8 md5 shards keeps its own bottom-k PARTIAL (keyed
+    # window -- no cohort-sized partition ever flows through one task),
+    # then the merge ranks only the <= 8k survivors per cohort. Exact:
+    # the global bottom-k is a subset of the union of shard bottom-ks.
+    sharded = h.withColumn("shard", _md5_mod(F.col("item"), 8))
+    r1 = F.row_number().over(
+        Window.partitionBy("cohort", "shard").orderBy("hv", "item")
+    )
+    partials = sharded.withColumn("r1", r1).where(F.col("r1") <= _KMV_K)
+    rk = partials.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("cohort").orderBy("hv", "item")
+        ),
+    )
+    kth = (
+        rk.where(F.col("r") <= _KMV_K)
+        .groupBy("cohort")
+        .agg(
+            F.count("*").cast("bigint").alias("n_k"),
+            F.max("hv").alias("h_k"),
+        )
+    )
+    s = n.join(kth, "cohort").select(
+        "cohort",
+        "n_exact",
+        F.when(
+            F.col("n_k") >= _KMV_K,
+            F.expr(f"(({_KMV_K} - 1) * {_KMV_M}) div h_k"),
+        )
+        .otherwise(F.col("n_exact"))
+        .alias("est"),
+    )
+
+    def pick(col: str, cohort: str) -> F.Column:
+        return F.max(F.when(F.col("cohort") == cohort, F.col(col)))
+
+    return s.agg(
+        pick("n_exact", "a").cast("bigint").alias("exact_a"),
+        pick("n_exact", "b").cast("bigint").alias("exact_b"),
+        pick("n_exact", "u").cast("bigint").alias("exact_union"),
+        (pick("n_exact", "a") + pick("n_exact", "b") - pick("n_exact", "u"))
+        .cast("bigint")
+        .alias("exact_intersect"),
+        pick("est", "a").cast("bigint").alias("est_a"),
+        pick("est", "b").cast("bigint").alias("est_b"),
+        pick("est", "u").cast("bigint").alias("est_union"),
+        (pick("est", "a") + pick("est", "b") - pick("est", "u"))
+        .cast("bigint")
+        .alias("est_intersect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Max drawdown: the classic ordered-series risk measure over each
+# user's signed cash flow (purchase/signup credit, click/view/error
+# debit). Two user-keyed window passes (running sum, then running max)
+# + one aggregate -- exact cents, no join, no global window.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "window_max_drawdown",
+    "Per-user max drawdown of the signed cumulative cash flow "
+    "(purchase/signup = credit, click/view/error = debit), events "
+    "ordered by (ts, event_id): drawdown = running peak - running "
+    "balance; output n_events, final balance, max drawdown, all exact "
+    "cents through TWO stacked user-keyed windows (no join).",
+    """
+    with s as (
+      select user_id, event_id, ts,
+             case when event_type in ('purchase', 'signup')
+                  then cast(round(value * 100) as bigint)
+                  else -cast(round(value * 100) as bigint) end as flow
+      from events
+    ),
+    b as (
+      select user_id, ts, event_id, flow,
+             sum(flow) over (partition by user_id order by ts, event_id
+                             rows between unbounded preceding
+                             and current row) as bal
+      from s
+    ),
+    p as (
+      select user_id, bal,
+             max(bal) over (partition by user_id order by ts, event_id
+                            rows between unbounded preceding
+                            and current row) as peak,
+             row_number() over (partition by user_id
+                                order by ts desc, event_id desc) as rk_last
+      from b
+    )
+    select user_id,
+           cast(count(*) as bigint) as n_events,
+           cast(max(peak - bal) as bigint) as max_drawdown_cents,
+           cast(max(case when rk_last = 1 then bal end)
+                as bigint) as final_bal_cents
+    from p group by user_id
+    """,
+    "window", "ordered", "finance",
+)
+def window_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flow = F.when(
+        F.col("event_type").isin("purchase", "signup"), _cents("value")
+    ).otherwise(-_cents("value"))
+    s = ev.select("user_id", "event_id", "ts", flow.alias("flow"))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = s.withColumn("bal", F.sum("flow").over(wsum))
+    wmax = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = b.withColumn("peak", F.max("bal").over(wmax))
+    last = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    p = p.withColumn("rk_last", F.row_number().over(last))
+    return p.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.max(F.col("peak") - F.col("bal"))
+        .cast("bigint")
+        .alias("max_drawdown_cents"),
+        F.max(F.when(F.col("rk_last") == 1, F.col("bal")))
+        .cast("bigint")
+        .alias("final_bal_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew join: the standard hot-key mitigation, proven
+# semantics-preserving. The dimension side replicates across _SALT_N
+# salt values; the fact side salts each row deterministically
+# (md5(event_id) % _SALT_N); the join key becomes (type, salt), so one
+# hot type's rows spread over _SALT_N reducers instead of one. The
+# ORACLE is the UNSALTED join -- parity proves salting changes the
+# physical distribution only, never the answer. (At this SF the dim is
+# broadcast anyway; the pattern is registered for the 100 TB case
+# where both sides shuffle and one key carries half the corpus.)
+# ---------------------------------------------------------------------------
+
+_SALT_N = 8
+
+
+@_stage(
+    "join_salted_skew",
+    f"Skew-salted fact-dim join: the event-type dimension (weight = "
+    f"name length) replicates x{_SALT_N}; facts salt on md5(event_id) "
+    f"% {_SALT_N}; join on (type, salt) then aggregate per type. The "
+    "oracle computes the UNSALTED join, so parity proves the salt "
+    "preserves semantics exactly -- the hot-key spread is free.",
+    """
+    with dim as (
+      select distinct event_type as d_type,
+             cast(length(event_type) as bigint) as weight
+      from events
+    )
+    select e.event_type,
+           cast(count(*) as bigint) as n_events,
+           cast(sum(cast(round(e.value * 100) as bigint) * d.weight)
+                as bigint) as weighted_cents
+    from events e join dim d on e.event_type = d.d_type
+    group by e.event_type
+    """,
+    "join", "skew", "salted",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select(F.col("event_type").alias("d_type"))
+        .distinct()
+        .withColumn("weight", F.length("d_type").cast("bigint"))
+    )
+    dim_salted = dim.select(
+        "d_type",
+        "weight",
+        F.explode(F.expr(f"sequence(0, {_SALT_N - 1})")).alias("salt"),
+    )
+    fact = ev.withColumn(
+        "salt", _md5_mod(F.col("event_id").cast("string"), _SALT_N)
+    )
+    return (
+        fact.join(
+            dim_salted,
+            (fact.event_type == dim_salted.d_type)
+            & (fact.salt == dim_salted.salt),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(_cents("value") * F.col("weight"))
+            .cast("bigint")
+            .alias("weighted_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index retention: per (user, week) a 7-bit day-presence mask
+# built by bit_or(1 << dow) -- the roaring-bitmap pattern that turns
+# retention into bitwise AND + popcount instead of a self-join on day
+# rows. Weeks align to the corpus's global min day (one 1-row
+# broadcast). Week-over-week retention = bit_count(mask & next mask).
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "ev_bitmap_retention",
+    "Bitmap retention: per (user, week) a 7-bit activity mask "
+    "(bit_or(1 << day-of-week), weeks rebased to the corpus min day); "
+    "week-over-week retained days = bit_count(current & next) via ONE "
+    "user-keyed self-join on (user, week+1). The bitmap-index pattern: "
+    "day-grain presence compressed to one int per user-week, retention "
+    "as bitwise algebra.",
+    f"""
+    with d as (
+      select user_id, epoch_us(ts) // {_DAY_US} as day from events
+    ),
+    rebased as (
+      select user_id, day - (select min(day) from d) as rd from d
+    ),
+    m as (
+      select user_id, rd // 7 as week,
+             bit_or(cast(1 as bigint) << cast(rd % 7 as integer)) as mask
+      from rebased group by user_id, rd // 7
+    )
+    select a.user_id, cast(a.week as bigint) as week,
+           cast(bit_count(a.mask) as bigint) as active_days,
+           cast(coalesce(bit_count(a.mask & b.mask), 0) as bigint)
+             as retained_days,
+           cast(case when b.user_id is not null then 1 else 0 end
+                as bigint) as active_next_week
+    from m a left join m b
+      on a.user_id = b.user_id and b.week = a.week + 1
+    """,
+    "events", "bitmap", "retention",
+)
+def ev_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", _day().alias("day"))
+    min_day = d.agg(F.min("day").alias("min_day"))
+    rebased = d.crossJoin(F.broadcast(min_day)).select(
+        "user_id", (F.col("day") - F.col("min_day")).alias("rd")
+    )
+    m = (
+        rebased.groupBy(
+            "user_id", F.expr("rd div 7").alias("week")
+        ).agg(
+            F.bit_or(
+                F.expr(
+                    "shiftleft(cast(1 as bigint), cast(rd % 7 as int))"
+                )
+            ).alias("mask")
+        )
+    )
+    # referenced on both sides of the week self-join: persist once so
+    # the scan + min-day rebase doesn't run twice
+    m = persist_swap(spark, "bitmap_masks", m)
+    a = m.select(
+        "user_id", F.col("week").alias("week"), F.col("mask").alias("mask_a")
+    )
+    b = m.select(
+        F.col("user_id").alias("b_user"),
+        F.col("week").alias("b_week"),
+        F.col("mask").alias("mask_b"),
+    )
+    joined = a.join(
+        b,
+        (a.user_id == b.b_user) & (b.b_week == a.week + 1),
+        "left",
+    )
+    return joined.select(
+        "user_id",
+        F.col("week").cast("bigint").alias("week"),
+        F.bit_count("mask_a").cast("bigint").alias("active_days"),
+        F.coalesce(
+            F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("retained_days"),
+        F.when(F.col("b_user").isNotNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("active_next_week"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grid-blocked epsilon-neighborhood self-join (the DBSCAN core-point
+# step). Points are integer user features (clicks, purchases); each
+# point belongs to ONE width-eps grid cell; a point's eps-ball can only
+# intersect the 3x3 neighboring cells, so the quadratic "every pair
+# within eps" join becomes: query side explodes to <= 9 cells, ONE
+# equi-join on cell id, exact integer distance post-filter. The ORACLE
+# is the naive quadratic inequality self-join -- parity proves the
+# blocking is semantically exact. Same pattern scale applies to
+# quantized-embedding grids.
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 2  # eps (grid cell width); squared radius = 4
+_DB_MINPTS = 4  # core point threshold (neighbors within eps, self excl.)
+
+
+@_stage(
+    "sim_dbscan_grid",
+    f"DBSCAN core points by grid blocking: users as integer points "
+    f"(x = clicks, y = purchases); eps = {_DB_EPS} (euclidean); a "
+    f"point is core when >= {_DB_MINPTS} other points sit within eps. "
+    "Each point hashes to one width-eps cell; queries explode to the "
+    "3x3 neighbor cells; ONE cell-keyed equi-join + exact integer "
+    "distance filter. Oracle = the naive quadratic join, so parity "
+    "proves the grid prunes nothing it shouldn't.",
+    f"""
+    with p as (
+      select user_id,
+             cast(count(*) filter (event_type = 'click') as bigint) as x,
+             cast(count(*) filter (event_type = 'purchase') as bigint)
+               as y
+      from events group by user_id
+    ),
+    nb as (
+      select p1.user_id, cast(count(*) as bigint) as n_neighbors
+      from p p1 join p p2
+        on p1.user_id <> p2.user_id
+       and (p1.x - p2.x) * (p1.x - p2.x)
+           + (p1.y - p2.y) * (p1.y - p2.y) <= {_DB_EPS * _DB_EPS}
+      group by p1.user_id
+    )
+    select p.user_id, p.x, p.y,
+           coalesce(nb.n_neighbors, 0) as n_neighbors,
+           cast(case when coalesce(nb.n_neighbors, 0) >= {_DB_MINPTS}
+                then 1 else 0 end as bigint) as is_core
+    from p left join nb using (user_id)
+    """,
+    "similarity", "clustering", "grid",
+)
+def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    pts = persist_swap(spark, "dbscan_pts", pts)
+    data = pts.select(
+        F.col("user_id").alias("d_user"),
+        F.col("x").alias("dx"),
+        F.col("y").alias("dy"),
+        F.expr(f"x div {_DB_EPS}").alias("cx"),
+        F.expr(f"y div {_DB_EPS}").alias("cy"),
+    )
+    query = pts.select(
+        "user_id",
+        "x",
+        "y",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(-1, 1), i ->
+                      transform(sequence(-1, 1), j ->
+                        struct(x div {_DB_EPS} + i as cx,
+                               y div {_DB_EPS} + j as cy))))"""
+            )
+        ).alias("cell"),
+    ).select("user_id", "x", "y", "cell.cx", "cell.cy")
+    d2 = (F.col("x") - F.col("dx")) * (F.col("x") - F.col("dx")) + (
+        F.col("y") - F.col("dy")
+    ) * (F.col("y") - F.col("dy"))
+    nb = (
+        query.join(data, ["cx", "cy"])
+        .where(
+            (F.col("user_id") != F.col("d_user"))
+            & (d2 <= _DB_EPS * _DB_EPS)
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+    )
+    return pts.join(nb, "user_id", "left").select(
+        "user_id",
+        "x",
+        "y",
+        F.coalesce(F.col("n_neighbors"), F.lit(0))
+        .cast("bigint")
+        .alias("n_neighbors"),
+        F.when(F.coalesce(F.col("n_neighbors"), F.lit(0)) >= _DB_MINPTS, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_core"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-node LOCAL clustering coefficient: graph_triangle_count's global
+# number decomposed to nodes -- each triangle credits its 3 corners,
+# lcc(v) = 2 * tri(v) / (d(v) * (d(v) - 1)) as an exact integer
+# permyriad. Same degree-ordered orientation (each triangle generated
+# exactly once), one extra 3-way corner explode + node-keyed count.
+# ---------------------------------------------------------------------------
+
+_LCC_MIN_SUPPORT = 2  # same co-purchase trim as graph_triangle_count
+
+
+@_stage(
+    "graph_local_clustering",
+    "Per-node local clustering coefficient over the part co-purchase "
+    f"graph (edge = >= {_LCC_MIN_SUPPORT} common orders): triangles "
+    "found once via degree-ordered orientation, each credits its 3 "
+    "corners; lcc = 2*tri/(d*(d-1)) as exact permyriad, nodes with "
+    "d >= 2. The node-level transitivity signal community detection "
+    "seeds from; corner explode is x3, never quadratic.",
+    f"""
+    with op as (
+      select distinct a.l_orderkey, a.l_partkey as pa, b.l_partkey as pb
+      from lineitem a join lineitem b
+        on a.l_orderkey = b.l_orderkey and a.l_partkey < b.l_partkey
+    ),
+    e0 as (
+      select pa, pb from op
+      group by 1, 2 having count(*) >= {_LCC_MIN_SUPPORT}
+    ),
+    deg as (
+      select node, count(*) as d from (
+        select pa as node from e0 union all select pb as node from e0
+      ) group by node
+    ),
+    orient as (
+      select case when (da.d, e0.pa) < (db.d, e0.pb)
+                  then e0.pa else e0.pb end as u,
+             case when (da.d, e0.pa) < (db.d, e0.pb)
+                  then e0.pb else e0.pa end as v
+      from e0 join deg da on da.node = e0.pa
+              join deg db on db.node = e0.pb
+    ),
+    tri3 as (
+      select o1.u as n1, least(o1.v, o2.v) as n2,
+             greatest(o1.v, o2.v) as n3
+      from orient o1
+      join orient o2 on o1.u = o2.u and o1.v < o2.v
+      join e0 on e0.pa = least(o1.v, o2.v)
+             and e0.pb = greatest(o1.v, o2.v)
+    ),
+    pern as (
+      select node, cast(count(*) as bigint) as n_tri from (
+        select n1 as node from tri3
+        union all select n2 from tri3
+        union all select n3 from tri3
+      ) group by node
+    )
+    select deg.node, cast(deg.d as bigint) as degree,
+           coalesce(pern.n_tri, 0) as n_triangles,
+           cast((20000 * coalesce(pern.n_tri, 0))
+                // (deg.d * (deg.d - 1)) as bigint) as lcc_x10000
+    from deg left join pern using (node)
+    where deg.d >= 2
+    """,
+    "graph", "triangles", "clustering",
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.dedup_queries import _bucket_pairs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e0 = (
+        _bucket_pairs(li, ["l_orderkey"], "l_partkey", "pa", "pb")
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= _LCC_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    e0 = persist_swap(spark, "lcc_e0", e0)
+    deg = (
+        e0.select(F.col("pa").alias("node"))
+        .unionAll(e0.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    deg = persist_swap(spark, "lcc_deg", deg)
+    da = deg.select(F.col("node").alias("pa"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("pb"), F.col("d").alias("db"))
+    lower = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("pa") < F.col("pb"))
+    )
+    orient = (
+        e0.join(F.broadcast(da), "pa")
+        .join(F.broadcast(db), "pb")
+        .select(
+            F.when(lower, F.col("pa")).otherwise(F.col("pb")).alias("u"),
+            F.when(lower, F.col("pb")).otherwise(F.col("pa")).alias("v"),
+        )
+    )
+    o2 = orient.select(F.col("u").alias("u2"), F.col("v").alias("v2"))
+    tri3 = (
+        orient.join(
+            o2, (F.col("u") == F.col("u2")) & (F.col("v") < F.col("v2"))
+        )
+        .select(
+            "u",
+            F.least("v", "v2").alias("wa"),
+            F.greatest("v", "v2").alias("wb"),
+        )
+        .join(
+            e0,
+            (F.col("wa") == F.col("pa")) & (F.col("wb") == F.col("pb")),
+        )
+        .select("u", "wa", "wb")
+    )
+    corners = (
+        tri3.select(F.col("u").alias("node"))
+        .unionAll(tri3.select(F.col("wa").alias("node")))
+        .unionAll(tri3.select(F.col("wb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_tri"))
+    )
+    return (
+        deg.where(F.col("d") >= 2)
+        .join(corners, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            F.expr("(20000 * coalesce(n_tri, 0)) div (d * (d - 1))")
+            .cast("bigint")
+            .alias("lcc_x10000"),
         )
     )

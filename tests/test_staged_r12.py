@@ -58,6 +58,8 @@ def test_staged_plan_shapes(spark):
         "dedup_lsh_relative_recall",
         # 1-row undirected-edge-count broadcast onto the community terms
         "graph_modularity_communities",
+        # 1-row corpus-min-day broadcast rebasing the week buckets
+        "ev_bitmap_retention",
     }
     for name, cq in sorted(STAGED.items()):
         plan = cq.spark(spark, SF_DIRS[1])._jdf.queryExecution().toString()
