@@ -2606,10 +2606,12 @@ _DB_MINPTS = 4  # core point threshold (neighbors within eps, self excl.)
     f"DBSCAN core points by grid blocking: users as integer points "
     f"(x = clicks, y = purchases); eps = {_DB_EPS} (euclidean); a "
     f"point is core when >= {_DB_MINPTS} other points sit within eps. "
-    "Each point hashes to one width-eps cell; queries explode to the "
-    "3x3 neighbor cells; ONE cell-keyed equi-join + exact integer "
+    "Joins run over DISTINCT points with multiplicity (coincident "
+    "piles cost one row; neighbor count = in-ball mass - 1); each "
+    "distinct point hashes to one width-eps cell, queries explode to "
+    "the 3x3 neighbor cells, ONE cell-keyed equi-join + exact integer "
     "distance filter. Oracle = the naive quadratic join, so parity "
-    "proves the grid prunes nothing it shouldn't.",
+    "proves the grid + collapse prunes nothing it shouldn't.",
     f"""
     with p as (
       select user_id,
@@ -2635,6 +2637,14 @@ _DB_MINPTS = 4  # core point threshold (neighbors within eps, self excl.)
     "similarity", "clustering", "grid",
 )
 def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the join runs over DISTINCT points carrying a multiplicity count,
+    # never over raw members: mass-coincident points (thousands of
+    # users at one feature pair -- a certainty at crawl scale) would
+    # otherwise expand O(b^2) pairs inside one cell. Collapsed, a
+    # coincident pile costs ONE distinct-point row; every member's
+    # neighbor count is sum(cnt in ball) - 1 (self excluded), so the
+    # degenerate case is free instead of quadratic -- the same
+    # discipline as the LSH star cap, but exact here.
     ev = load_table(spark, sf_dir, "events")
     pts = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
@@ -2645,15 +2655,18 @@ def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     pts = persist_swap(spark, "dbscan_pts", pts)
-    data = pts.select(
-        F.col("user_id").alias("d_user"),
+    dpts = pts.groupBy("x", "y").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    dpts = persist_swap(spark, "dbscan_dpts", dpts)
+    data = dpts.select(
         F.col("x").alias("dx"),
         F.col("y").alias("dy"),
+        F.col("cnt").alias("dcnt"),
         F.expr(f"x div {_DB_EPS}").alias("cx"),
         F.expr(f"y div {_DB_EPS}").alias("cy"),
     )
-    query = pts.select(
-        "user_id",
+    query = dpts.select(
         "x",
         "y",
         F.explode(
@@ -2664,27 +2677,24 @@ def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
                                y div {_DB_EPS} + j as cy))))"""
             )
         ).alias("cell"),
-    ).select("user_id", "x", "y", "cell.cx", "cell.cy")
+    ).select("x", "y", "cell.cx", "cell.cy")
     d2 = (F.col("x") - F.col("dx")) * (F.col("x") - F.col("dx")) + (
         F.col("y") - F.col("dy")
     ) * (F.col("y") - F.col("dy"))
-    nb = (
+    # in-ball mass per distinct point INCLUDING itself; self excluded
+    # per member below (ball - 1)
+    ball = (
         query.join(data, ["cx", "cy"])
-        .where(
-            (F.col("user_id") != F.col("d_user"))
-            & (d2 <= _DB_EPS * _DB_EPS)
-        )
-        .groupBy("user_id")
-        .agg(F.count("*").cast("bigint").alias("n_neighbors"))
+        .where(d2 <= _DB_EPS * _DB_EPS)
+        .groupBy("x", "y")
+        .agg(F.sum("dcnt").cast("bigint").alias("in_ball"))
     )
-    return pts.join(nb, "user_id", "left").select(
+    return pts.join(ball, ["x", "y"]).select(
         "user_id",
         "x",
         "y",
-        F.coalesce(F.col("n_neighbors"), F.lit(0))
-        .cast("bigint")
-        .alias("n_neighbors"),
-        F.when(F.coalesce(F.col("n_neighbors"), F.lit(0)) >= _DB_MINPTS, 1)
+        (F.col("in_ball") - 1).cast("bigint").alias("n_neighbors"),
+        F.when(F.col("in_ball") - 1 >= _DB_MINPTS, 1)
         .otherwise(0)
         .cast("bigint")
         .alias("is_core"),

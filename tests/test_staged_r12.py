@@ -193,3 +193,59 @@ def test_no_corpus_sized_global_windows(spark):
             name,
             unpartitioned,
         )
+
+
+def test_dbscan_grid_coincident_pile(spark, tmp_path):
+    """Scale pin for the distinct-point collapse: 300 users sharing ONE
+    feature point must cost one distinct-point row through the cell
+    join (not 300^2 pair expansions) and still count 299 neighbors
+    each. Far-away singletons stay non-core."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    ts = datetime.datetime(2024, 1, 1)
+    eid = 0
+    # 300 users, each exactly 1 click + 1 purchase -> all at (1, 1)
+    for u in range(300):
+        for et in ("click", "purchase"):
+            rows.append((eid, ts, u, et, 1.0, "{}"))
+            eid += 1
+    # 2 far singletons: 40 clicks each -> (40, 0), isolated
+    for u in (1000, 2000):
+        for _ in range(40 + (u == 2000) * 10):
+            rows.append((eid, ts, u, "click", 1.0, "{}"))
+            eid += 1
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    out = {
+        r["user_id"]: (r["n_neighbors"], r["is_core"])
+        for r in STAGED["sim_dbscan_grid"].spark(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 302
+    for u in range(300):
+        assert out[u] == (299, 1), (u, out[u])
+    assert out[1000] == (0, 0)
+    assert out[2000] == (0, 0)
+    # the collapse itself: the cell join consumes the distinct-point
+    # relation -- the analyzed plan must aggregate on (x, y) before
+    # the join, so the pile contributes ONE row per join side
+    plan = (
+        STAGED["sim_dbscan_grid"]
+        .spark(spark, str(tmp_path))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Aggregate [x" in plan, plan
