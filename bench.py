@@ -9,7 +9,9 @@ session and file-listing caches.
 
 Modes: default = HEADLINE list, shared session, release_persisted
 between queries. --all = whole registry. --only=a,b,c = targeted
-re-measure. --isolate = each query in a fresh SparkSession subprocess
+re-measure (archives to BENCH_HISTORY but never overwrites the
+canonical BENCH_DETAIL.json -- that artifact only reflects full runs).
+--isolate = each query in a fresh SparkSession subprocess
 (kills cross-query JVM/cache confounds; ~20 s startup per query, so a
 diagnostic, not the driver path). --no-detail = skip BENCH_DETAIL.json.
 --child (internal) = subprocess mode spawned by --isolate: full-precision
@@ -217,7 +219,9 @@ def _parse_args(argv: list[str]):
     return opts
 
 
-def _isolated(names: list[str], sf: float, detail: bool) -> int:
+def _isolated(
+    names: list[str], sf: float, detail: bool, canonical: bool = True
+) -> int:
     """--isolate: run each headline query in a FRESH SparkSession
     subprocess, so one query's JVM state (cache residency, GC heap,
     codegen cache) can never bleed into another's number. This is the
@@ -253,14 +257,15 @@ def _isolated(names: list[str], sf: float, detail: bool) -> int:
         if name in child.get("cold", {}):
             cold[name] = child["cold"][name]
         noisy.extend(child.get("noisy", []))
-    _emit(timings, spread, noisy, sf, detail, isolated=True, failed=failed,
+    _emit(timings, spread, noisy, sf, detail, isolated=True,
+          canonical=canonical, failed=failed,
           cold=cold)
     return 1 if failed else 0
 
 
 def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
           failed: list[str] | None = None, child: bool = False,
-          cold: dict | None = None):
+          cold: dict | None = None, canonical: bool = True):
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -283,10 +288,15 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
         payload["failed"] = failed
     if detail:
         here = os.path.dirname(os.path.abspath(__file__))
-        detail_path = os.path.join(here, "BENCH_DETAIL.json")
-        with open(detail_path, "w") as fh:
-            json.dump(payload, fh, indent=1, sort_keys=True)
-            fh.write("\n")
+        # BENCH_DETAIL.json is the CANONICAL headline artifact: a
+        # targeted --only run must not overwrite it with a subset
+        # payload (it did once -- a 117-query detail silently became an
+        # 8-query one). Targeted runs still archive to BENCH_HISTORY.
+        if canonical:
+            detail_path = os.path.join(here, "BENCH_DETAIL.json")
+            with open(detail_path, "w") as fh:
+                json.dump(payload, fh, indent=1, sort_keys=True)
+                fh.write("\n")
         # archive every detail payload: BENCH_DETAIL.json alone is
         # overwritten each run, losing sub-top-N per-query history
         # between rounds (r9 verdict item 4). tools/bench_compare.py
@@ -365,7 +375,9 @@ def main() -> int:
                   file=sys.stderr)
             return 2
     if opts["isolate"]:
-        return _isolated(names, sf, opts["detail"])
+        return _isolated(
+            names, sf, opts["detail"], canonical=not opts["only"]
+        )
 
     # Size file splits to the data, not the 128 MB cluster default: the
     # sf0.1 tables are single ~1-10 MB files, which would otherwise scan
@@ -432,7 +444,7 @@ def main() -> int:
         release_persisted(spark)
 
     _emit(timings, spread, noisy, sf, opts["detail"], child=opts["child"],
-          cold=cold)
+          cold=cold, canonical=not opts["only"])
     return 0
 
 

@@ -210,3 +210,27 @@ def test_isolate_parent_skips_missing_cold_keys(bench, tmp_path, monkeypatch):
     detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
     assert detail["cold"] == {"q_b": 3.5}
     assert "q_warm" not in detail["cold"]
+
+
+def test_targeted_run_never_clobbers_canonical_detail(bench, tmp_path):
+    """A --only run passes canonical=False: it must archive to
+    BENCH_HISTORY but leave BENCH_DETAIL.json alone -- a targeted
+    8-query re-measure once silently replaced the 117-query headline
+    artifact."""
+    # seed a canonical artifact
+    _emit_line(bench, {"full_a": 1.0, "full_b": 2.0}, detail=True)
+    before = (tmp_path / "BENCH_DETAIL.json").read_text()
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            {"subset": 0.5}, {"subset": 0.01}, [], 0.1, detail=True,
+            canonical=False,
+        )
+    finally:
+        sys.stdout = old
+    assert (tmp_path / "BENCH_DETAIL.json").read_text() == before
+    archives = list((tmp_path / "BENCH_HISTORY").glob("DETAIL_*.json"))
+    payloads = [json.loads(a.read_text()) for a in archives]
+    assert any(p["queries"] == {"subset": 0.5} for p in payloads)
