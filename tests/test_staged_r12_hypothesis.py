@@ -217,3 +217,185 @@ def test_seasonal_dow_random_tie_structures(spark, raw):
         .collect()
     }
     assert got == want
+
+
+#: signed flows with COLLIDING timestamps: same-ts events force the
+#: (ts, event_id) tie-break in both running windows, and the credit/
+#: debit mix drives the balance through real peaks and troughs
+drawdown_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # user
+        st.integers(min_value=0, max_value=4),  # ts step (collisions)
+        st.sampled_from(["purchase", "signup", "click", "view", "error"]),
+        st.integers(min_value=1, max_value=500),  # value in cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(raw=drawdown_strategy)
+def test_max_drawdown_random_collisions(spark, raw):
+    rows = [
+        {
+            "event_id": i,
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(seconds=k),
+            "user_id": u,
+            "event_type": t,
+            "value": c / 100.0,
+            "props": "{}",
+        }
+        for i, (u, k, t, c) in enumerate(raw)
+    ]
+    per_user = defaultdict(list)
+    for r in rows:
+        flow = round(r["value"] * 100)
+        if r["event_type"] not in ("purchase", "signup"):
+            flow = -flow
+        per_user[r["user_id"]].append((_us(r["ts"]), r["event_id"], flow))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        bal = dd = 0
+        peak = None
+        for _, _, flow in evs:
+            bal += flow
+            peak = bal if peak is None else max(peak, bal)
+            dd = max(dd, peak - bal)
+        want[u] = (len(evs), dd, bal)
+    got = {
+        r["user_id"]: (
+            r["n_events"],
+            r["max_drawdown_cents"],
+            r["final_bal_cents"],
+        )
+        for r in STAGED["window_max_drawdown"]
+        .spark(spark, _write(rows))
+        .collect()
+    }
+    assert got == want
+
+
+#: activity days spanning week boundaries with duplicates: the mask
+#: bit_or must dedup same-day repeats, and week w -> w+1 adjacency
+#: must hold across the rebased boundary regardless of the corpus min
+bitmap_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user
+        st.integers(min_value=0, max_value=20),  # day offset
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(raw=bitmap_strategy)
+def test_bitmap_retention_random_patterns(spark, raw):
+    rows = [
+        {
+            "event_id": i,
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(days=d, hours=3),
+            "user_id": u,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, (u, d) in enumerate(raw)
+    ]
+    base = min(d for _, d in raw)
+    masks = defaultdict(dict)
+    for u, d in raw:
+        rd = d - base
+        w = rd // 7
+        masks[u][w] = masks[u].get(w, 0) | (1 << (rd % 7))
+    want = {}
+    for u, wm in masks.items():
+        for w, m in wm.items():
+            nxt = wm.get(w + 1)
+            want[(u, w)] = (
+                bin(m).count("1"),
+                bin(m & nxt).count("1") if nxt is not None else 0,
+            )
+    got = {
+        (r["user_id"], r["week"]): (r["active_days"], r["retained_days"])
+        for r in STAGED["ev_bitmap_retention"]
+        .spark(spark, _write(rows))
+        .collect()
+    }
+    assert got == want
+
+
+#: item sets sized to cross the KMV branch point: up to ~200 distinct
+#: (user, day) pairs per example, so cohorts land on BOTH sides of
+#: n >= k (estimation) and n < k (exact passthrough)
+theta_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # user
+        st.integers(min_value=0, max_value=6),  # day
+        st.sampled_from(["click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=200,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(raw=theta_strategy)
+def test_theta_sketch_random_sets(spark, raw):
+    import hashlib
+
+    from clueso_spark.plans.staged_r12 import _KMV_K, _KMV_M
+
+    rows = [
+        {
+            "event_id": i,
+            "ts": datetime.datetime(2024, 1, 1)
+            + datetime.timedelta(days=d, hours=5),
+            "user_id": u,
+            "event_type": t,
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i, (u, d, t) in enumerate(raw)
+    ]
+    day0 = _us(datetime.datetime(2024, 1, 1)) // 86_400_000_000
+    cohorts = defaultdict(set)
+    for u, d, t in raw:
+        c = "a" if t == "click" else "b"
+        cohorts[c].add(f"{u}:{day0 + d}")
+    cohorts["u"] = cohorts["a"] | cohorts["b"]
+
+    def est(items):
+        n = len(items)
+        if n < _KMV_K:
+            return n, n
+        ranked = sorted(
+            (int(hashlib.md5(i.encode()).hexdigest()[:8], 16), i)
+            for i in items
+        )
+        return n, ((_KMV_K - 1) * _KMV_M) // ranked[_KMV_K - 1][0]
+
+    na, ea = est(cohorts["a"])
+    nb, eb = est(cohorts["b"])
+    nu, eu = est(cohorts["u"])
+    [row] = (
+        STAGED["agg_theta_sketch_setops"].spark(spark, _write(rows)).collect()
+    )
+    assert (row["exact_a"], row["exact_b"], row["exact_union"]) == (
+        na or None,
+        nb or None,
+        nu,
+    ) or (row["exact_a"], row["exact_b"], row["exact_union"]) == (
+        na,
+        nb,
+        nu,
+    )
+    assert (row["est_a"], row["est_b"], row["est_union"]) == (
+        ea or None,
+        eb or None,
+        eu,
+    ) or (row["est_a"], row["est_b"], row["est_union"]) == (ea, eb, eu)
