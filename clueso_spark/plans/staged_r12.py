@@ -70,7 +70,11 @@ Session-3 additions (same gate, same promotion round):
     (3x3 neighbor-cell equi-join; oracle = the naive quadratic join,
     parity proves the blocking exact);
   * graph -- per-node LOCAL clustering coefficient (each triangle
-    credits its 3 corners; degree-ordered orientation, x3 explode).
+    credits its 3 corners; degree-ordered orientation, x3 explode);
+  * streaming -- a stateful KMV distinct-count sketch
+    (applyInPandasWithState, O(k) state per cohort) whose drained
+    state hash-verifies against the batch sketch, with a genuine
+    3-micro-batch fold test pinning the cross-batch associativity.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -2837,4 +2841,146 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("lcc_x10000"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING KMV sketch: the stateful-stream sibling of
+# agg_theta_sketch_setops. Per cohort, applyInPandasWithState maintains
+# the bottom-k (hash, item) entries as O(k) state across micro-batches
+# -- the property that lets a streaming job estimate distinct counts
+# forever without unbounded dedup state. Bottom-k folding is
+# associative, so the drained stream's final state must equal the
+# batch-computed bottom-k EXACTLY; the DuckDB oracle computes that
+# batch sketch, making the stream-vs-batch equivalence hash-verified.
+# ---------------------------------------------------------------------------
+
+
+def _kmv_state_fn(key, pdf_iter, state):
+    """Bottom-k fold worker. State = (json entries, rows seen): entries
+    are the current bottom-{_KMV_K} [hash, item] pairs ordered by
+    (hash, item) -- identical to the batch rank order, so hash ties
+    across distinct items keep both rows, exactly as the oracle does.
+    Within a batch the candidate list grows before the end-of-batch
+    truncation; an inline cap at 4k would bound that too, omitted for
+    clarity at this k."""
+    import hashlib
+    import json as _json
+
+    import pandas as pd
+
+    if state.exists:
+        entries_json, seen = state.get
+        entries = _json.loads(entries_json)
+    else:
+        entries, seen = [], 0
+    have = {e[1] for e in entries}
+    for pdf in pdf_iter:
+        for item in pdf["item"]:
+            seen += 1
+            it = str(item)
+            if it in have:
+                continue
+            hv = int(hashlib.md5(it.encode()).hexdigest()[:8], 16)
+            entries.append([hv, it])
+            have.add(it)
+    entries.sort(key=lambda e: (e[0], e[1]))
+    entries = entries[: _KMV_K]
+    state.update((_json.dumps(entries), seen))
+    n = len(entries)
+    h_k = entries[-1][0] if entries else 0
+    est = ((_KMV_K - 1) * _KMV_M) // h_k if n >= _KMV_K else n
+    yield pd.DataFrame(
+        {
+            "cohort": [key[0]],
+            "n_sketch": [n],
+            "h_k": [h_k],
+            "est_distinct": [est],
+            "n_seen": [seen],
+        }
+    )
+
+
+@_stage(
+    "st_kmv_distinct_sketch",
+    f"STREAMING distinct-count sketch (applyInPandasWithState): per "
+    f"cohort (click/purchase user-days) the bottom-{_KMV_K} md5 "
+    "(hash, item) entries fold across micro-batches as O(k) state -- "
+    "distinct counting that never grows dedup state. Bottom-k folding "
+    "is associative, so the drained final state equals the batch "
+    "sketch EXACTLY; the oracle computes that batch sketch, so "
+    "stream == batch is hash-verified, not asserted.",
+    f"""
+    with base as (
+      select distinct
+        case when event_type = 'click' then 'a' else 'b' end as cohort,
+        concat_ws(':', user_id, epoch_us(ts) // {_DAY_US}) as item
+      from events where event_type in ('click', 'purchase')
+    ),
+    h as (
+      select cohort, item,
+             cast(('0x' || substr(md5(item), 1, 8)) as bigint) as hv
+      from base
+    ),
+    rk as (
+      select cohort, hv,
+             row_number() over (partition by cohort
+                                order by hv, item) as r
+      from h
+    )
+    select cohort,
+           cast(count(*) as bigint) as n_sketch,
+           max(hv) as h_k,
+           cast(case when count(*) >= {_KMV_K}
+                then (({_KMV_K} - 1) * {_KMV_M}) // max(hv)
+                else count(*) end as bigint) as est_distinct
+    from rk where r <= {_KMV_K} group by cohort
+    """,
+    "streaming", "stateful", "sketch",
+)
+def st_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from clueso_spark.plans.streaming_queries import events_stream
+
+    stream = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "a")
+            .otherwise("b")
+            .alias("cohort"),
+            F.concat_ws(":", F.col("user_id"), _day()).alias("item"),
+        )
+    )
+    out_schema = (
+        "cohort string, n_sketch bigint, h_k bigint, "
+        "est_distinct bigint, n_seen bigint"
+    )
+    state_schema = "entries string, seen bigint"
+    sketched = stream.groupBy("cohort").applyInPandasWithState(
+        _kmv_state_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_name = "st_kmv_distinct_sketch_sink"
+    query = (
+        sketched.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # update-mode sink keeps one row per cohort per micro-batch; the
+    # final state is the row with the largest rows-seen counter
+    # (monotone across batches by construction)
+    w = Window.partitionBy("cohort").orderBy(F.col("n_seen").desc())
+    return (
+        spark.table(sink_name)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("cohort", "n_sketch", "h_k", "est_distinct")
     )
