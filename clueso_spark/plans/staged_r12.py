@@ -2200,6 +2200,10 @@ def txt_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMV_K = 64
 _KMV_M = 4_294_967_296  # 2^32: the hash value domain
+#: partial-sketch fan-out: bounds any single task's sort at
+#: corpus / shards rows; exact at any value (see the two-level note
+#: in agg_theta_sketch_setops), so production sizes it to parallelism
+_KMV_SHARDS = 64
 
 
 @_stage(
@@ -2210,7 +2214,7 @@ _KMV_M = 4_294_967_296  # 2^32: the hash value domain
     f"on the three estimates -- est = ({_KMV_K}-1) * 2^32 div h_k, "
     "exact integers end-to-end. Exact cardinalities ride alongside, so "
     "the estimation error is verified output, not a claim. Bottom-k "
-    "runs two-level (8 md5-shard PARTIALS, merge over <= 8k survivors) "
+    "runs two-level (64 md5-shard PARTIALS, merge over <= 4096 rows) "
     "-- the mergeable deployment shape, no cohort-sized window task.",
     f"""
     with base as (
@@ -2296,11 +2300,14 @@ def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_exact")
     )
     # two-level bottom-k, the actual mergeable-sketch deployment shape:
-    # each of the 8 md5 shards keeps its own bottom-k PARTIAL (keyed
-    # window -- no cohort-sized partition ever flows through one task),
-    # then the merge ranks only the <= 8k survivors per cohort. Exact:
-    # the global bottom-k is a subset of the union of shard bottom-ks.
-    sharded = h.withColumn("shard", _md5_mod(F.col("item"), 8))
+    # each md5 shard keeps its own bottom-k PARTIAL (keyed window), so
+    # the largest sort any task performs is corpus / _KMV_SHARDS rows,
+    # and the merge ranks only <= shards * k survivors per cohort.
+    # Exact at ANY shard count (the global bottom-k is a subset of the
+    # union of shard bottom-ks), so production sizes shards to cluster
+    # parallelism; 64 here keeps the merge at <= 4096 rows while making
+    # the per-task sort bound 64x smaller than the cohort.
+    sharded = h.withColumn("shard", _md5_mod(F.col("item"), _KMV_SHARDS))
     r1 = F.row_number().over(
         Window.partitionBy("cohort", "shard").orderBy("hv", "item")
     )
