@@ -57,3 +57,38 @@ def _assert_bucketed_join(spark):
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
     assert joined.count() == expected
+
+
+def test_mismatched_bucket_counts_still_correct(spark, tmp_path):
+    """A 4-bucket side joined to an 8-bucket side must stay CORRECT;
+    whether the planner re-shuffles one side or coalesces buckets is a
+    cost decision, not a correctness one."""
+    write_bucketed(
+        load_table(spark, SF_DIR, "orders"),
+        "b_orders_8",
+        str(tmp_path / "b_orders_8"),
+        "o_orderkey",
+        n_buckets=8,
+    )
+    write_bucketed(
+        load_table(spark, SF_DIR, "lineitem").withColumnRenamed(
+            "l_orderkey", "o_orderkey"
+        ),
+        "b_lineitem_4",
+        str(tmp_path / "b_lineitem_4"),
+        "o_orderkey",
+        n_buckets=4,
+    )
+    try:
+        joined = co_located_join(
+            spark, "b_orders_8", "b_lineitem_4", "o_orderkey"
+        )
+        orders = load_table(spark, SF_DIR, "orders")
+        lineitem = load_table(spark, SF_DIR, "lineitem")
+        expected = orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("drop table if exists b_orders_8")
+        spark.sql("drop table if exists b_lineitem_4")
