@@ -11,7 +11,7 @@ Round-9 findings (both fixed): agg_approx_count_distinct and
 agg_hll_partial_merge divided by an exact distinct count of zero; the
 within_5pct flags are now cross-multiplied.
 
-Usage: python tools/empty_sweep.py [name[,name...]]
+Usage: python tools/empty_sweep.py [--staged] [name[,name...]]
 Exit code 0 iff no query crashes.
 """
 
@@ -47,8 +47,15 @@ def main() -> int:
 
     spark = get_spark("empty-sweep", **{"spark.sql.shuffle.partitions": "4"})
     spark.sparkContext.setLogLevel("ERROR")
-    reg = all_queries()
-    names = sys.argv[1].split(",") if len(sys.argv) > 1 else list(reg)
+    reg = dict(all_queries())
+    args = [a for a in sys.argv[1:] if a != "--staged"]
+    if "--staged" in sys.argv[1:]:
+        # include the pre-registration tier (plans/staged_r12.py) --
+        # same flag contract as check_correctness.py / plan_audit.py
+        from clueso_spark.plans.staged_r12 import STAGED
+
+        reg.update(STAGED)
+    names = args[0].split(",") if args else list(reg)
     fails: list[tuple[str, str]] = []
     for name in names:
         try:
