@@ -74,7 +74,13 @@ Session-3 additions (same gate, same promotion round):
   * streaming -- a stateful KMV distinct-count sketch
     (applyInPandasWithState, O(k) state per cohort) whose drained
     state hash-verifies against the batch sketch, with a genuine
-    3-micro-batch fold test pinning the cross-batch associativity.
+    3-micro-batch fold test pinning the cross-batch associativity;
+  * graph -- HITS authority/hub scoring (2 unrolled integer rounds,
+    unnormalized so every score is an exact bigint) on the directed
+    customer->part purchase graph;
+  * windows -- per-user rolling OLS slope from five window sums over
+    one keyed 8-row frame (the windowed form of agg_ols_trend),
+    shipped as exact (num, den) plus a permyriad quotient.
 
 Determinism contract: identical to plans/catalog.py -- exact bigint /
 decimal arithmetic wherever a float sum would be order-sensitive;
@@ -2990,4 +2996,177 @@ def st_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("cohort", "n_sketch", "h_k", "est_distinct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HITS authority/hub scoring on the directed customer->part purchase
+# graph -- the third centrality family after PageRank (global walk) and
+# Katz (decayed paths): mutually-recursive scores where good hubs point
+# at good authorities. Two plan-unrolled rounds in raw integers (the
+# classic L2 normalization only rescales the ranking, so dropping it
+# keeps every score an exact bigint and the top-k identical). Each
+# round is one keyed join + one keyed aggregate over the edge list.
+# ---------------------------------------------------------------------------
+
+_HITS_TOP = 20
+
+
+@_stage(
+    "graph_hits_authority",
+    "HITS on the customer->part purchase graph, 2 unrolled rounds in "
+    "exact integers (unnormalized -- rescaling never reorders): "
+    "auth1 = in-degree, hub1(c) = sum of auth1 over c's parts, "
+    f"auth2(p) = sum of hub1 over buyers; top-{_HITS_TOP} authorities "
+    "by (auth2, part). Edge list = DISTINCT (cust, part) pairs; every "
+    "round is edge-keyed join + aggregate, never adjacency "
+    "materialization.",
+    f"""
+    with e as (
+      select distinct o_custkey as c, l_partkey as p
+      from orders join lineitem on o_orderkey = l_orderkey
+    ),
+    auth1 as (
+      select p, cast(count(*) as bigint) as a1 from e group by p
+    ),
+    hub1 as (
+      select e.c, cast(sum(auth1.a1) as bigint) as h1
+      from e join auth1 using (p) group by e.c
+    ),
+    auth2 as (
+      select e.p, cast(sum(hub1.h1) as bigint) as a2
+      from e join hub1 using (c) group by e.p
+    )
+    select auth2.p as part, auth1.a1 as auth_round1,
+           auth2.a2 as auth_round2
+    from auth2 join auth1 using (p)
+    order by auth2.a2 desc, part
+    limit {_HITS_TOP}
+    """,
+    "graph", "centrality", "hits",
+)
+def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    e = persist_swap(spark, "hits_edges", e)
+    auth1 = e.groupBy("p").agg(F.count("*").cast("bigint").alias("a1"))
+    hub1 = (
+        e.join(auth1, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    auth2 = (
+        e.join(hub1, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return (
+        auth2.join(auth1, "p")
+        .select(
+            F.col("p").alias("part"),
+            F.col("a1").alias("auth_round1"),
+            F.col("a2").alias("auth_round2"),
+        )
+        .orderBy(F.col("auth_round2").desc(), "part")
+        .limit(_HITS_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling regression: the windowed form of agg_ols_trend -- per user, an
+# 8-row rolling OLS slope of value against the event index, built from
+# FOUR window sums (n, sum x, sum y, sum xy, sum x2) over the same
+# keyed frame. All moments exact bigints; the slope ships as both the
+# exact (num, den) pair and a permyriad integer quotient (div == //
+# toward zero on both engines, probed for negatives).
+# ---------------------------------------------------------------------------
+
+_ROLL_W = 8  # rolling frame: 7 preceding + current
+
+
+@_stage(
+    "window_rolling_regression",
+    f"Per-user rolling OLS slope over the last {_ROLL_W} events (value "
+    "cents against the per-user event index): slope = (n*Sxy - Sx*Sy) "
+    "/ (n*Sx2 - Sx^2) assembled from five window sums over ONE keyed "
+    "frame -- no self-join, no UDF. Ships exact integer (num, den) "
+    "plus slope_x10000 = (10000*num) div den; single-row frames carry "
+    "the 0/0 sentinel as 0.",
+    f"""
+    with s as (
+      select user_id, event_id, ts,
+             cast(round(value * 100) as bigint) as y,
+             row_number() over (partition by user_id
+                                order by ts, event_id) as x
+      from events
+    ),
+    w as (
+      select user_id, event_id, x, y,
+             count(*) over fr as n,
+             sum(x) over fr as sx,
+             sum(y) over fr as sy,
+             sum(x * y) over fr as sxy,
+             sum(x * x) over fr as sx2
+      from s
+      window fr as (partition by user_id order by x
+                    rows between {_ROLL_W - 1} preceding and current row)
+    )
+    select user_id, event_id,
+           cast(n as bigint) as n,
+           cast(n * sxy - sx * sy as bigint) as slope_num,
+           cast(n * sx2 - sx * sx as bigint) as slope_den,
+           cast(case when n * sx2 - sx * sx = 0 then 0
+                else (10000 * (n * sxy - sx * sy))
+                     // (n * sx2 - sx * sx) end as bigint)
+             as slope_x10000
+    from w
+    """,
+    "window", "regression", "ordered",
+)
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        _cents("value").alias("y"),
+    ).withColumn("x", F.row_number().over(order))
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_ROLL_W - 1), Window.currentRow)
+    )
+    w = (
+        s.withColumn("n", F.count("*").over(fr))
+        .withColumn("sx", F.sum("x").over(fr))
+        .withColumn("sy", F.sum("y").over(fr))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(fr))
+        .withColumn("sx2", F.sum(F.col("x") * F.col("x")).over(fr))
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    return w.select(
+        "user_id",
+        "event_id",
+        F.col("n").cast("bigint").alias("n"),
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        F.when(den == 0, F.lit(0))
+        .otherwise(F.expr(
+            "(10000 * (n * sxy - sx * sy)) div (n * sx2 - sx * sx)"
+        ))
+        .cast("bigint")
+        .alias("slope_x10000"),
     )

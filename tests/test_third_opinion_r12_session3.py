@@ -323,3 +323,82 @@ def test_local_clustering_sums_to_global(spark):
     assert (
         sum(r["n_triangles"] for r in per_node) == 3 * glob["n_triangles"]
     )
+
+
+def test_hits_third_opinion(spark):
+    """Literal 2-round HITS over the distinct (cust, part) edge list."""
+    from clueso_spark.plans.staged_r12 import _HITS_TOP
+
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in pq.read_table(
+            f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+        ).to_pylist()
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).to_pylist()
+    edges = {
+        (orders[r["l_orderkey"]], r["l_partkey"])
+        for r in li
+        if r["l_orderkey"] in orders
+    }
+    auth1 = defaultdict(int)
+    for _, p in edges:
+        auth1[p] += 1
+    hub1 = defaultdict(int)
+    for c, p in edges:
+        hub1[c] += auth1[p]
+    auth2 = defaultdict(int)
+    for c, p in edges:
+        auth2[p] += hub1[c]
+    want = sorted(
+        ((p, auth1[p], auth2[p]) for p in auth2),
+        key=lambda t: (-t[2], t[0]),
+    )[:_HITS_TOP]
+    got = [
+        (r["part"], r["auth_round1"], r["auth_round2"])
+        for r in STAGED["graph_hits_authority"].spark(spark, SF).collect()
+    ]
+    assert got == want
+
+
+def test_rolling_regression_third_opinion(spark, events):
+    """Literal per-user rolling OLS over the 8-row frame."""
+    from clueso_spark.plans.staged_r12 import _ROLL_W
+
+    per_user = defaultdict(list)
+    for e in events:
+        per_user[e["user_id"]].append(
+            (_us(e["ts"]), e["event_id"], _cents(e["value"]))
+        )
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        for i, (_, eid, _) in enumerate(evs):
+            lo = max(0, i - (_ROLL_W - 1))
+            frame = [
+                (j + 1, evs[j][2]) for j in range(lo, i + 1)
+            ]  # x = 1-based per-user index
+            n = len(frame)
+            sx = sum(x for x, _ in frame)
+            sy = sum(y for _, y in frame)
+            sxy = sum(x * y for x, y in frame)
+            sx2 = sum(x * x for x, _ in frame)
+            num = n * sxy - sx * sy
+            den = n * sx2 - sx * sx
+            q = 0 if den == 0 else int((10000 * num) / den)  # trunc to 0
+            want[eid] = (u, n, num, den, q)
+    got = {
+        r["event_id"]: (
+            r["user_id"],
+            r["n"],
+            r["slope_num"],
+            r["slope_den"],
+            r["slope_x10000"],
+        )
+        for r in STAGED["window_rolling_regression"]
+        .spark(spark, SF)
+        .collect()
+    }
+    assert got == want
