@@ -2661,7 +2661,10 @@ def sim_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # coincident pile costs ONE distinct-point row; every member's
     # neighbor count is sum(cnt in ball) - 1 (self excluded), so the
     # degenerate case is free instead of quadratic -- the same
-    # discipline as the LSH star cap, but exact here.
+    # discipline as the LSH star cap, but exact here. Better still, on
+    # an integer lattice a width-eps cell holds at most eps^2 DISTINCT
+    # coordinates, so the post-collapse per-cell pair fan-out is
+    # bounded by geometry (eps^2 x 9 cells), not by data volume.
     ev = load_table(spark, sf_dir, "events")
     pts = ev.groupBy("user_id").agg(
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
