@@ -790,12 +790,24 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Edit-distance near-dup verification: (12-char normalized prefix,
-# length-bucket) blocking generates candidates in ONE keyed shuffle;
-# levenshtein over the 80-char normalized prefix verifies. Both engines
-# implement the identical classic DP metric, so the distance column
-# hash-matches. The blocking bounds the pair space exactly like the
-# MinHash banding does for Jaccard -- no all-pairs anywhere.
+# Edit-distance near-dup verification: TWO blocking families -- (12-char
+# normalized prefix, length-bucket) and (12-char normalized SUFFIX,
+# length-bucket) -- each one keyed shuffle; levenshtein over the 80-char
+# normalized prefix verifies. Both engines implement the identical
+# classic DP metric, so the distance column hash-matches.
+#
+# Why two families (round-11 verdict finding): prefix blocking alone is
+# DETERMINISTICALLY blind to near-dups whose edits fall inside the first
+# 12 characters (a changed leading timestamp/title token) -- unlike
+# MinHash banding, whose recall guarantee is position-independent. The
+# suffix family covers exactly that case: an edit confined to the head
+# leaves the last 12 characters (and, for substitutions, the length
+# bucket) intact, so the pair surfaces through the suffix key. Residual
+# misses -- edits touching BOTH the first and last 12 chars, or
+# insertions that cross a length-bucket boundary -- remain, which is why
+# this op is documented as a VERIFY tier behind MinHash banding, not a
+# standalone recall claim. tests/test_staged_r11_edges.py plants the
+# leading-edit counter-example and pins the contract.
 # ---------------------------------------------------------------------------
 
 _EDIT_MAX_DIST = 10
@@ -806,29 +818,42 @@ _EDIT_LEN_BUCKET = 20
 
 @_stage(
     "dedup_edit_distance",
-    "Edit-distance near-dup pairs: block on (first "
-    f"{_EDIT_PREFIX} normalized chars, n_chars div {_EDIT_LEN_BUCKET}) "
-    "-- one keyed shuffle, the same bounded-candidates discipline as "
-    "MinHash banding -- then verify with exact levenshtein over the "
-    f"{_EDIT_VERIFY_CHARS}-char normalized prefix at distance <= "
+    "Edit-distance near-dup pairs: candidates from TWO blocking "
+    f"families -- (first {_EDIT_PREFIX} normalized chars, n_chars div "
+    f"{_EDIT_LEN_BUCKET}) and (last {_EDIT_PREFIX} normalized chars, "
+    "same length bucket) -- each one keyed shuffle, the same bounded-"
+    "candidates discipline as MinHash banding; the suffix family "
+    "recovers the leading-edit pairs prefix blocking is "
+    "deterministically blind to. Verify with exact levenshtein over "
+    f"the {_EDIT_VERIFY_CHARS}-char normalized prefix at distance <= "
     f"{_EDIT_MAX_DIST}. Levenshtein is the identical classic DP in "
-    "both engines, so distances hash-match.",
+    "both engines, so distances hash-match. VERIFY tier behind MinHash "
+    "banding: edits touching both the head and the tail 12 chars can "
+    "still evade blocking.",
     f"""
     with d as (
       select doc_id, lower(trim(text)) as norm, n_chars from documents
     ),
     b as (
-      select doc_id, norm,
+      select doc_id, substr(norm, 1, {_EDIT_VERIFY_CHARS}) as vnorm,
              substr(norm, 1, {_EDIT_PREFIX}) as pfx,
+             right(norm, {_EDIT_PREFIX}) as sfx,
              n_chars // {_EDIT_LEN_BUCKET} as lenb
       from d
     ),
-    p as (
+    c as (
       select a.doc_id as doc_a, b2.doc_id as doc_b,
-             levenshtein(substr(a.norm, 1, {_EDIT_VERIFY_CHARS}),
-                         substr(b2.norm, 1, {_EDIT_VERIFY_CHARS})) as dist
+             a.vnorm as va, b2.vnorm as vb
       from b a join b b2
         on a.pfx = b2.pfx and a.lenb = b2.lenb and a.doc_id < b2.doc_id
+      union
+      select a.doc_id as doc_a, b2.doc_id as doc_b,
+             a.vnorm as va, b2.vnorm as vb
+      from b a join b b2
+        on a.sfx = b2.sfx and a.lenb = b2.lenb and a.doc_id < b2.doc_id
+    ),
+    p as (
+      select doc_a, doc_b, levenshtein(va, vb) as dist from c
     )
     select doc_a, doc_b, cast(dist as bigint) as edit_distance
     from p where dist <= {_EDIT_MAX_DIST}
@@ -857,11 +882,28 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.substring("norm", 1, _EDIT_VERIFY_CHARS).alias("norm"),
             F.substring("norm", 1, _EDIT_PREFIX).alias("pfx"),
+            # suffix key of the FULL normalized text (not the verify
+            # prefix): a leading edit leaves the document tail intact,
+            # so this family recovers exactly the pairs the prefix key
+            # deterministically misses
+            F.expr(f"right(norm, {_EDIT_PREFIX})").alias("sfx"),
             F.expr(f"n_chars div {_EDIT_LEN_BUCKET}").alias("lenb"),
         ),
     )
-    pairs = _bucket_pairs(
-        b, ["pfx", "lenb"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    pairs = (
+        _bucket_pairs(
+            b, ["pfx", "lenb"], "doc_id", "doc_a", "doc_b",
+            cap=LSH_BUCKET_CAP,
+        )
+        .unionAll(
+            _bucket_pairs(
+                b, ["sfx", "lenb"], "doc_id", "doc_a", "doc_b",
+                cap=LSH_BUCKET_CAP,
+            )
+        )
+        # pair-level dedup across the two families: O(candidates), far
+        # smaller than the corpus, so the extra shuffle is negligible
+        .distinct()
     )
     na = b.select(F.col("doc_id").alias("doc_a"), F.col("norm").alias("na"))
     nb = b.select(F.col("doc_id").alias("doc_b"), F.col("norm").alias("nb"))

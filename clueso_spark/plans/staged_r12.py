@@ -2877,9 +2877,13 @@ def _kmv_state_fn(key, pdf_iter, state):
     are the current bottom-{_KMV_K} [hash, item] pairs ordered by
     (hash, item) -- identical to the batch rank order, so hash ties
     across distinct items keep both rows, exactly as the oracle does.
-    Within a batch the candidate list grows before the end-of-batch
-    truncation; an inline cap at 4k would bound that too, omitted for
-    clarity at this k."""
+    Within a batch the candidate list is bounded by an INLINE cap
+    (4 * k): whenever it fills, sort + truncate to k and rebuild the
+    dedup set. Exact: a stream-wide bottom-k entry, once added, is by
+    definition among the k smallest of ANY entry set containing it, so
+    no truncation can ever drop it; a truncated (non-bottom-k) item
+    that recurs is simply re-added and re-truncated. Per-key memory is
+    therefore O(k) regardless of batch size (ADVICE r11)."""
     import hashlib
     import json as _json
 
@@ -2891,6 +2895,7 @@ def _kmv_state_fn(key, pdf_iter, state):
     else:
         entries, seen = [], 0
     have = {e[1] for e in entries}
+    cap = 4 * _KMV_K
     for pdf in pdf_iter:
         for item in pdf["item"]:
             seen += 1
@@ -2900,6 +2905,10 @@ def _kmv_state_fn(key, pdf_iter, state):
             hv = int(hashlib.md5(it.encode()).hexdigest()[:8], 16)
             entries.append([hv, it])
             have.add(it)
+            if len(entries) >= cap:
+                entries.sort(key=lambda e: (e[0], e[1]))
+                entries = entries[: _KMV_K]
+                have = {e[1] for e in entries}
     entries.sort(key=lambda e: (e[0], e[1]))
     entries = entries[: _KMV_K]
     state.update((_json.dumps(entries), seen))

@@ -105,3 +105,73 @@ def test_top_paths_short_sessions_keep_partial_paths(spark, tmp_path):
     rows = STAGED["ev_top_paths"].spark(spark, sf).collect()
     got = {r["path"]: r["n_sessions"] for r in rows}
     assert got == {"signup>click": 1, "view": 1}
+
+
+def _documents_table(tmp_path, docs):
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [i for i, _ in docs],
+                "text": [t for _, t in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["test"] * len(docs),
+                "n_chars": [len(t) for _, t in docs],
+            },
+            schema=schema,
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_edit_distance_suffix_family_catches_leading_edit(spark, tmp_path):
+    """The round-11 verdict counter-example, pinned: prefix blocking
+    alone is deterministically blind to a near-dup whose single edit
+    falls inside the first 12 characters (a changed leading
+    timestamp/title token). The suffix blocking family must surface
+    exactly that pair -- and the prefix family must still surface the
+    trailing-edit pair it always caught. A pair edited at BOTH ends is
+    the documented residual miss (verify-tier contract): asserting its
+    absence pins the contract rather than overclaiming recall."""
+    base = "shared body of the near duplicate document #"
+    docs = [
+        # leading edit: first char differs, tail identical
+        (1, "X" + base + "0001"),
+        (2, "Y" + base + "0001"),
+        # trailing edit: head identical, last char differs
+        (3, "Z" + base + "0002"),
+        (4, "Z" + base + "0003"),
+        # edited at both ends: the documented residual miss
+        (5, "P" + base + "0004"),
+        (6, "Q" + base + "0005"),
+        # unrelated doc, same length bucket
+        (7, "totally different content with no shared affixes here"),
+    ]
+    sf = _documents_table(tmp_path, docs)
+    rows = STAGED["dedup_edit_distance"].spark(spark, sf).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["edit_distance"] for r in rows}
+    assert got.get((1, 2)) == 1, "suffix family must catch the leading edit"
+    assert got.get((3, 4)) == 1, "prefix family must keep the trailing edit"
+    assert (5, 6) not in got, "both-ends edit is the documented miss"
+    assert not any(7 in pair for pair in got), "unrelated doc paired"
+
+
+def test_edit_distance_families_dedup_pairs(spark, tmp_path):
+    """A pair blocked by BOTH families (identical docs share prefix and
+    suffix keys) must appear exactly once -- the cross-family pair-level
+    distinct is part of the output contract, not an optimization."""
+    t = "identical twin documents share both blocking keys equally"
+    sf = _documents_table(tmp_path, [(1, t), (2, t)])
+    rows = STAGED["dedup_edit_distance"].spark(spark, sf).collect()
+    assert [(r["doc_a"], r["doc_b"], r["edit_distance"]) for r in rows] == [
+        (1, 2, 0)
+    ]

@@ -318,3 +318,48 @@ def test_kmv_stream_multi_batch_fold(spark, tmp_path):
     assert final["h_k"] == h_k
     assert final["est_distinct"] == ((_KMV_K - 1) * _KMV_M) // h_k
     assert final["n_seen"] == sum(len(r) for r in batches)
+
+
+def test_kmv_state_fn_inline_cap_is_exact():
+    """ADVICE r11: the in-batch candidate list is truncated to k
+    whenever it reaches 4k, so per-key memory is O(k) for arbitrarily
+    large micro-batches. Exactness under the cap, driven directly:
+    2000 distinct items (>= 7 inline truncations at k=64), with the
+    stream-wide bottom-k items fed FIRST (so every one of them must
+    survive every truncation) and every truncated item fed a second
+    time (recurrence after eviction must not corrupt the sketch or
+    duplicate entries)."""
+    import hashlib
+    import json
+
+    import pandas as pd
+
+    from clueso_spark.plans.staged_r12 import _KMV_K, _KMV_M, _kmv_state_fn
+
+    items = [f"unit{j:05d}" for j in range(2000)]
+    ranked = sorted(
+        (int(hashlib.md5(i.encode()).hexdigest()[:8], 16), i) for i in items
+    )
+    bottom = [i for _, i in ranked[:_KMV_K]]
+    rest = [i for _, i in ranked[_KMV_K:]]
+    feed = bottom + rest + rest  # bottom-k first, evicted items recur
+
+    class FakeState:
+        exists = False
+
+        def update(self, value):
+            self.value = value
+
+    state = FakeState()
+    [out] = list(
+        _kmv_state_fn(
+            ("a",), [pd.DataFrame({"item": feed})], state
+        )
+    )
+    entries = json.loads(state.value[0])
+    assert [it for _, it in entries] == bottom
+    assert len(entries) == len({it for _, it in entries}) == _KMV_K
+    h_k = entries[-1][0]
+    assert h_k == ranked[_KMV_K - 1][0]
+    assert out["est_distinct"][0] == ((_KMV_K - 1) * _KMV_M) // h_k
+    assert out["n_seen"][0] == len(feed)
