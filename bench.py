@@ -171,6 +171,36 @@ HEADLINE = [
     "dedup_winnowing",
     "mm_cdc_chunking",
     "mm_cdc_dedup",
+    # round-12 promoted staged tier (perf-tracked from its first
+    # registered day, same commit as the promotion; includes the five
+    # deferred-to-r13 names -- deferral concerns the driver window,
+    # not perf tracking)
+    "agg_hdr_quantile_merge",
+    "agg_cms_partial_merge",
+    "agg_kl_divergence_drift",
+    "dedup_minhash_index_delta",
+    "graph_kcore_decomposition",
+    "graph_adamic_adar_linkpred",
+    "txt_textrank_keywords",
+    "mm_chunk_gc_accounting",
+    "pipeline_dataset_card",
+    "ev_seasonal_dow_deviation",
+    "ev_asof_tolerance_join",
+    "ev_interval_union_length",
+    "join_range_bucketed_global",
+    "dedup_lsh_relative_recall",
+    "graph_modularity_communities",
+    "txt_ngram_novelty",
+    "txt_boilerplate_chunks",
+    "agg_theta_sketch_setops",
+    "window_max_drawdown",
+    "join_salted_skew",
+    "ev_bitmap_retention",
+    "sim_dbscan_grid",
+    "graph_local_clustering",
+    "st_kmv_distinct_sketch",
+    "graph_hits_authority",
+    "window_rolling_regression",
 ]
 
 

@@ -89,105 +89,43 @@ QUERY_MODULES = [
     # round 11: the round-10 staged tier is promoted the same way (15
     # queries; registry 197 -> 212, refresh cycle ceil(212/50) = 5)
     "clueso_spark.plans.staged_r11",
+    # round 12: the round-11 staged tier is promoted the same way (26
+    # queries; registry 212 -> 238, refresh cycle stays ceil(238/50) =
+    # 5). 21 sit in the round-12 window; the five cheapest defer to
+    # head round 13 (tests/test_entry.py DEFERRED_PROMOTIONS).
+    "clueso_spark.plans.staged_r12",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-11 rotation, executing the standing policy
+#: part of the contract. Round-12 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 10 r6-green txt_* queries round 10 documented as
-#: ROTATION_LEFTOVERS -- they sat exactly AT the freshness horizon and
+#: (1) the 28 r7-green queries round 11 documented as
+#: ROTATION_LEFTOVERS -- they sit exactly AT the freshness horizon and
 #: are this round's MANDATORY head (tests/test_entry.py enforced it);
-#: (2) the 15 promoted staged_r11 queries -- registered this round, so
-#: never driver-verified; pytest-proven against their DuckDB oracles at
-#: sf0.001 + sf0.01 (tests/test_staged_r11.py) but the driver row is
-#: the claim that counts;
-#: (3) the 16 queries whose CODE changed this round:
-#:     - graph_pagerank_copurchase / graph_label_propagation /
-#:       graph_katz_centrality: supplier-node offset migrated 1e6 ->
-#:       1e12 (output node ids change -- the r10 verdict's
-#:       wrong-at-scale defect, closed);
-#:     - the 11 dup-detection consumers of _bucket_pairs, which now
-#:       pass the degenerate-bucket star cap (results identical at
-#:       oracle SFs, re-verified, but the candidate expression
-#:       changed): dedup_minhash_lsh, dedup_connected_components,
-#:       pipeline_curated_corpus, dedup_threshold_curve,
-#:       pipeline_dedup_cluster_stats, pipeline_pretraining_funnel,
-#:       dedup_ngram_jaccard, dedup_ngram_jaccard_pairs,
-#:       dedup_embedding_cosine, dedup_containment,
-#:       mm_phash_hamming_dedup;
-#:     - txt_cooccurrence_pmi / txt_rake_keywords: vocabulary top-k now
-#:       precedes the rank window (TakeOrderedAndProject, the katz
-#:       pattern);
-#: (4) 9 of the 37 remaining r7-green queries (oldest rows after this
-#: round's head cohorts), heavier-first by recorded bench time. The 28
-#: deferred r7 names are enumerated in tests/test_entry.py
-#: ROTATION_LEFTOVERS and head round 12's window.
-#: Window math: 10 + 15 + 16 + 9 = 50 (five of the changed-code names
-#: are themselves r7 greens, so the r7 cohort refreshes 14 of 42 this
-#: round). With 212 registered queries the full-registry refresh cycle
-#: becomes ceil(212/50) = 5 rounds (tests/test_entry.py re-derives the
+#: (2) 21 of the 26 promoted staged_r12 queries -- registered this
+#: round, so never driver-verified; pytest-proven against their DuckDB
+#: oracles at sf0.001 + sf0.01 (tests/test_staged_r12.py) but the
+#: driver row is the claim that counts -- heavier-first by measured
+#: sf0.1 time;
+#: (3) the 1 query whose CODE changed this round:
+#:     - dedup_edit_distance: second (suffix, length-bucket) blocking
+#:       family added -- the r11 verdict's leading-edit recall finding;
+#:       candidate pairs (and potentially output rows) change;
+#: Window math: 28 + 21 + 1 = 50 -- zero pure-refresh slots, so the
+#: FIVE cheapest-to-verify promotions (0.40-0.61 s each at sf0.1:
+#: ev_interval_union_length, pipeline_dataset_card,
+#: ev_asof_tolerance_join, join_salted_skew, window_max_drawdown)
+#: defer to HEAD round 13's window, enumerated in tests/test_entry.py
+#: DEFERRED_PROMOTIONS with the obligation asserted mechanically NOW
+#: (they hold PRIORITY slots 50-54, immediately after the boundary).
+#: With 238 registered queries the full-registry refresh cycle stays
+#: ceil(238/50) = 5 rounds (tests/test_entry.py re-derives the
 #: constant from the live registry).
 PRIORITY = [
-    # (1) round-10 leftovers at the freshness horizon -- mandatory head
-    "txt_bigram_perplexity",
-    "txt_char_entropy",
-    "txt_lang_stats",
-    "txt_langid_heuristic",
-    "txt_lexical_diversity",
-    "txt_quality_score",
-    "txt_tf_df_top_terms",
-    "txt_token_stats",
-    "txt_top_bigrams",
-    "txt_zipf_slope",
-    # (2) promoted this round -- never driver-verified
-    "agg_pivot_shipmode",
-    "window_rolling_median",
-    "ev_cumulative_distinct_users",
-    "ev_top_paths",
-    "agg_equidepth_histogram",
-    "ev_sweepline_active_intervals",
-    "ev_ewma_smoothed",
-    "agg_mann_whitney",
-    "graph_shortest_paths",
-    "dedup_edit_distance",
-    "agg_kmv_distinct",
-    "ev_user_value_anomalies",
-    "dedup_winnowing",
-    "mm_cdc_chunking",
-    "mm_cdc_dedup",
-    # (3) changed code this round -- re-verify
-    "graph_pagerank_copurchase",
-    "graph_label_propagation",
-    "graph_katz_centrality",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "pipeline_curated_corpus",
-    "dedup_threshold_curve",
-    "pipeline_dedup_cluster_stats",
-    "pipeline_pretraining_funnel",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_containment",
-    "mm_phash_hamming_dedup",
-    "txt_cooccurrence_pmi",
-    "txt_rake_keywords",
-    # (4) r7 cohort refreshes, heavier-first by recorded bench time
-    "graph_triangle_count",
-    "st_stateful_latest",
-    "dedup_semantic",
-    "dedup_exact_substring",
-    "ev_rfm_segmentation",
-    "txt_cms_heavy_hitters",
-    "pipeline_contamination_check",
-    "ev_result_projection",
-    "sim_sq_int8_ann",
-    # --- window boundary (50) ----------------------------------------
-    # round-12 head: the 28 deferred r7 greens (oldest rows after this
-    # round's refresh), then the remainder in registration order
+    # (1) round-11 leftovers at the freshness horizon -- mandatory head
     "agg_approx_percentile",
     "dedup_exact_summary",
     "dedup_simhash",
@@ -216,6 +154,82 @@ PRIORITY = [
     "txt_pii_redaction",
     "txt_repetition_signals",
     "window_time_range_frame",
+    # (2) promoted this round -- never driver-verified; heavier-first
+    # by measured sf0.1 time (best-of-2, quiet box)
+    "graph_kcore_decomposition",
+    "dedup_lsh_relative_recall",
+    "dedup_minhash_index_delta",
+    "graph_adamic_adar_linkpred",
+    "graph_modularity_communities",
+    "graph_local_clustering",
+    "txt_textrank_keywords",
+    "txt_ngram_novelty",
+    "graph_hits_authority",
+    "agg_hdr_quantile_merge",
+    "agg_cms_partial_merge",
+    "st_kmv_distinct_sketch",
+    "agg_theta_sketch_setops",
+    "agg_kl_divergence_drift",
+    "mm_chunk_gc_accounting",
+    "sim_dbscan_grid",
+    "ev_bitmap_retention",
+    "txt_boilerplate_chunks",
+    "ev_seasonal_dow_deviation",
+    "join_range_bucketed_global",
+    "window_rolling_regression",
+    # (3) changed code this round -- re-verify
+    "dedup_edit_distance",
+    # --- window boundary (50) ----------------------------------------
+    # round-13 head, FIRST the five deferred never-verified promotions
+    # (tests/test_entry.py DEFERRED_PROMOTIONS pins these slots) ...
+    "ev_asof_tolerance_join",
+    "ev_interval_union_length",
+    "window_max_drawdown",
+    "join_salted_skew",
+    "pipeline_dataset_card",
+    # ... then the 41 r8 greens (the cohort AT the horizon next round),
+    # then the remainder in registration order
+    "agg_cube_flag_status",
+    "agg_distinct_counts",
+    "agg_exact_median",
+    "agg_grouping_sets",
+    "agg_poisson_bootstrap",
+    "agg_price_histogram",
+    "agg_rollup_priority_status",
+    "ev_anomaly_zscore",
+    "ev_decile_lift",
+    "ev_hourly_rollup",
+    "ev_json_props",
+    "ev_keyset_page",
+    "ev_latest_dense_rank",
+    "ev_latest_no_tombstone",
+    "ev_pivot_user_activity",
+    "ev_predicate_search",
+    "ev_range_join_attribution",
+    "ev_rollup_incremental_merge",
+    "graph_assoc_rules",
+    "join_bloom_pruned_revenue",
+    "join_left_order_counts",
+    "mm_shard_manifest",
+    "pipeline_domain_caps",
+    "pipeline_epoch_shuffle_shards",
+    "pipeline_incremental_corpus_diff",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q5_local_supplier_volume",
+    "q7_nation_volume_shipping",
+    "st_foreach_batch_upsert",
+    "txt_fingerprints",
+    "txt_perplexity_proxy",
+    "txt_regex_token_count",
+    "txt_tfidf_topk_similar",
+    "unpivot_lineitem_measures",
+    "window_rolling_spend",
 ]
 
 

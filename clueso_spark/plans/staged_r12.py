@@ -1,16 +1,19 @@
-"""Operators STAGED in round 11 for promotion in round 12.
+"""Operators staged in round 11, PROMOTED in round 12 (this module is
+now in catalog.QUERY_MODULES and ``promote()`` runs at import).
 
 Same life-cycle as staged_r6 / staged_r8 / staged_r9 / staged_r10 /
-staged_r11 (all promoted): ship now as library code with full pytest
-parity coverage (tests/test_staged_r12.py runs the exact driver
-comparison -- row count + schema + order-insensitive value hash --
-against DuckDB oracles at sf0.001 and sf0.01) because the round-11
-driver window (50 slots) is fully allocated: 10 mandatory r6 leftovers
-+ 15 promotions + 16 changed-code + 9 r7 refreshes. Round 12 promotes:
-add this module to catalog.QUERY_MODULES, call ``promote()`` at
-import, place every name inside the round-12 window (after the 28
-mandatory r7 leftovers), and add them to bench.py HEADLINE in the same
-commit.
+staged_r11 (all promoted): these shipped in round 11 as library code
+with full pytest parity coverage (tests/test_staged_r12.py runs the
+exact driver comparison -- row count + schema + order-insensitive
+value hash -- against DuckDB oracles at sf0.001 and sf0.01) because
+the round-11 driver window (50 slots) was fully allocated. Round 12's
+window fits 21 of the 26 after the 28 mandatory r7 leftovers and one
+changed-code re-verification (dedup_edit_distance); the five
+cheapest-to-verify ops (ev_asof_tolerance_join,
+ev_interval_union_length, window_max_drawdown, join_salted_skew,
+pipeline_dataset_card -- 0.40-0.61 s each at sf0.1) defer to HEAD
+round 13's window, the obligation pinned mechanically by
+tests/test_entry.py DEFERRED_PROMOTIONS.
 
 What this tier adds (all absent from both the reference and the live
 catalog):
@@ -124,11 +127,10 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 12 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6..r11 all ran
-    through)."""
+    Executed at import since round 12 (see the module-tail call): 21 of
+    the 26 sit inside the round-12 driver window, the five deferred
+    names head round 13's (tests/test_entry.py DEFERRED_PROMOTIONS
+    pins that obligation)."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -3182,3 +3184,8 @@ def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("slope_x10000"),
     )
+
+
+# Round-12 promotion, executed: importing this module (it is listed in
+# catalog.QUERY_MODULES) lands every staged query in the live registry.
+promote()

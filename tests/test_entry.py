@@ -39,55 +39,61 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-11 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-11 git diff:
-#: the three co-purchase graph ops (supplier-node offset migrated
-#: 1e6 -> 1e12; output node ids change), the 11 dup-detection
-#: consumers of _bucket_pairs (degenerate-bucket star cap; identical
-#: results at oracle SFs, re-verified, but the candidate expression
-#: changed), and txt_cooccurrence_pmi / txt_rake_keywords (vocabulary
-#: top-k now precedes the rank window).
+#: round-12 rotation: queries whose CODE changed this round -- every
+#: name here must appear in the round-12 git diff:
+#: dedup_edit_distance gained a second (suffix, length-bucket)
+#: blocking family (the r11 verdict's leading-edit recall finding);
+#: its candidate pairs -- and potentially its output rows -- change,
+#: so its r11 green no longer covers the live code.
 CHANGED_THIS_ROUND = (
-    "graph_pagerank_copurchase",
-    "graph_label_propagation",
-    "graph_katz_centrality",
-    "dedup_minhash_lsh",
-    "dedup_connected_components",
-    "pipeline_curated_corpus",
-    "dedup_threshold_curve",
-    "pipeline_dedup_cluster_stats",
-    "pipeline_pretraining_funnel",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine",
-    "dedup_containment",
-    "mm_phash_hamming_dedup",
-    "txt_cooccurrence_pmi",
-    "txt_rake_keywords",
+    "dedup_edit_distance",
 )
 
-#: round-11 promotions: the former plans/staged_r11.py tier, registered
-#: this round and therefore never driver-verified -- all 15 sit in the
-#: driver window right after the 10 mandatory r6 leftovers
-#: (test_every_never_verified_query_is_inside_driver_window asserts the
-#: window membership mechanically; this tuple makes the intent
-#: reviewable)
+#: round-12 promotions: the former plans/staged_r12.py tier, registered
+#: this round and therefore never driver-verified. The window fits 21
+#: of the 26 after the 28 mandatory r7 leftovers and the changed-code
+#: slot; the five cheapest-to-verify ops defer to head round 13
+#: (DEFERRED_PROMOTIONS below).
 PROMOTED_THIS_ROUND = (
-    "agg_pivot_shipmode",
-    "window_rolling_median",
-    "ev_cumulative_distinct_users",
-    "ev_top_paths",
-    "agg_equidepth_histogram",
-    "ev_sweepline_active_intervals",
-    "ev_ewma_smoothed",
-    "agg_mann_whitney",
-    "graph_shortest_paths",
-    "dedup_edit_distance",
-    "agg_kmv_distinct",
-    "ev_user_value_anomalies",
-    "dedup_winnowing",
-    "mm_cdc_chunking",
-    "mm_cdc_dedup",
+    "graph_kcore_decomposition",
+    "dedup_lsh_relative_recall",
+    "dedup_minhash_index_delta",
+    "graph_adamic_adar_linkpred",
+    "graph_modularity_communities",
+    "graph_local_clustering",
+    "txt_textrank_keywords",
+    "txt_ngram_novelty",
+    "graph_hits_authority",
+    "agg_hdr_quantile_merge",
+    "agg_cms_partial_merge",
+    "st_kmv_distinct_sketch",
+    "agg_theta_sketch_setops",
+    "agg_kl_divergence_drift",
+    "mm_chunk_gc_accounting",
+    "sim_dbscan_grid",
+    "ev_bitmap_retention",
+    "txt_boilerplate_chunks",
+    "ev_seasonal_dow_deviation",
+    "join_range_bucketed_global",
+    "window_rolling_regression",
+)
+
+#: round-12 deferral obligation (the r11 verdict's item 4, asserted
+#: the moment COMMITTED_ROUND became 11 rather than re-derived by hand
+#: in round 13): the five promotions the 50-slot window cannot fit --
+#: picked cheapest-to-verify (0.40-0.61 s each at sf0.1, best-of-2;
+#: the four named in ROUND11_NOTES plus pipeline_dataset_card, the
+#: next-cheapest, displaced one-for-one by the dedup_edit_distance
+#: changed-code slot). They are registered and pytest-proven but have
+#: NO driver row, so they must head round 13's window: PRIORITY pins
+#: them in slots WINDOW..WINDOW+4 and
+#: test_deferred_promotions_head_next_round_window asserts it.
+DEFERRED_PROMOTIONS = (
+    "ev_asof_tolerance_join",
+    "ev_interval_union_length",
+    "window_max_drawdown",
+    "join_salted_skew",
+    "pipeline_dataset_card",
 )
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -98,57 +104,70 @@ PROMOTED_THIS_ROUND = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 10
+COMMITTED_ROUND = 11
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 212 registered
+#: Full-registry refresh cycle length in rounds. With 238 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(212/50) = 5 rounds, so the freshness invariant below
+#: once per ceil(238/50) = 5 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact.
 #: test_refresh_cycle_matches_registry_size re-derives this from the
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 5
 
-#: the 28 r7 greens the 50-slot window cannot fit this round: after the
-#: 10 mandatory r6 leftovers, the 15 never-verified promotions, and the
-#: 16 changed-code names (5 of which are themselves r7 greens), 9 of
-#: the remaining 37 r7 names fit -- heavier-first by recorded bench
-#: time, per the standing precedent. The r7 cohort is 3 rounds behind
-#: at commit time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4), so
-#: deferring is legal this round; these 28 head round 12's window.
+#: the 41 r8 greens: with 28 mandatory r7 leftovers + 21 promotions +
+#: 1 changed-code name, round 12 has ZERO pure-refresh slots, so the
+#: entire r8 cohort stays out. Legal: it is 3 rounds behind at commit
+#: time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4). These 41 -- plus
+#: the five DEFERRED_PROMOTIONS ahead of them -- head round 13's
+#: window (46 of its 50 slots are already spoken for; PRIORITY
+#: pre-orders both cohorts after the boundary).
 ROTATION_LEFTOVERS = (
-    "agg_approx_percentile",
-    "dedup_exact_summary",
-    "dedup_simhash",
-    "ev_asof_attribution",
-    "ev_engine_latest",
-    "ev_isin_subpartitions",
-    "ev_markov_transitions",
-    "ev_message_flatten",
-    "ev_range_interval_join",
-    "ev_version_filter",
-    "mm_binary_featurize",
-    "mm_modality_stats",
-    "mm_resize_fixed",
-    "pipeline_domain_blocklist",
-    "pipeline_mixture_reweight",
-    "pipeline_sequence_packing",
-    "pipeline_stratified_sample",
-    "q21_waiting_supplier",
-    "q8_market_share",
-    "sim_lsh_ann",
-    "sim_matryoshka_recall",
-    "sim_mmr_rerank",
-    "st_asof_attribution",
-    "st_dedup_within_watermark",
-    "st_sliding_counts",
-    "txt_pii_redaction",
-    "txt_repetition_signals",
-    "window_time_range_frame",
+    "agg_cube_flag_status",
+    "agg_distinct_counts",
+    "agg_exact_median",
+    "agg_grouping_sets",
+    "agg_poisson_bootstrap",
+    "agg_price_histogram",
+    "agg_rollup_priority_status",
+    "ev_anomaly_zscore",
+    "ev_decile_lift",
+    "ev_hourly_rollup",
+    "ev_json_props",
+    "ev_keyset_page",
+    "ev_latest_dense_rank",
+    "ev_latest_no_tombstone",
+    "ev_pivot_user_activity",
+    "ev_predicate_search",
+    "ev_range_join_attribution",
+    "ev_rollup_incremental_merge",
+    "graph_assoc_rules",
+    "join_bloom_pruned_revenue",
+    "join_left_order_counts",
+    "mm_shard_manifest",
+    "pipeline_domain_caps",
+    "pipeline_epoch_shuffle_shards",
+    "pipeline_incremental_corpus_diff",
+    "q10_returned_items",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_priority_check",
+    "q5_local_supplier_volume",
+    "q7_nation_volume_shipping",
+    "st_foreach_batch_upsert",
+    "txt_fingerprints",
+    "txt_perplexity_proxy",
+    "txt_regex_token_count",
+    "txt_tfidf_topk_similar",
+    "unpivot_lineitem_measures",
+    "window_rolling_spend",
 )
 
 
@@ -196,52 +215,54 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round11_rotation_window(spark):
+def test_round12_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-11 contract, asserted mechanically and
-    COMPLETELY: every never-verified promotion and every changed-code
-    query is in the window; the OLDEST cohort (the 10 r6 txt_* greens
-    round 10 documented as its leftovers -- this round's MANDATORY
-    head) is entirely inside the window; and the SECOND-oldest cohort
-    (r7), which is larger than the remaining slots (42 names vs
-    50 - 10 - 15 - 16 = 9 pure-refresh slots + 5 changed-code
-    overlaps), is partitioned EXACTLY between the window and the
-    documented leftovers: no name unaccounted, no leftover listed that
-    is actually in the window, every leftover really from that cohort.
-    Deferring r7 names is legal only because they sit 3 rounds behind
-    with a 4-round horizon (test_no_query_outside_window_has_stale_green
-    is the mechanical guard); the leftovers are round 12's head."""
+    per round). Round-12 contract, asserted mechanically and
+    COMPLETELY: the OLDEST cohort (the 28 r7 greens round 11
+    documented as its leftovers -- this round's MANDATORY head) is
+    entirely inside the window; the 21 in-window promotions and the 1
+    changed-code query fill the rest exactly; the SECOND-oldest cohort
+    (r8, 41 names -- larger than the ZERO remaining refresh slots) is
+    entirely deferred and partitions exactly onto the documented
+    ROTATION_LEFTOVERS; and the five DEFERRED_PROMOTIONS are outside
+    the window. Deferring r8 names is legal only because they sit 3
+    rounds behind with a 4-round horizon
+    (test_no_query_outside_window_has_stale_green is the mechanical
+    guard); leftovers + deferred promotions head round 13's window
+    (test_deferred_promotions_head_next_round_window)."""
     names = list(entrymod.queries())[:WINDOW]
     for must in PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND:
         assert must in names, f"promoted/changed query {must} not in window"
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = {q for q, r in latest.items() if r == rounds[0]}
-    # round 10's documented leftovers ARE the oldest cohort; every one
+    # round 11's documented leftovers ARE the oldest cohort; every one
     # of them must occupy a window slot this round
     missing_head = sorted(oldest - set(names))
     assert not missing_head, (
         f"r{rounds[0]}-green mandatory head names not in the window: "
         f"{missing_head}"
     )
-    # the r7 cohort partitions exactly between window and leftovers
+    # window arithmetic: 28 oldest + 21 promotions + 1 changed = 50,
+    # and the three cohorts are disjoint by construction
+    assert len(oldest) + len(PROMOTED_THIS_ROUND) + len(
+        CHANGED_THIS_ROUND
+    ) == WINDOW
+    # the r8 cohort partitions exactly onto the documented leftovers
     second = {q for q, r in latest.items() if r == rounds[1]}
-    unaccounted = sorted(second - set(names) - set(ROTATION_LEFTOVERS))
-    assert not unaccounted, (
-        f"r{rounds[1]}-green queries neither in the window nor "
-        f"documented leftovers: {unaccounted}"
-    )
-    misfiled = sorted(set(ROTATION_LEFTOVERS) - second)
-    assert not misfiled, (
-        f"ROTATION_LEFTOVERS entries not in the r{rounds[1]} "
-        f"cohort: {misfiled}"
+    assert second == set(ROTATION_LEFTOVERS), (
+        sorted(second ^ set(ROTATION_LEFTOVERS))
     )
     in_window_leftovers = sorted(set(ROTATION_LEFTOVERS) & set(names))
     assert not in_window_leftovers, (
         f"ROTATION_LEFTOVERS entries that are actually in the "
         f"window: {in_window_leftovers}"
     )
-    # nothing fresher (r8+) may occupy a slot while r7 names are
+    # the deferred promotions must NOT occupy window slots (they have
+    # no artifact rows; their obligation is round 13's head)
+    deferred_inside = sorted(set(DEFERRED_PROMOTIONS) & set(names))
+    assert not deferred_inside, deferred_inside
+    # nothing fresher (r9+) may occupy a slot while r8 names are
     # deferred, except the changed-code re-verifications (promotions
     # have no artifact rows, so they never appear in `latest`)
     fresher = {q for q, r in latest.items() if r > rounds[1]}
@@ -249,6 +270,30 @@ def test_round11_rotation_window(spark):
     assert not displaced, (
         f"post-r{rounds[1]} greens occupy window slots while "
         f"r{rounds[1]} names are deferred: {displaced}"
+    )
+
+
+def test_deferred_promotions_head_next_round_window(spark):
+    """The r11 verdict's item 4, made mechanical at commit time: the
+    five promotions round 12's window cannot fit are never-verified
+    registry entries, so they MUST head round 13's window, ahead even
+    of the 41 r8 leftovers. PRIORITY encodes that order today --
+    slots WINDOW..WINDOW+4 are exactly DEFERRED_PROMOTIONS, the 41
+    slots after them exactly the r8 cohort -- so round 13's window
+    composition is already 46/50 determined and cannot be re-derived
+    (wrongly) by hand."""
+    names = list(entrymod.queries())
+    k = len(DEFERRED_PROMOTIONS)
+    assert tuple(names[WINDOW : WINDOW + k]) == DEFERRED_PROMOTIONS
+    nxt = names[WINDOW + k : WINDOW + k + len(ROTATION_LEFTOVERS)]
+    assert sorted(nxt) == sorted(ROTATION_LEFTOVERS), (
+        sorted(set(nxt) ^ set(ROTATION_LEFTOVERS))
+    )
+    # the deferred names are real, registered, and never verified
+    latest, _ = _latest_green_rounds()
+    already = sorted(set(DEFERRED_PROMOTIONS) & set(latest))
+    assert not already, (
+        f"DEFERRED_PROMOTIONS with driver rows (not deferrals): {already}"
     )
 
 
@@ -266,7 +311,11 @@ def test_no_query_outside_window_has_stale_green(spark):
     stale_outside = [
         n
         for n in names
-        if n not in window and latest.get(n, 0) < horizon
+        if n not in window
+        and latest.get(n, 0) < horizon
+        # never-verified deferrals have no green to be stale; their
+        # invariant is test_deferred_promotions_head_next_round_window
+        and n not in DEFERRED_PROMOTIONS
     ]
     assert not stale_outside, (
         f"queries outside the window with greens older than r{horizon}: "
@@ -346,12 +395,21 @@ def test_every_never_verified_query_is_inside_driver_window(spark):
     has NO row in any recorded CORRECTNESS_r*.json must sit inside the
     driver's 50-slot verification window, so the union of driver rounds
     converges to full-catalog coverage instead of silently stranding
-    new registrations past the boundary."""
+    new registrations past the boundary. Sole sanctioned exception:
+    the enumerated DEFERRED_PROMOTIONS, whose round-13 headship is
+    asserted by test_deferred_promotions_head_next_round_window --
+    a deferral with a pinned obligation is not a stranding."""
     latest, _ = _latest_green_rounds()
     verified = set(latest)
     names = list(entrymod.queries())
     window = set(names[:50])
-    stranded = [n for n in names if n not in verified and n not in window]
+    stranded = [
+        n
+        for n in names
+        if n not in verified
+        and n not in window
+        and n not in DEFERRED_PROMOTIONS
+    ]
     assert not stranded, (
         f"{len(stranded)} never-driver-verified queries outside the "
         f"window: {stranded}"

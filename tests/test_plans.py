@@ -126,6 +126,16 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         # list)
         "agg_equidepth_histogram",  # 1-row total-count broadcast (ntile ranks)
         "agg_kmv_distinct",  # 1-row exact-count x 1-row sketch summary
+        # round-12 promoted tier (formerly test_staged_r12's sanction
+        # list): 1-row totals / bucket-count-sized frames broadcast,
+        # never the corpus
+        "agg_hdr_quantile_merge",  # 3-row quantile spec x sketch frames
+        "agg_kl_divergence_drift",  # 1-row cohort-totals broadcast
+        "graph_kcore_decomposition",  # per-round 1-row count cross joins
+        "txt_textrank_keywords",  # 1-row vertex-count broadcast per round
+        "dedup_lsh_relative_recall",  # three 1-row counter frames per family
+        "graph_modularity_communities",  # 1-row edge-count broadcast
+        "ev_bitmap_retention",  # 1-row corpus-min-day broadcast
     }
     offenders = {}
     for name, cq in registry.items():

@@ -68,23 +68,34 @@ def test_staged_plan_shapes(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
-def test_staging_is_not_live():
-    """Honesty guard: no staged name is registered until round 12
-    executes the promotion -- __spark_entry__.queries() must stay a
-    list of driver-verifiable claims. promote() itself is exercised
-    against the live registry and rolled back."""
-    from clueso_spark.plans.catalog import REGISTRY, all_queries
+def test_promotion_is_live_and_heads_the_window():
+    """Round 12 executed the promotion (the inverse of round 11's
+    test_staging_is_not_live honesty guard): every formerly-staged name
+    is in the live registry and perf-tracked in bench.py HEADLINE; 21
+    of the 26 sit inside the round-12 driver window, and the five
+    deferred names hold the slots immediately after the boundary (the
+    round-13 headship obligation, asserted in full by
+    tests/test_entry.py::test_deferred_promotions_head_next_round_window).
+    The round-6 lesson: never claim that inclusion before it exists."""
+    import bench
+
+    from tests.test_entry import DEFERRED_PROMOTIONS
+
+    from clueso_spark.plans.catalog import all_queries
 
     live = all_queries()
-    overlap = sorted(set(STAGED) & set(live))
-    assert overlap == [], overlap
-    try:
-        promote()
-        assert set(STAGED) <= set(REGISTRY)
-    finally:
-        for name in STAGED:
-            REGISTRY.pop(name, None)
-    assert not set(STAGED) & set(REGISTRY)
+    missing = sorted(set(STAGED) - set(live))
+    assert missing == [], missing
+    unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
+    assert unbenched == [], unbenched
+    names = list(live)
+    window = set(names[:50])
+    outside = sorted(set(STAGED) - window - set(DEFERRED_PROMOTIONS))
+    assert outside == [], outside
+    assert tuple(names[50:55]) == DEFERRED_PROMOTIONS
+    # promote() stays idempotent after the import-time call
+    promote()
+    assert len(all_queries()) == len(live)
 
 
 def test_index_delta_maintenance_equals_rebuild(spark):

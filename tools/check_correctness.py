@@ -19,7 +19,7 @@ def main() -> int:
         "--staged",
         action="store_true",
         help="also check the current pre-registration tier "
-        "(plans/staged_r12.py; earlier tiers are already live)",
+        "(plans/staged_r13.py; earlier tiers are already live)",
     )
     ap.add_argument("names", nargs="*", help="subset of query names")
     args = ap.parse_args()
@@ -32,7 +32,7 @@ def main() -> int:
         "check-correctness", **{"spark.sql.shuffle.partitions": "8"}
     )
     if args.staged:
-        from clueso_spark.plans.staged_r12 import promote
+        from clueso_spark.plans.staged_r13 import promote
 
         promote()
     results = run_catalog(spark, args.sf_dir, args.names or None)

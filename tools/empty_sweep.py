@@ -50,9 +50,9 @@ def main() -> int:
     reg = dict(all_queries())
     args = [a for a in sys.argv[1:] if a != "--staged"]
     if "--staged" in sys.argv[1:]:
-        # include the pre-registration tier (plans/staged_r12.py) --
+        # include the pre-registration tier (plans/staged_r13.py) --
         # same flag contract as check_correctness.py / plan_audit.py
-        from clueso_spark.plans.staged_r12 import STAGED
+        from clueso_spark.plans.staged_r13 import STAGED
 
         reg.update(STAGED)
     names = args[0].split(",") if args else list(reg)

@@ -99,7 +99,7 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="include the pre-registration tier (plans/staged_r12.py; "
+        help="include the pre-registration tier (plans/staged_r13.py; "
         "earlier tiers are live); extra budget keys are inert until "
         "promotion, when the budget gate picks them up automatically",
     )
@@ -122,10 +122,10 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(all_queries())
     if args.staged:
-        from clueso_spark.plans.staged_r12 import STAGED as STAGED_R12
+        from clueso_spark.plans.staged_r13 import STAGED as STAGED_R13
 
-        # earlier tiers (r6/r8/r9/r10/r11) are all live post-promotion
-        registry.update(STAGED_R12)
+        # earlier tiers (r6/r8/r9/r10/r11/r12) are all live post-promotion
+        registry.update(STAGED_R13)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]
