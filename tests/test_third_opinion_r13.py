@@ -85,12 +85,20 @@ def test_prefix_min_identity_equals_recurrence(xs):
 
 
 def test_retention_matrix_from_raw_parquet(spark):
+    import datetime
+
     t = pq.read_table(f"{SF}/events.parquet").to_pylist()
+    epoch = datetime.datetime(1970, 1, 1)
     uw = set()
     for r in t:
-        us = r["ts"].timestamp() * 1_000_000
-        # pyarrow timestamps are tz-naive UTC; round to avoid float dust
-        week = int(round(us)) // _DAY_US // 7
+        # naive-datetime arithmetic, NOT .timestamp(): the parquet
+        # values are tz-naive UTC instants and .timestamp() would
+        # reinterpret them in the box's local zone
+        delta = r["ts"] - epoch
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 + (
+            delta.microseconds
+        )
+        week = us // _DAY_US // 7
         uw.add((r["user_id"], week))
     cohort = {}
     for uid, week in uw:

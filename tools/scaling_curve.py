@@ -431,9 +431,9 @@ def main() -> int:
 
     # staged operators are curve-eligible before registration (earlier
     # tiers are no-ops post-promotion, already in all_queries())
-    from clueso_spark.plans.staged_r12 import STAGED as STAGED_R12
+    from clueso_spark.plans.staged_r13 import STAGED as STAGED_R13
 
-    registry = {**all_queries(), **STAGED_R12}
+    registry = {**all_queries(), **STAGED_R13}
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
