@@ -2016,10 +2016,15 @@ def graph_modularity_communities(
         .groupBy(F.col("la").alias("c"))
         .agg((F.count("*") / 2).cast("bigint").alias("e_c"))
     )
+    # d_c = sum of node degrees per community: aggregate edges to the
+    # NODE-sized degree relation first, then one node-keyed join --
+    # joining the full edge list against labels a second time (the
+    # first draft) shuffles |E| rows to compute what |V| rows carry
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     dc = (
-        edges.join(la, "u")
+        deg.join(la, "u")
         .groupBy(F.col("la").alias("c"))
-        .agg(F.count("*").cast("bigint").alias("d_c"))
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
     )
     terms = dc.join(ec, "c", "left").select(
         "c",
