@@ -108,16 +108,19 @@ QUERY_MODULES = [
 #: (2) 21 of the 26 promoted staged_r12 queries -- registered this
 #: round, so never driver-verified; pytest-proven against their DuckDB
 #: oracles at sf0.001 + sf0.01 (tests/test_staged_r12.py) but the
-#: driver row is the claim that counts -- heavier-first by measured
-#: sf0.1 time;
+#: driver row is the claim that counts -- heavier-first by the
+#: pre-promotion best-of-2 sf0.1 timing run RECORDED IN ROUND12_NOTES
+#: ("Pre-promotion staged-op timing run"); later full-bench runs
+#: reorder neighbors within noise, the recorded run is the contract;
 #: (3) the 1 query whose CODE changed this round:
 #:     - dedup_edit_distance: second (suffix, length-bucket) blocking
 #:       family added -- the r11 verdict's leading-edit recall finding;
 #:       candidate pairs (and potentially output rows) change;
 #: Window math: 28 + 21 + 1 = 50 -- zero pure-refresh slots, so the
-#: FIVE cheapest-to-verify promotions (0.40-0.61 s each at sf0.1:
-#: ev_interval_union_length, pipeline_dataset_card,
-#: ev_asof_tolerance_join, join_salted_skew, window_max_drawdown)
+#: FIVE cheapest-to-verify promotions (0.40-0.61 s each in the same
+#: recorded timing run: ev_interval_union_length,
+#: pipeline_dataset_card, ev_asof_tolerance_join, join_salted_skew,
+#: window_max_drawdown)
 #: defer to HEAD round 13's window, enumerated in tests/test_entry.py
 #: DEFERRED_PROMOTIONS with the obligation asserted mechanically NOW
 #: (they hold PRIORITY slots 50-54, immediately after the boundary).

@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.plans.catalog import CatalogQuery, persist_swap
+from clueso_spark.plans.similarity_queries import DIM
 from clueso_spark.plans.staged_r12 import (
     _GC_CHUNK_CTES,
     _md5_mod,
@@ -146,7 +147,7 @@ _FANN_PROBES = 5  # vec_id < 5, the similarity tier's shared probe set
         select label, i as pos,
                cast(sum(cast(v[i] as decimal(28,14))) as double) / count(*)
                  as m
-        from e cross join generate_series(1, 64) as t(i)
+        from e cross join generate_series(1, {DIM}) as t(i)
         group by label, i)
       group by label
     ),
@@ -581,7 +582,10 @@ _CUSUM_H_CENTS = 20_000  # alarm threshold: ~4 consecutive high events
     f"H = {_CUSUM_H_CENTS}): S_t = P_t - min(0, running min of P) via "
     "two stacked keyed windows (the prefix-min identity -- no "
     "recurrence, no UDF). Output per user: event count, alarm count, "
-    "max CUSUM statistic, first-alarm event id (-1 when none).",
+    "max CUSUM statistic, first-alarm event id (-1 when none) -- "
+    "FIRST in the (ts, event_id) processing order the statistic "
+    "itself follows, via arg-min on the order rank rather than "
+    "min(event_id): ids are not guaranteed time-ordered.",
     f"""
     with x as (
       select user_id, event_id,
@@ -598,22 +602,28 @@ _CUSUM_H_CENTS = 20_000  # alarm threshold: ~4 consecutive high events
       from x
     ),
     s as (
-      select user_id, event_id,
+      select user_id, event_id, rn,
              pt - least(0, min(pt) over (
                     partition by user_id order by rn
                     rows between unbounded preceding and current row))
                as st
       from p
+    ),
+    agg as (
+      select user_id,
+             cast(count(*) as bigint) as n_events,
+             cast(sum(case when st > {_CUSUM_H_CENTS} then 1 else 0 end)
+                  as bigint) as n_alarms,
+             cast(max(st) as bigint) as max_cusum,
+             min(case when st > {_CUSUM_H_CENTS} then rn end)
+               as first_alarm_rn
+      from s group by user_id
     )
-    select user_id,
-           cast(count(*) as bigint) as n_events,
-           cast(sum(case when st > {_CUSUM_H_CENTS} then 1 else 0 end)
-                as bigint) as n_alarms,
-           cast(max(st) as bigint) as max_cusum,
-           cast(coalesce(min(case when st > {_CUSUM_H_CENTS}
-                                  then event_id end), -1) as bigint)
+    select agg.user_id, n_events, n_alarms, max_cusum,
+           cast(coalesce(s.event_id, -1) as bigint)
              as first_alarm_event_id
-    from s group by user_id
+    from agg left join s
+      on s.user_id = agg.user_id and s.rn = agg.first_alarm_rn
     """,
     "window", "cusum", "drift",
 )
@@ -638,17 +648,38 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = p.withColumn(
         "st", F.col("pt") - F.least(F.lit(0), F.min("pt").over(w_run))
     )
+    s = persist_swap(spark, "cusum_s", s)
     alarm = F.when(F.col("st") > _CUSUM_H_CENTS, 1).otherwise(0)
-    return s.groupBy("user_id").agg(
+    agg = s.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         F.sum(alarm).cast("bigint").alias("n_alarms"),
         F.max("st").cast("bigint").alias("max_cusum"),
-        F.coalesce(
-            F.min(
-                F.when(F.col("st") > _CUSUM_H_CENTS, F.col("event_id"))
-            ),
-            F.lit(-1),
+        # arg-min on the ORDER RANK, not min(event_id): the first alarm
+        # is the earliest in (ts, event_id) processing order, and ids
+        # are not guaranteed time-ordered (code-review finding)
+        F.min(
+            F.when(F.col("st") > _CUSUM_H_CENTS, F.col("rn"))
+        ).alias("first_alarm_rn"),
+    )
+    fa = s.select(
+        F.col("user_id").alias("fa_user"),
+        F.col("rn").alias("fa_rn"),
+        F.col("event_id").alias("fa_event_id"),
+    )
+    return (
+        agg.join(
+            fa,
+            (F.col("user_id") == F.col("fa_user"))
+            & (F.col("first_alarm_rn") == F.col("fa_rn")),
+            "left",
         )
-        .cast("bigint")
-        .alias("first_alarm_event_id"),
+        .select(
+            "user_id",
+            "n_events",
+            "n_alarms",
+            "max_cusum",
+            F.coalesce(F.col("fa_event_id"), F.lit(-1))
+            .cast("bigint")
+            .alias("first_alarm_event_id"),
+        )
     )

@@ -93,3 +93,30 @@ def op(n: int, seq: int = 0) -> str:
 
 def raw_df(spark, lines: list[str]):
     return spark.createDataFrame([(line,) for line in lines], "value string")
+
+
+def write_events_parquet(dirpath, rows: "list[dict]") -> str:
+    """Shared planted-events fixture builder: write `rows` (dicts with
+    the six events columns) as <dirpath>/events.parquet and return the
+    directory as an sf_dir. One definition -- the r11/r12 edge suites
+    and the r13 suite all plant events tables; keeping four private
+    copies of the schema is how they silently diverge (memory note:
+    check existing before adding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=schema),
+        str(dirpath / "events.parquet"),
+    )
+    return str(dirpath)

@@ -25,21 +25,9 @@ SF = "/root/testdata/sf0.001"
 
 
 def _events_table(tmp_path, rows):
-    schema = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("ts", pa.timestamp("us")),
-            ("user_id", pa.int64()),
-            ("event_type", pa.string()),
-            ("value", pa.float64()),
-            ("props", pa.string()),
-        ]
-    )
-    pq.write_table(
-        pa.Table.from_pylist(rows, schema=schema),
-        str(tmp_path / "events.parquet"),
-    )
-    return str(tmp_path)
+    from tests.conftest import write_events_parquet
+
+    return write_events_parquet(tmp_path, rows)
 
 
 def _ev(eid, uid, minute, etype, val):

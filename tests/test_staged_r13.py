@@ -156,38 +156,23 @@ def test_retention_matrix_offset_zero_is_cohort_size(spark):
 def _events_table(tmp_path, rows):
     import datetime
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from tests.conftest import write_events_parquet
 
-    schema = pa.schema(
-        [
-            ("event_id", pa.int64()),
-            ("ts", pa.timestamp("us")),
-            ("user_id", pa.int64()),
-            ("event_type", pa.string()),
-            ("value", pa.float64()),
-            ("props", pa.string()),
-        ]
-    )
     base = datetime.datetime(2026, 1, 5)
-    pq.write_table(
-        pa.Table.from_pylist(
-            [
-                {
-                    "event_id": eid,
-                    "ts": base + datetime.timedelta(days=day, minutes=eid),
-                    "user_id": uid,
-                    "event_type": "click",
-                    "value": val,
-                    "props": "{}",
-                }
-                for eid, uid, day, val in rows
-            ],
-            schema=schema,
-        ),
-        str(tmp_path / "events.parquet"),
+    return write_events_parquet(
+        tmp_path,
+        [
+            {
+                "event_id": eid,
+                "ts": base + datetime.timedelta(days=day, minutes=eid),
+                "user_id": uid,
+                "event_type": "click",
+                "value": val,
+                "props": "{}",
+            }
+            for eid, uid, day, val in rows
+        ],
     )
-    return str(tmp_path)
 
 
 def test_cusum_immediate_alarm_and_reset(spark, tmp_path):
@@ -221,6 +206,25 @@ def test_cusum_immediate_alarm_and_reset(spark, tmp_path):
     assert got[7] == (1, _CUSUM_H_CENTS + 1, 1)
     assert got[8] == (0, _CUSUM_H_CENTS, -1)
     assert got[9] == (0, _CUSUM_H_CENTS, -1)
+
+
+def test_cusum_first_alarm_is_processing_order_not_min_id(spark, tmp_path):
+    """Code-review counter-example, pinned: event ids are NOT
+    guaranteed time-ordered, and 'first alarm' means first in the
+    (ts, event_id) order the CUSUM statistic itself follows. Plant a
+    user whose earlier-in-time alarming event has the LARGER id: the
+    op must report id 9 (day 0), not min(9, 3) = 3 (day 1)."""
+    from clueso_spark.plans.staged_r13 import (
+        _CUSUM_H_CENTS,
+        _CUSUM_K_CENTS,
+        STAGED,
+    )
+
+    big = (_CUSUM_K_CENTS + _CUSUM_H_CENTS + 1) / 100.0
+    sf = _events_table(tmp_path, [(9, 5, 0, big), (3, 5, 1, big)])
+    [row] = STAGED["window_cusum_changepoint"].spark(spark, sf).collect()
+    assert row["n_alarms"] == 2
+    assert row["first_alarm_event_id"] == 9, row
 
 
 def test_retention_single_week_user(spark, tmp_path):

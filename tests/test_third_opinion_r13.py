@@ -52,9 +52,9 @@ def test_cusum_matches_textbook_recurrence(spark):
             if s > _CUSUM_H_CENTS:
                 n_alarms += 1
                 if first_alarm < 0:
+                    # FIRST in processing order -- not min(event_id);
+                    # ids are not guaranteed time-ordered
                     first_alarm = r["event_id"]
-                else:
-                    first_alarm = min(first_alarm, r["event_id"])
         want[uid] = (len(rows), n_alarms, max_s, first_alarm)
     got = {
         r["user_id"]: (
