@@ -361,6 +361,9 @@ def test_streaming_queries_rerun_in_same_session(spark):
         "st_stateful_latest",
         "st_session_windows",
         "st_stream_stream_join",
+        # promoted this round: the stateful KMV sketch drains through a
+        # named memory sink too, so its rerun path needs the same pin
+        "st_kmv_distinct_sketch",
     ):
         first = qs[name](spark, SF_DIR).count()
         second = qs[name](spark, SF_DIR).count()
