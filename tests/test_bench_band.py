@@ -1,0 +1,98 @@
+"""Unit tests for the mechanical bench band check (tools/bench_band.py):
+synthetic history + subject artifacts in a tmp repo, every verdict
+class exercised, driver-artifact shapes (full map, truncated
+queries_top, wrapper with 'parsed') all parsed."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+import bench_band
+
+
+def _write(p, payload):
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(json.dumps(payload))
+
+
+def test_all_artifact_shapes_parse():
+    assert bench_band._readings_from({"queries": {"a": 1.5}}) == {"a": 1.5}
+    assert bench_band._readings_from({"queries_top": {"a": 2.0}}) == {
+        "a": 2.0
+    }
+    assert bench_band._readings_from(
+        {"parsed": {"queries_top": {"a": 3.0}}}
+    ) == {"a": 3.0}
+    assert bench_band._readings_from({"tail": "garbage"}) == {}
+
+
+def test_verdicts(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench_band, "REPO", str(tmp_path))
+    # history: two detail runs + one driver artifact
+    _write(
+        tmp_path / "BENCH_HISTORY" / "DETAIL_1.json",
+        {"queries": {"q_in": 1.0, "q_high": 1.0, "q_low": 4.0}},
+    )
+    _write(
+        tmp_path / "BENCH_HISTORY" / "DETAIL_2.json",
+        {"queries": {"q_in": 1.4, "q_high": 1.2, "q_low": 5.0}},
+    )
+    _write(
+        tmp_path / "BENCH_r05.json",
+        {"parsed": {"queries_top": {"q_in": 1.2}}},
+    )
+    subject = tmp_path / "BENCH_DETAIL.json"
+    _write(
+        subject,
+        {
+            "queries": {
+                "q_in": 1.3,  # inside [1.0, 1.4]
+                "q_high": 2.5,  # above 1.2 + max(0.25, 0.3*1.2)
+                "q_low": 0.5,  # below 4.0 - pad
+                "q_new": 9.9,  # no history
+            }
+        },
+    )
+    hist = bench_band.collect_history(str(subject))
+    assert hist["q_in"] == [1.0, 1.4, 1.2]  # driver artifact included
+    graded = bench_band.grade(
+        bench_band._readings_from(json.load(open(subject))),
+        hist,
+        pad_frac=0.3,
+        pad_abs=0.25,
+    )
+    assert graded["q_in"]["verdict"] == "IN"
+    assert graded["q_high"]["verdict"] == "HIGH"
+    assert graded["q_low"]["verdict"] == "LOW"
+    assert graded["q_new"]["verdict"] == "NEW"
+
+
+def test_subject_excluded_from_its_own_band(tmp_path, monkeypatch):
+    """A run must not band-check against itself: a subject placed
+    INSIDE BENCH_HISTORY is excluded from the history it is graded
+    against."""
+    monkeypatch.setattr(bench_band, "REPO", str(tmp_path))
+    subject = tmp_path / "BENCH_HISTORY" / "DETAIL_SELF.json"
+    _write(subject, {"queries": {"q": 9.0}})
+    _write(
+        tmp_path / "BENCH_HISTORY" / "DETAIL_OTHER.json",
+        {"queries": {"q": 1.0}},
+    )
+    hist = bench_band.collect_history(str(subject))
+    assert hist["q"] == [1.0]
+
+
+def test_live_repo_report_runs():
+    """Smoke over the real committed artifacts: every canonical-run
+    query must grade (the committed canonical run is itself archived
+    in BENCH_HISTORY, so bands exist for all rows)."""
+    subject = bench_band._readings_from(
+        json.load(open("/root/repo/BENCH_DETAIL.json"))
+    )
+    hist = bench_band.collect_history("/root/repo/BENCH_DETAIL.json")
+    graded = bench_band.grade(subject, hist, 0.3, 0.25)
+    assert len(graded) == len(subject) > 100
+    assert all(g["verdict"] != "NEW" for g in graded.values())
