@@ -669,10 +669,27 @@ def dedup_minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         _md5_mod(F.col("doc_id").cast("string"), 10).alias("b"),
         F.array_distinct(word_shingles("w", 3)).alias("ss"),
     )
+    # persist the SIGNATURE frame, then explode from the cache: the
+    # Generate below infers a `size(sigs) > 0` filter that pushdown
+    # rewrites onto the full minhash fold and pushes BENEATH the
+    # repartition exchange -- a separate stage, outside the codegen
+    # span whose common-subexpression elimination would otherwise
+    # dedup it -- so every signature was computed TWICE per document
+    # (measured 4.3s -> 1.3s at sf0.1; round-12 profiling finding).
+    # Siblings that explode sigs WITHOUT an exchange between the
+    # projection and the inferred filter (dedup_minhash_lsh,
+    # dedup_lsh_relative_recall) do NOT pay this: CSE inside the
+    # shared whole-stage span already dedups the fold there
+    # (re-measured to confirm before leaving them untouched).
+    sigs = persist_swap(
+        spark,
+        "index_delta_sigs",
+        sets.select("doc_id", "b", minhash_band_sigs().alias("sigs")),
+    )
     long = persist_swap(
         spark,
         "index_delta_bands",
-        sets.select("doc_id", "b", minhash_band_sigs().alias("sigs")).select(
+        sigs.select(
             "doc_id", "b", F.posexplode("sigs").alias("band", "sig")
         ),
     )

@@ -152,6 +152,42 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
     assert not offenders, offenders
 
 
+def test_no_hash_fold_reevaluated_in_inferred_filters(spark, registry):
+    """Round-12 profiling finding, pinned catalog-wide: exploding an
+    expensive computed array (a minhash/md5 fold) makes Generate infer
+    `size(col) > 0`, and predicate pushdown rewrites that onto the
+    FULL fold expression. When the rewritten filter stays inside the
+    projection's whole-stage span, common-subexpression elimination
+    dedups it (harmless); when it crosses an exchange or cache
+    boundary it becomes a second full evaluation of every signature
+    (dedup_minhash_index_delta measured 4.3s -> 1.3s at sf0.1 once a
+    cache boundary pinned the fold). This scans every optimized plan
+    for an md5-bearing fold inside a Filter node -- the smell in
+    either form -- so the next query written with the pattern fails
+    here instead of shipping the 2x."""
+    offenders = {}
+    for name, cq in registry.items():
+        if name.startswith("st_"):
+            continue
+        spark.catalog.clearCache()
+        plan = (
+            cq.spark(spark, SF_DIR)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            ls = line.strip()
+            if (
+                ls.startswith("Filter ")
+                and "md5" in ls
+                and "aggregate(" in ls
+            ):
+                offenders[name] = ls[:160]
+                break
+    assert not offenders, offenders
+
+
 def test_q6_pushes_all_filters_to_scan(spark, registry):
     """Q6 is the pushdown flagship: every predicate (timestamp bounds,
     discount range, quantity cut) must reach the parquet scan so 100 TB
