@@ -6,9 +6,11 @@ queries_top, wrapper with 'parsed') all parsed."""
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo/tools")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import bench_band
 
@@ -89,10 +91,9 @@ def test_live_repo_report_runs():
     """Smoke over the real committed artifacts: every canonical-run
     query must grade (the committed canonical run is itself archived
     in BENCH_HISTORY, so bands exist for all rows)."""
-    subject = bench_band._readings_from(
-        json.load(open("/root/repo/BENCH_DETAIL.json"))
-    )
-    hist = bench_band.collect_history("/root/repo/BENCH_DETAIL.json")
+    detail = os.path.join(REPO, "BENCH_DETAIL.json")
+    subject = bench_band._readings_from(json.load(open(detail)))
+    hist = bench_band.collect_history(detail)
     graded = bench_band.grade(subject, hist, 0.3, 0.25)
     assert len(graded) == len(subject) > 100
     assert all(g["verdict"] != "NEW" for g in graded.values())

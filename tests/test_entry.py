@@ -194,7 +194,20 @@ def _latest_green_rounds(
         rows = json.load(open(path))
         if rows:
             max_round = max(max_round, rnd)
-        for name in rows:
+        for name, row in rows.items():
+            # only GREEN rows count as verifications (same convention
+            # as tools/rotation_plan.py): a recorded failure must not
+            # silently refresh a query's cohort. The sole non-green
+            # row ever committed is r2's `no_oracle` placeholder for
+            # agg_approx_count_distinct (green from r3 onward).
+            if isinstance(row, dict):
+                if row.get("err"):
+                    continue
+                if (
+                    row.get("rows_match") is False
+                    or row.get("hash_match") is False
+                ):
+                    continue
             latest[name] = max(latest.get(name, 0), rnd)
     return latest, max_round
 

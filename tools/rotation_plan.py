@@ -45,9 +45,42 @@ def latest_green_rounds(cap: int | None) -> tuple[dict[str, int], int]:
         rows = json.load(open(path))
         if rows:
             max_round = max(max_round, rnd)
-        for name in rows:
+        for name, row in rows.items():
+            # only a GREEN row counts as a verification: a recorded
+            # failure (err set, or rows/hash explicitly False) must
+            # leave the query in its previous cohort so the rotation
+            # re-schedules it rather than silently marking it fresh.
+            # rows-only checks (no oracle) record hash_match=None --
+            # those still count when err is empty and rows_match holds.
+            if row.get("err"):
+                continue
+            if row.get("rows_match") is False or row.get("hash_match") is False:
+                continue
             latest[name] = max(latest.get(name, 0), rnd)
     return latest, max_round
+
+
+def refresh_candidates(
+    cohorts: dict[int, list[str]],
+    next_horizon: int,
+    free: int,
+    secs: dict[str, float],
+) -> list[str]:
+    """Pick `free` refresh names, oldest cohort first, heavier-first
+    within a cohort. The cohort exactly AT the next horizon is the
+    oldest LEGAL refresh target (it goes stale one round later), so it
+    heads the candidates -- `>=`, not `>`. When free slots exceed one
+    cohort's size the remainder spills into the following cohort."""
+
+    def heavier_first(names):
+        return sorted(names, key=lambda n: (-secs.get(n, 0.0), n))
+
+    candidates: list[str] = []
+    for rnd in sorted(r for r in cohorts if r >= next_horizon):
+        if len(candidates) >= free:
+            break
+        candidates += heavier_first(cohorts[rnd])[: free - len(candidates)]
+    return candidates
 
 
 def mean_bench_seconds() -> dict[str, float]:
@@ -78,9 +111,6 @@ def main() -> int:
         cohorts.setdefault(latest.get(n, 0), []).append(n)
     never = sorted(cohorts.pop(0, []))
     secs = mean_bench_seconds()
-
-    def heavier_first(names):
-        return sorted(names, key=lambda n: (-secs.get(n, 0.0), n))
 
     # mandatory: every cohort strictly BELOW the next round's horizon
     # (a green exactly AT the horizon is still legal outside the
@@ -120,10 +150,9 @@ def main() -> int:
             "in tests/test_entry.py"
         )
     elif free > 0:
-        # refresh candidates: the next-oldest cohort, heavier-first
-        nxt = [r for r in sorted(cohorts) if r > next_horizon]
-        candidates = heavier_first(cohorts[nxt[0]])[: free] if nxt else []
-        plan["refresh_candidates_heavier_first"] = candidates
+        plan["refresh_candidates_heavier_first"] = refresh_candidates(
+            cohorts, next_horizon, free, secs
+        )
     print(json.dumps(plan, indent=1))
     return 0
 
