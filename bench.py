@@ -201,6 +201,11 @@ HEADLINE = [
     "st_kmv_distinct_sketch",
     "graph_hits_authority",
     "window_rolling_regression",
+    # round 13 promotions (former staged_r13)
+    "mm_cdc_store_delta",
+    "sim_filtered_ann",
+    "window_cusum_changepoint",
+    "ev_retention_cohort_matrix",
 ]
 
 

@@ -94,104 +94,52 @@ QUERY_MODULES = [
     # 5). 21 sit in the round-12 window; the five cheapest defer to
     # head round 13 (tests/test_entry.py DEFERRED_PROMOTIONS).
     "clueso_spark.plans.staged_r12",
+    # round 13: the round-12 staged tier is promoted the same way (4
+    # queries; registry 238 -> 242, refresh cycle stays ceil(242/50) =
+    # 5). All 4 sit in the round-13 window together with the five
+    # round-12 deferrals -- zero new deferral debt.
+    "clueso_spark.plans.staged_r13",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-12 rotation, executing the standing policy
+#: part of the contract. Round-13 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 28 r7-green queries round 11 documented as
-#: ROTATION_LEFTOVERS -- they sit exactly AT the freshness horizon and
-#: are this round's MANDATORY head (tests/test_entry.py enforced it);
-#: (2) 21 of the 26 promoted staged_r12 queries -- registered this
-#: round, so never driver-verified; pytest-proven against their DuckDB
-#: oracles at sf0.001 + sf0.01 (tests/test_staged_r12.py) but the
-#: driver row is the claim that counts -- heavier-first by the
-#: pre-promotion best-of-2 sf0.1 timing run RECORDED IN ROUND12_NOTES
+#: (1) the FIVE round-12 DEFERRED_PROMOTIONS -- registered in round 12
+#: but never driver-verified; their headship here was pinned
+#: mechanically the moment round 12 committed
+#: (tests/test_entry.py, round-12 edition of
+#: test_deferred_promotions_head_next_round_window);
+#: (2) the 41 r8-green queries round 12 documented as
+#: ROTATION_LEFTOVERS -- they sit exactly AT the round-13 freshness
+#: horizon (r8 green, horizon r13-4 = 9 after this round lands) and
+#: are the MANDATORY refresh cohort;
+#: (3) the 4 promoted staged_r13 queries -- registered this round, so
+#: never driver-verified; pytest-proven against their DuckDB oracles
+#: at sf0.001 + sf0.01 (tests/test_staged_r13.py) but the driver row
+#: is the claim that counts -- heavier-first by the pre-promotion
+#: best-of-2 sf0.1 timing run RECORDED IN ROUND13_NOTES
 #: ("Pre-promotion staged-op timing run"); later full-bench runs
-#: reorder neighbors within noise, the recorded run is the contract;
-#: (3) the 1 query whose CODE changed this round:
-#:     - dedup_edit_distance: second (suffix, length-bucket) blocking
-#:       family added -- the r11 verdict's leading-edit recall finding;
-#:       candidate pairs (and potentially output rows) change;
-#: Window math: 28 + 21 + 1 = 50 -- zero pure-refresh slots, so the
-#: FIVE cheapest-to-verify promotions (0.40-0.61 s each in the same
-#: recorded timing run: ev_interval_union_length,
-#: pipeline_dataset_card, ev_asof_tolerance_join, join_salted_skew,
-#: window_max_drawdown)
-#: defer to HEAD round 13's window, enumerated in tests/test_entry.py
-#: DEFERRED_PROMOTIONS with the obligation asserted mechanically NOW
-#: (they hold PRIORITY slots 50-54, immediately after the boundary).
-#: With 238 registered queries the full-registry refresh cycle stays
-#: ceil(238/50) = 5 rounds (tests/test_entry.py re-derives the
-#: constant from the live registry).
+#: reorder neighbors within noise, the recorded run is the contract.
+#: Window math: 5 + 41 + 4 = 50 -- zero pure-refresh slots and ZERO
+#: new deferrals (DEFERRED_PROMOTIONS is empty this round; the whole
+#: registry is now driver-covered once this window lands).
+#: The 47-name r9 cohort legally defers (3 rounds behind at commit
+#: time, horizon 4) and is pre-ordered immediately after the boundary
+#: as round 14's mandatory head; with 242 registered queries the
+#: refresh cycle stays ceil(242/50) = 5 rounds (tests/test_entry.py
+#: re-derives the constant from the live registry).
 PRIORITY = [
-    # (1) round-11 leftovers at the freshness horizon -- mandatory head
-    "agg_approx_percentile",
-    "dedup_exact_summary",
-    "dedup_simhash",
-    "ev_asof_attribution",
-    "ev_engine_latest",
-    "ev_isin_subpartitions",
-    "ev_markov_transitions",
-    "ev_message_flatten",
-    "ev_range_interval_join",
-    "ev_version_filter",
-    "mm_binary_featurize",
-    "mm_modality_stats",
-    "mm_resize_fixed",
-    "pipeline_domain_blocklist",
-    "pipeline_mixture_reweight",
-    "pipeline_sequence_packing",
-    "pipeline_stratified_sample",
-    "q21_waiting_supplier",
-    "q8_market_share",
-    "sim_lsh_ann",
-    "sim_matryoshka_recall",
-    "sim_mmr_rerank",
-    "st_asof_attribution",
-    "st_dedup_within_watermark",
-    "st_sliding_counts",
-    "txt_pii_redaction",
-    "txt_repetition_signals",
-    "window_time_range_frame",
-    # (2) promoted this round -- never driver-verified; heavier-first
-    # by measured sf0.1 time (best-of-2, quiet box)
-    "graph_kcore_decomposition",
-    "dedup_lsh_relative_recall",
-    "dedup_minhash_index_delta",
-    "graph_adamic_adar_linkpred",
-    "graph_modularity_communities",
-    "graph_local_clustering",
-    "txt_textrank_keywords",
-    "txt_ngram_novelty",
-    "graph_hits_authority",
-    "agg_hdr_quantile_merge",
-    "agg_cms_partial_merge",
-    "st_kmv_distinct_sketch",
-    "agg_theta_sketch_setops",
-    "agg_kl_divergence_drift",
-    "mm_chunk_gc_accounting",
-    "sim_dbscan_grid",
-    "ev_bitmap_retention",
-    "txt_boilerplate_chunks",
-    "ev_seasonal_dow_deviation",
-    "join_range_bucketed_global",
-    "window_rolling_regression",
-    # (3) changed code this round -- re-verify
-    "dedup_edit_distance",
-    # --- window boundary (50) ----------------------------------------
-    # round-13 head, FIRST the five deferred never-verified promotions
-    # (tests/test_entry.py DEFERRED_PROMOTIONS pins these slots) ...
+    # (1) the five round-12 deferred promotions -- never verified,
+    # pinned to head this window since round 12 committed
     "ev_asof_tolerance_join",
     "ev_interval_union_length",
     "window_max_drawdown",
     "join_salted_skew",
     "pipeline_dataset_card",
-    # ... then the 41 r8 greens (the cohort AT the horizon next round),
-    # then the remainder in registration order
+    # (2) the 41 r8 greens AT the freshness horizon -- mandatory
     "agg_cube_flag_status",
     "agg_distinct_counts",
     "agg_exact_median",
@@ -233,6 +181,62 @@ PRIORITY = [
     "txt_tfidf_topk_similar",
     "unpivot_lineitem_measures",
     "window_rolling_spend",
+    # (3) promoted this round -- never driver-verified; heavier-first
+    # by measured sf0.1 time (best-of-2, quiet box; ROUND13_NOTES)
+    "mm_cdc_store_delta",
+    "sim_filtered_ann",
+    "window_cusum_changepoint",
+    "ev_retention_cohort_matrix",
+    # --- window boundary (50) ----------------------------------------
+    # round-14 head: the 47 r9 greens (the cohort AT the horizon next
+    # round), then the remainder in registration order
+    "agg_exact_moments",
+    "agg_exact_quantiles",
+    "agg_gini_concentration",
+    "agg_ols_trend",
+    "agg_weighted_median",
+    "dedup_incremental_minhash",
+    "ev_activity_streaks",
+    "ev_cusum_changepoint",
+    "ev_dau_wau_stickiness",
+    "ev_latest_state",
+    "ev_scd2_intervals",
+    "ev_time_weighted_value",
+    "ev_window_funnel",
+    "graph_khop_reach",
+    "join_anti_no_urgent_orders",
+    "join_full_outer_nation_profile",
+    "join_inner_big_orders",
+    "join_semi_urgent_customers",
+    "mm_payload_dedup",
+    "pipeline_importance_sample",
+    "pipeline_quality_audit",
+    "q12_priority_shipmode",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "scalar_date_functions",
+    "scalar_function_showcase",
+    "scalar_null_semantics",
+    "setop_except_urgent_only",
+    "setop_intersect_all_multiset",
+    "setop_intersect_buyers",
+    "setop_union_schema_aligned",
+    "sim_bruteforce_topk",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_rerank",
+    "sim_knn_join",
+    "sim_range_search",
+    "sim_source_jaccard_bottomk",
+    "st_static_enrichment",
+    "subquery_above_avg",
+    "subquery_exists_not_exists",
+    "txt_bm25_topk",
+    "window_cume_percent_rank",
+    "window_lag_reorder_gap",
+    "window_ntile_quartiles",
+    "window_rank_top_balances",
 ]
 
 

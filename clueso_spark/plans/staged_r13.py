@@ -1,4 +1,4 @@
-"""Operators STAGED in round 12 for promotion in round 13.
+"""Operators staged in round 12, PROMOTED in round 13.
 
 Same life-cycle as staged_r6 .. staged_r12 (all promoted): ship now as
 library code with full pytest parity coverage (tests/test_staged_r13.py
@@ -77,11 +77,9 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 13 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6..r12 all ran
-    through)."""
+    Executed at module import since round 13: the module is in
+    catalog.QUERY_MODULES and all four queries hold round-13 driver
+    window slots (catalog.PRIORITY slots 46-49)."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -683,3 +681,6 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("first_alarm_event_id"),
         )
     )
+
+
+promote()

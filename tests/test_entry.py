@@ -39,62 +39,40 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-12 rotation: queries whose CODE changed this round -- every
-#: name here must appear in the round-12 git diff:
-#: dedup_edit_distance gained a second (suffix, length-bucket)
-#: blocking family (the r11 verdict's leading-edit recall finding);
-#: its candidate pairs -- and potentially its output rows -- change,
-#: so its r11 green no longer covers the live code.
-CHANGED_THIS_ROUND = (
-    "dedup_edit_distance",
-)
+#: round-13 rotation: queries whose CODE changed this round. None --
+#: round 13's perf/feature work landed in NEW staged_r14 entries and
+#: non-output-affecting tooling; no registered query's plan or output
+#: changed.
+CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
-#: round-12 promotions: the former plans/staged_r12.py tier, registered
-#: this round and therefore never driver-verified. The window fits 21
-#: of the 26 after the 28 mandatory r7 leftovers and the changed-code
-#: slot; the five cheapest-to-verify ops defer to head round 13
-#: (DEFERRED_PROMOTIONS below).
+#: round-13 promotions: the former plans/staged_r13.py tier, registered
+#: this round and therefore never driver-verified. The tier was sized
+#: (4 ops) to the round-13 window's free capacity, so ALL of them fit:
+#: zero new deferral debt.
 PROMOTED_THIS_ROUND = (
-    "graph_kcore_decomposition",
-    "dedup_lsh_relative_recall",
-    "dedup_minhash_index_delta",
-    "graph_adamic_adar_linkpred",
-    "graph_modularity_communities",
-    "graph_local_clustering",
-    "txt_textrank_keywords",
-    "txt_ngram_novelty",
-    "graph_hits_authority",
-    "agg_hdr_quantile_merge",
-    "agg_cms_partial_merge",
-    "st_kmv_distinct_sketch",
-    "agg_theta_sketch_setops",
-    "agg_kl_divergence_drift",
-    "mm_chunk_gc_accounting",
-    "sim_dbscan_grid",
-    "ev_bitmap_retention",
-    "txt_boilerplate_chunks",
-    "ev_seasonal_dow_deviation",
-    "join_range_bucketed_global",
-    "window_rolling_regression",
+    "mm_cdc_store_delta",
+    "sim_filtered_ann",
+    "window_cusum_changepoint",
+    "ev_retention_cohort_matrix",
 )
 
-#: round-12 deferral obligation (the r11 verdict's item 4, asserted
-#: the moment COMMITTED_ROUND became 11 rather than re-derived by hand
-#: in round 13): the five promotions the 50-slot window cannot fit --
-#: picked cheapest-to-verify (0.40-0.61 s each at sf0.1, best-of-2;
-#: the four named in ROUND11_NOTES plus pipeline_dataset_card, the
-#: next-cheapest, displaced one-for-one by the dedup_edit_distance
-#: changed-code slot). They are registered and pytest-proven but have
-#: NO driver row, so they must head round 13's window: PRIORITY pins
-#: them in slots WINDOW..WINDOW+4 and
-#: test_deferred_promotions_head_next_round_window asserts it.
-DEFERRED_PROMOTIONS = (
+#: the five round-12 deferrals (never-verified registry entries whose
+#: round-13 window headship was pinned when round 12 committed). They
+#: occupy PRIORITY slots 0-4 THIS round -- the obligation is being
+#: discharged, not carried.
+FORMER_DEFERRED = (
     "ev_asof_tolerance_join",
     "ev_interval_union_length",
     "window_max_drawdown",
     "join_salted_skew",
     "pipeline_dataset_card",
 )
+
+#: round-13 deferral obligation: EMPTY. Window math 5 (former
+#: deferrals) + 41 (r8 leftovers) + 4 (promotions) = 50 exactly; once
+#: the round-13 driver window lands, every registered query has a
+#: driver row (full-catalog coverage).
+DEFERRED_PROMOTIONS: tuple[str, ...] = ()
 
 #: The round the repo's rotation window was COMMITTED against: the
 #: invariants below describe the artifact set r1..COMMITTED_ROUND. The
@@ -104,70 +82,75 @@ DEFERRED_PROMOTIONS = (
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 11
+COMMITTED_ROUND = 12
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 238 registered
+#: Full-registry refresh cycle length in rounds. With 242 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(238/50) = 5 rounds, so the freshness invariant below
+#: once per ceil(242/50) = 5 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact.
 #: test_refresh_cycle_matches_registry_size re-derives this from the
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 5
 
-#: the 41 r8 greens: with 28 mandatory r7 leftovers + 21 promotions +
-#: 1 changed-code name, round 12 has ZERO pure-refresh slots, so the
-#: entire r8 cohort stays out. Legal: it is 3 rounds behind at commit
-#: time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4). These 41 -- plus
-#: the five DEFERRED_PROMOTIONS ahead of them -- head round 13's
-#: window (46 of its 50 slots are already spoken for; PRIORITY
-#: pre-orders both cohorts after the boundary).
+#: the 47 r9 greens: with 5 former deferrals + 41 mandatory r8
+#: leftovers + 4 promotions, round 13 has ZERO pure-refresh slots, so
+#: the entire r9 cohort stays out. Legal: it is 3 rounds behind at
+#: commit time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4). These 47
+#: head round 14's window (its 50 slots are 47-determined; PRIORITY
+#: pre-orders them after the boundary).
 ROTATION_LEFTOVERS = (
-    "agg_cube_flag_status",
-    "agg_distinct_counts",
-    "agg_exact_median",
-    "agg_grouping_sets",
-    "agg_poisson_bootstrap",
-    "agg_price_histogram",
-    "agg_rollup_priority_status",
-    "ev_anomaly_zscore",
-    "ev_decile_lift",
-    "ev_hourly_rollup",
-    "ev_json_props",
-    "ev_keyset_page",
-    "ev_latest_dense_rank",
-    "ev_latest_no_tombstone",
-    "ev_pivot_user_activity",
-    "ev_predicate_search",
-    "ev_range_join_attribution",
-    "ev_rollup_incremental_merge",
-    "graph_assoc_rules",
-    "join_bloom_pruned_revenue",
-    "join_left_order_counts",
-    "mm_shard_manifest",
-    "pipeline_domain_caps",
-    "pipeline_epoch_shuffle_shards",
-    "pipeline_incremental_corpus_diff",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier_volume",
-    "q7_nation_volume_shipping",
-    "st_foreach_batch_upsert",
-    "txt_fingerprints",
-    "txt_perplexity_proxy",
-    "txt_regex_token_count",
-    "txt_tfidf_topk_similar",
-    "unpivot_lineitem_measures",
-    "window_rolling_spend",
+    "agg_exact_moments",
+    "agg_exact_quantiles",
+    "agg_gini_concentration",
+    "agg_ols_trend",
+    "agg_weighted_median",
+    "dedup_incremental_minhash",
+    "ev_activity_streaks",
+    "ev_cusum_changepoint",
+    "ev_dau_wau_stickiness",
+    "ev_latest_state",
+    "ev_scd2_intervals",
+    "ev_time_weighted_value",
+    "ev_window_funnel",
+    "graph_khop_reach",
+    "join_anti_no_urgent_orders",
+    "join_full_outer_nation_profile",
+    "join_inner_big_orders",
+    "join_semi_urgent_customers",
+    "mm_payload_dedup",
+    "pipeline_importance_sample",
+    "pipeline_quality_audit",
+    "q12_priority_shipmode",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "scalar_date_functions",
+    "scalar_function_showcase",
+    "scalar_null_semantics",
+    "setop_except_urgent_only",
+    "setop_intersect_all_multiset",
+    "setop_intersect_buyers",
+    "setop_union_schema_aligned",
+    "sim_bruteforce_topk",
+    "sim_ivf_nprobe_curve",
+    "sim_ivfpq_ann",
+    "sim_ivfpq_rerank",
+    "sim_knn_join",
+    "sim_range_search",
+    "sim_source_jaccard_bottomk",
+    "st_static_enrichment",
+    "subquery_above_avg",
+    "subquery_exists_not_exists",
+    "txt_bm25_topk",
+    "window_cume_percent_rank",
+    "window_lag_reorder_gap",
+    "window_ntile_quartiles",
+    "window_rank_top_balances",
 )
 
 
@@ -228,40 +211,43 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round12_rotation_window(spark):
+def test_round13_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-12 contract, asserted mechanically and
-    COMPLETELY: the OLDEST cohort (the 28 r7 greens round 11
-    documented as its leftovers -- this round's MANDATORY head) is
-    entirely inside the window; the 21 in-window promotions and the 1
-    changed-code query fill the rest exactly; the SECOND-oldest cohort
-    (r8, 41 names -- larger than the ZERO remaining refresh slots) is
-    entirely deferred and partitions exactly onto the documented
-    ROTATION_LEFTOVERS; and the five DEFERRED_PROMOTIONS are outside
-    the window. Deferring r8 names is legal only because they sit 3
-    rounds behind with a 4-round horizon
-    (test_no_query_outside_window_has_stale_green is the mechanical
-    guard); leftovers + deferred promotions head round 13's window
-    (test_deferred_promotions_head_next_round_window)."""
+    per round). Round-13 contract, asserted mechanically and
+    COMPLETELY: the OLDEST cohort (the 41 r8 greens round 12
+    documented as its leftovers -- this round's MANDATORY head, now
+    exactly AT the freshness horizon) is entirely inside the window;
+    the 5 FORMER_DEFERRED round-12 promotions and the 4 round-13
+    promotions fill the rest exactly (5 + 41 + 4 = 50, zero changed
+    names); the SECOND-oldest cohort (r9, 47 names -- larger than the
+    ZERO remaining refresh slots) is entirely deferred and partitions
+    exactly onto the documented ROTATION_LEFTOVERS. Deferring r9
+    names is legal only because they sit 3 rounds behind with a
+    4-round horizon (test_no_query_outside_window_has_stale_green is
+    the mechanical guard); they head round 14's window
+    (test_deferred_promotions_head_next_round_window pins the
+    pre-order)."""
     names = list(entrymod.queries())[:WINDOW]
-    for must in PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND:
-        assert must in names, f"promoted/changed query {must} not in window"
+    for must in (
+        FORMER_DEFERRED + PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND
+    ):
+        assert must in names, f"promoted/deferred query {must} not in window"
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = {q for q, r in latest.items() if r == rounds[0]}
-    # round 11's documented leftovers ARE the oldest cohort; every one
+    # round 12's documented leftovers ARE the oldest cohort; every one
     # of them must occupy a window slot this round
     missing_head = sorted(oldest - set(names))
     assert not missing_head, (
         f"r{rounds[0]}-green mandatory head names not in the window: "
         f"{missing_head}"
     )
-    # window arithmetic: 28 oldest + 21 promotions + 1 changed = 50,
-    # and the three cohorts are disjoint by construction
-    assert len(oldest) + len(PROMOTED_THIS_ROUND) + len(
-        CHANGED_THIS_ROUND
-    ) == WINDOW
-    # the r8 cohort partitions exactly onto the documented leftovers
+    # window arithmetic: 5 former deferrals + 41 oldest + 4 promotions
+    # = 50, and the cohorts are disjoint by construction
+    assert len(oldest) + len(FORMER_DEFERRED) + len(
+        PROMOTED_THIS_ROUND
+    ) + len(CHANGED_THIS_ROUND) == WINDOW
+    # the r9 cohort partitions exactly onto the documented leftovers
     second = {q for q, r in latest.items() if r == rounds[1]}
     assert second == set(ROTATION_LEFTOVERS), (
         sorted(second ^ set(ROTATION_LEFTOVERS))
@@ -271,13 +257,9 @@ def test_round12_rotation_window(spark):
         f"ROTATION_LEFTOVERS entries that are actually in the "
         f"window: {in_window_leftovers}"
     )
-    # the deferred promotions must NOT occupy window slots (they have
-    # no artifact rows; their obligation is round 13's head)
-    deferred_inside = sorted(set(DEFERRED_PROMOTIONS) & set(names))
-    assert not deferred_inside, deferred_inside
-    # nothing fresher (r9+) may occupy a slot while r8 names are
-    # deferred, except the changed-code re-verifications (promotions
-    # have no artifact rows, so they never appear in `latest`)
+    # nothing fresher (r10+) may occupy a slot while r9 names are
+    # deferred (former-deferred and new promotions have no artifact
+    # rows, so they never appear in `latest`)
     fresher = {q for q, r in latest.items() if r > rounds[1]}
     displaced = sorted((fresher & set(names)) - set(CHANGED_THIS_ROUND))
     assert not displaced, (
@@ -287,26 +269,26 @@ def test_round12_rotation_window(spark):
 
 
 def test_deferred_promotions_head_next_round_window(spark):
-    """The r11 verdict's item 4, made mechanical at commit time: the
-    five promotions round 12's window cannot fit are never-verified
-    registry entries, so they MUST head round 13's window, ahead even
-    of the 41 r8 leftovers. PRIORITY encodes that order today --
-    slots WINDOW..WINDOW+4 are exactly DEFERRED_PROMOTIONS, the 41
-    slots after them exactly the r8 cohort -- so round 13's window
-    composition is already 46/50 determined and cannot be re-derived
-    (wrongly) by hand."""
+    """Round 13 carries NO deferral debt (DEFERRED_PROMOTIONS is
+    empty -- the 4-op staged tier was sized to the window's free
+    capacity), so the only next-round obligation is the refresh
+    pre-order: PRIORITY slots WINDOW..WINDOW+46 are exactly the 47
+    r9-green ROTATION_LEFTOVERS, round 14's mandatory head. The
+    round-12 edition of this test pinned the five FORMER_DEFERRED
+    names to slots 0-4 of THIS window; assert the discharge too."""
     names = list(entrymod.queries())
-    k = len(DEFERRED_PROMOTIONS)
-    assert tuple(names[WINDOW : WINDOW + k]) == DEFERRED_PROMOTIONS
-    nxt = names[WINDOW + k : WINDOW + k + len(ROTATION_LEFTOVERS)]
+    assert not DEFERRED_PROMOTIONS
+    # obligation discharged: the former deferrals hold slots 0-4
+    assert tuple(names[: len(FORMER_DEFERRED)]) == FORMER_DEFERRED
+    nxt = names[WINDOW : WINDOW + len(ROTATION_LEFTOVERS)]
     assert sorted(nxt) == sorted(ROTATION_LEFTOVERS), (
         sorted(set(nxt) ^ set(ROTATION_LEFTOVERS))
     )
-    # the deferred names are real, registered, and never verified
+    # the former deferrals are real, registered, and never verified
     latest, _ = _latest_green_rounds()
-    already = sorted(set(DEFERRED_PROMOTIONS) & set(latest))
+    already = sorted(set(FORMER_DEFERRED) & set(latest))
     assert not already, (
-        f"DEFERRED_PROMOTIONS with driver rows (not deferrals): {already}"
+        f"FORMER_DEFERRED with driver rows (not deferrals): {already}"
     )
 
 

@@ -71,15 +71,15 @@ def test_staged_plan_shapes(spark):
 def test_promotion_is_live_and_heads_the_window():
     """Round 12 executed the promotion (the inverse of round 11's
     test_staging_is_not_live honesty guard): every formerly-staged name
-    is in the live registry and perf-tracked in bench.py HEADLINE; 21
-    of the 26 sit inside the round-12 driver window, and the five
-    deferred names hold the slots immediately after the boundary (the
-    round-13 headship obligation, asserted in full by
+    is in the live registry and perf-tracked in bench.py HEADLINE. As
+    of round 13, 21 of the 26 carry r12 driver greens and the five
+    round-12 deferrals hold slots 0-4 of the round-13 window -- the
+    pinned headship obligation, discharged (see also
     tests/test_entry.py::test_deferred_promotions_head_next_round_window).
     The round-6 lesson: never claim that inclusion before it exists."""
     import bench
 
-    from tests.test_entry import DEFERRED_PROMOTIONS
+    from tests.test_entry import FORMER_DEFERRED, _latest_green_rounds
 
     from clueso_spark.plans.catalog import all_queries
 
@@ -88,11 +88,17 @@ def test_promotion_is_live_and_heads_the_window():
     assert missing == [], missing
     unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
     assert unbenched == [], unbenched
+    # round-13 edition: 21 of the 26 carry r12 driver greens; the five
+    # round-12 deferrals (FORMER_DEFERRED) hold slots 0-4 of the
+    # round-13 window, discharging the pinned obligation -- no staged
+    # name is stranded without either a driver row or a window slot
     names = list(live)
     window = set(names[:50])
-    outside = sorted(set(STAGED) - window - set(DEFERRED_PROMOTIONS))
-    assert outside == [], outside
-    assert tuple(names[50:55]) == DEFERRED_PROMOTIONS
+    latest, _ = _latest_green_rounds()
+    stranded = sorted(set(STAGED) - window - set(latest))
+    assert stranded == [], stranded
+    assert tuple(names[: len(FORMER_DEFERRED)]) == FORMER_DEFERRED
+    assert set(FORMER_DEFERRED) == set(STAGED) & window
     # promote() stays idempotent after the import-time call
     promote()
     assert len(all_queries()) == len(live)

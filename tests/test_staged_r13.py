@@ -19,19 +19,25 @@ from clueso_spark.plans.staged_r13 import STAGED, promote
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_tier_is_sized_to_round13_capacity():
-    """46 of round 13's 50 window slots are already spoken for
-    (tests/test_entry.py DEFERRED_PROMOTIONS + ROTATION_LEFTOVERS);
-    a staged tier larger than the remainder would manufacture new
-    deferral debt at promotion time."""
+def test_tier_was_sized_to_round13_capacity():
+    """The round-12 edition of this test pinned the tier to round
+    13's free window capacity BEFORE promotion; post-promotion, the
+    same arithmetic must reconcile against the committed artifacts:
+    former deferrals + the mandatory r8 refresh cohort + this tier
+    fill the window EXACTLY, so promoting created zero new deferral
+    debt (tests/test_entry.py DEFERRED_PROMOTIONS is empty)."""
     from tests.test_entry import (
         DEFERRED_PROMOTIONS,
-        ROTATION_LEFTOVERS,
+        FORMER_DEFERRED,
         WINDOW,
+        _latest_green_rounds,
     )
 
-    free = WINDOW - len(DEFERRED_PROMOTIONS) - len(ROTATION_LEFTOVERS)
-    assert len(STAGED) <= free, (len(STAGED), free)
+    latest, _ = _latest_green_rounds()
+    oldest_round = min(latest.values())
+    oldest = [n for n, r in latest.items() if r == oldest_round]
+    assert len(FORMER_DEFERRED) + len(oldest) + len(STAGED) == WINDOW
+    assert DEFERRED_PROMOTIONS == ()
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -69,23 +75,30 @@ def test_staged_plan_shapes(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
-def test_staging_is_not_live():
-    """Honesty guard: no staged name is registered until round 13
-    executes the promotion -- __spark_entry__.queries() must stay a
-    list of driver-verifiable claims. promote() itself is exercised
-    against the live registry and rolled back."""
-    from clueso_spark.plans.catalog import REGISTRY, all_queries
+def test_promotion_is_live_and_heads_the_window():
+    """Round 13 executed the promotion (the inverse of round 12's
+    test_staging_is_not_live honesty guard): every formerly-staged
+    name is in the live registry, perf-tracked in bench.py HEADLINE,
+    and holds a round-13 driver window slot (never-driver-verified
+    names may not sit outside the window -- that would strand them).
+    The round-6 lesson: never claim that inclusion before it
+    exists."""
+    import bench
+
+    from clueso_spark.plans.catalog import all_queries
 
     live = all_queries()
-    overlap = sorted(set(STAGED) & set(live))
-    assert overlap == [], overlap
-    try:
-        promote()
-        assert set(STAGED) <= set(REGISTRY)
-    finally:
-        for name in STAGED:
-            REGISTRY.pop(name, None)
-    assert not set(STAGED) & set(REGISTRY)
+    missing = sorted(set(STAGED) - set(live))
+    assert missing == [], missing
+    unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
+    assert unbenched == [], unbenched
+    names = list(live)
+    window = set(names[:50])
+    outside = sorted(set(STAGED) - window)
+    assert outside == [], outside
+    # promote() stays idempotent after the import-time call
+    promote()
+    assert len(all_queries()) == len(live)
 
 
 def test_filtered_ann_prefilter_never_trails_postfilter(spark):
