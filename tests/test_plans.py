@@ -136,6 +136,11 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         "dedup_lsh_relative_recall",  # three 1-row counter frames per family
         "graph_modularity_communities",  # 1-row edge-count broadcast
         "ev_bitmap_retention",  # 1-row corpus-min-day broadcast
+        # round-13 promoted tier (formerly test_staged_r13's sanction
+        # list): 5 probes x ~10-cell centroid relation (both sides
+        # bounded; the corpus is touched by broadcast-HASH joins on
+        # cell/tenant)
+        "sim_filtered_ann",
     }
     offenders = {}
     for name, cq in registry.items():
