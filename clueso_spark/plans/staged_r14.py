@@ -88,6 +88,30 @@ def promote() -> None:
 
 _HOUR_US = 3_600_000_000
 
+
+def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size the streaming state-partition count to the INPUT, capped by
+    the session's shuffle partitions.
+
+    Spark pins a streaming query's state partitioning to
+    spark.sql.shuffle.partitions at first start. A stream-stream join
+    maintains FOUR state stores per side per partition, so partition
+    count is pure fixed overhead once partitions outnumber state keys:
+    at sf0.1 on local[32], 32 partitions cost 11.5 s where 8 cost 3.6 s
+    for identical output (measured, ROUND13_NOTES). Policy: one state
+    partition per 32 MB of input with a floor of 4 -- small local runs
+    collapse to a handful of stores, while at 100 TB the cap (the
+    session/cluster setting) always wins, which is exactly where the
+    operator should land on a real cluster."""
+    import os
+
+    try:
+        size = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
+    except OSError:
+        size = 0
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(session, (size + (32 << 20) - 1) // (32 << 20)))
+
 # ---------------------------------------------------------------------------
 # Stream-stream LEFT OUTER join. The inner variant
 # (streaming_queries.st_stream_stream_join) proves bounded-state range
@@ -153,6 +177,20 @@ _HOUR_US = 3_600_000_000
     "streaming", "join", "outer", "watermark",
 )
 def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clueso_spark.plans.streaming_queries import events_stream
+
+    # state partitioning binds at query start; set it input-sized and
+    # restore the session value right after (see _stream_state_partitions)
+    key = "spark.sql.shuffle.partitions"
+    previous = spark.conf.get(key)
+    spark.conf.set(key, str(_stream_state_partitions(spark, sf_dir)))
+    try:
+        return _outer_join_query(spark, sf_dir)
+    finally:
+        spark.conf.set(key, previous)
+
+
+def _outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.streaming_queries import events_stream
 
     clicks = (
