@@ -117,10 +117,18 @@ def compare(
 
 
 def run_catalog(
-    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    names: list[str] | None = None,
+    on_result=None,
 ) -> list[ParityResult]:
     """Run every catalog query with an oracle and compare; rows-only
-    queries are executed for count>=0 but reported without value check."""
+    queries are executed for count>=0 but reported without value check.
+
+    ``on_result`` (optional callback, called with each ParityResult as
+    it lands) lets long sweeps stream progress -- a killed 60-minute
+    sf0.1 sweep that buffered every result until the end taught the
+    lesson (ROUND13_NOTES)."""
     from clueso_spark.plans.catalog import all_queries
 
     con = duckdb_connect(sf_dir)
@@ -138,6 +146,8 @@ def run_catalog(
             n = df.count()
             detail = "rows-only" if cq.oracle is None else "oracle-out-of-domain"
             results.append(ParityResult(name, n, n, True, True, detail))
-            continue
-        results.append(compare(name, df, cq.oracle, con))
+        else:
+            results.append(compare(name, df, cq.oracle, con))
+        if on_result is not None:
+            on_result(results[-1])
     return results

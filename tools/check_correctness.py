@@ -32,18 +32,26 @@ def main() -> int:
         "check-correctness", **{"spark.sql.shuffle.partitions": "8"}
     )
     if args.staged:
-        from clueso_spark.plans.staged_r13 import promote
+        # promote every still-staged tier (already-registered tiers
+        # promote at import and these calls are idempotent no-ops)
+        from clueso_spark.plans.staged_r14 import promote as promote_r14
+        from clueso_spark.plans.staged_r15 import promote as promote_r15
 
-        promote()
-    results = run_catalog(spark, args.sf_dir, args.names or None)
-    n_fail = 0
-    for r in results:
+        promote_r14()
+        promote_r15()
+
+    def emit(r):
         status = "OK  " if r.ok else "FAIL"
-        n_fail += 0 if r.ok else 1
         extra = f" {r.detail}" if (r.detail and not r.ok) else (
             " (rows-only)" if r.detail == "rows-only" else ""
         )
-        print(f"{status} {r.name:35s} rows={r.rows_spark}/{r.rows_oracle}{extra}")
+        print(
+            f"{status} {r.name:35s} rows={r.rows_spark}/{r.rows_oracle}{extra}",
+            flush=True,
+        )
+
+    results = run_catalog(spark, args.sf_dir, args.names or None, on_result=emit)
+    n_fail = sum(0 if r.ok else 1 for r in results)
     print(f"\n{len(results) - n_fail}/{len(results)} queries match")
     return 1 if n_fail else 0
 
