@@ -408,11 +408,55 @@ def _ngram_bits(n_docs: int) -> int:
     )
 
 
+#: per-corpus cache for the bucket-cap domain check below -- the check
+#: computes the full word-set sketch in DuckDB once per sf_dir, which
+#: is cheap at the driver's sf0.01 gate but worth not repeating across
+#: a parity sweep's many guarded queries.
+_NGRAM_CAP_DOMAIN: dict[str, bool] = {}
+
+
+def _ngram_bucket_cap_ok(sf_dir: str) -> bool:
+    """Second half of the ngram-family oracle domain: the registered
+    oracles emit FULL per-bucket pair fan-out, but the Spark side caps
+    buckets at LSH_BUCKET_CAP with a star-expansion fallback
+    (_bucket_pairs(cap=...)). The two agree exactly iff no sketch
+    bucket exceeds the cap. The round-13 sf0.1 sweep caught the gap:
+    at 5,000 docs the largest near-dup family outgrows 256, Spark
+    star-expands (50,364 pairs) while the oracle emits the quadratic
+    fan-out (722,274 rows) -- a DOMAIN edge, not an engine defect, and
+    exactly the behavior the cap documents. Checked by computing the
+    oracle's own sketch in DuckDB and taking the max bucket size."""
+    cached = _NGRAM_CAP_DOMAIN.get(sf_dir)
+    if cached is not None:
+        return cached
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "create or replace view documents as "
+        f"select * from '{sf_dir.rstrip('/')}/documents.parquet'"
+    )
+    biggest = con.sql(
+        f"with {_SIMHASH_SKETCH_SQL} "
+        "select max(c) from (select count(*) as c from sk group by simhash)"
+    ).fetchone()[0]
+    ok = (biggest or 0) <= LSH_BUCKET_CAP
+    _NGRAM_CAP_DOMAIN[sf_dir] = ok
+    return ok
+
+
 def _ngram_oracle_valid(sf_dir: str) -> bool:
-    """The registered oracles replicate the 16-bit floor sketch; past
-    ~2 M docs the Spark side widens adaptively and the parity harness
-    must fall back to a rows-only check."""
-    return _ngram_bits(table_row_count(sf_dir, "documents")) == NGRAM_SKETCH_BITS
+    """The registered oracles replicate the 16-bit floor sketch with
+    FULL bucket fan-out; the domain is (a) the adaptive width still at
+    the floor (past ~2 M docs the Spark side widens) AND (b) every
+    bucket within LSH_BUCKET_CAP (above it the Spark side
+    star-expands). Outside either, the parity harness falls back to a
+    rows-only check."""
+    return (
+        _ngram_bits(table_row_count(sf_dir, "documents"))
+        == NGRAM_SKETCH_BITS
+        and _ngram_bucket_cap_ok(sf_dir)
+    )
 
 
 _NGRAM_PAIR_CTES = f"""{_SIMHASH_SKETCH_SQL},

@@ -514,3 +514,46 @@ def test_dedup_persist_bookkeeping_is_per_session(spark):
     dq.dedup_minhash_lsh(spark, sf)
     assert catalog._PERSISTED[spark]["minhash_sets"] is not first
     assert catalog._PERSISTED[other]["minhash_sets"].storageLevel.useMemory
+
+
+def test_ngram_oracle_domain_guard_tracks_bucket_cap(tmp_path):
+    """Round-13 sf0.1 finding, pinned: the ngram-family oracles emit
+    FULL per-bucket pair fan-out while the Spark side caps buckets at
+    LSH_BUCKET_CAP (star expansion), so the oracle domain must exclude
+    any corpus whose largest sketch bucket exceeds the cap. A planted
+    corpus with one 300-doc identical family (one sketch bucket,
+    300 > 256) must invalidate the oracle; trimming the family back
+    under the cap must restore it. Checks the per-corpus cache too."""
+    import pandas as pd
+
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _NGRAM_CAP_DOMAIN,
+        _ngram_bucket_cap_ok,
+        _ngram_oracle_valid,
+    )
+
+    def corpus(path, family_size):
+        texts = ["big family shared words" for _ in range(family_size)]
+        texts += [f"unique doc number {i} words" for i in range(5)]
+        path.mkdir()
+        pd.DataFrame(
+            {
+                "doc_id": list(range(len(texts))),
+                "lang": ["en"] * len(texts),
+                "source": ["src0"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+                "text": texts,
+            }
+        ).to_parquet(str(path / "documents.parquet"))
+        return str(path)
+
+    over = corpus(tmp_path / "over", LSH_BUCKET_CAP + 44)
+    under = corpus(tmp_path / "under", 10)
+    assert not _ngram_bucket_cap_ok(over)
+    assert not _ngram_oracle_valid(over)
+    assert _ngram_bucket_cap_ok(under)
+    assert _ngram_oracle_valid(under)
+    # cached per corpus dir: repeated sweeps pay the sketch once
+    assert _NGRAM_CAP_DOMAIN[over] is False
+    assert _NGRAM_CAP_DOMAIN[under] is True
