@@ -385,3 +385,18 @@ def test_rrf_lexical_arm_python_third_opinion(spark):
         assert r["lex_rk"] == want, (dict(r.asDict()), want)
         seen_with_lex += int(want > 0)
     assert seen_with_lex > 0
+
+
+def test_staged_empty_corpus_returns_not_raises(spark, tmp_path_factory):
+    """Empty-corpus guard, same contract as tests/test_empty_corpus.py:
+    every staged op must return (possibly zero rows), never raise, on
+    a corpus with zero rows in every table."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from empty_sweep import write_empty_corpus
+
+    sf = write_empty_corpus(str(tmp_path_factory.mktemp("empty_r14")))
+    for name, cq in sorted(STAGED.items()):
+        rows = cq.spark(spark, sf).collect()
+        assert isinstance(rows, list), name
