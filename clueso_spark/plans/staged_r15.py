@@ -122,13 +122,20 @@ _BPE_STEPS = 3
 
 
 def _bpe_pairs(tok: DataFrame) -> DataFrame:
-    """Adjacent (l, r) token pairs, exploded map-side."""
+    """Adjacent (l, r) token pairs, exploded map-side.
+
+    Length-guarded slices, NOT sequence(1, size-1): Spark's sequence()
+    auto-steps DOWNWARD when start > stop, so a single-token doc would
+    generate [1, 0] and index 0 out of bounds (hypothesis found it
+    with texts=['a', 'a']); slice with a greatest(.., 0) length is
+    empty for 0- and 1-token docs."""
     return tok.select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(t) - 1), "
-                "i -> struct(element_at(t, i) as l, "
-                "element_at(t, i + 1) as r))"
+                "zip_with("
+                "slice(t, 1, greatest(size(t) - 1, 0)), "
+                "slice(t, 2, greatest(size(t) - 1, 0)), "
+                "(x, y) -> named_struct('l', x, 'r', y))"
             )
         ).alias("p")
     ).select("p.l", "p.r")

@@ -106,6 +106,15 @@ def _bpe_reference(texts, steps):
         for d in docs:
             for a, b in zip(d, d[1:]):
                 counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            # no adjacency anywhere (all docs <= 1 token, or the
+            # corpus emptied): the op's 1-row top-pair frame is empty,
+            # the crossJoin-applied corpus is empty, and the per-step
+            # stats row carries NULLs -- on BOTH engines (pinned by
+            # the hypothesis single-token example)
+            rows.append((step, None, None, None, None))
+            docs = []
+            continue
         (left, right), freq = min(
             counts.items(), key=lambda kv: (-kv[1], kv[0])
         )
