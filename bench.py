@@ -206,6 +206,10 @@ HEADLINE = [
     "sim_filtered_ann",
     "window_cusum_changepoint",
     "ev_retention_cohort_matrix",
+    # round 14 promotions (former staged_r14)
+    "st_stream_stream_outer_join",
+    "sim_colbert_maxsim",
+    "sim_rrf_fusion",
 ]
 
 

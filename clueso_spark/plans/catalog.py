@@ -99,97 +99,49 @@ QUERY_MODULES = [
     # 5). All 4 sit in the round-13 window together with the five
     # round-12 deferrals -- zero new deferral debt.
     "clueso_spark.plans.staged_r13",
+    # round 14: the round-13 staged tier is promoted the same way (3
+    # queries; registry 242 -> 245, refresh cycle stays ceil(245/50) =
+    # 5). The tier was sized to round 14's exact free capacity (50 - 47
+    # mandatory r9 refreshes), so all 3 sit in the round-14 window --
+    # zero new deferral debt.
+    "clueso_spark.plans.staged_r14",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-13 rotation, executing the standing policy
+#: part of the contract. Round-14 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the FIVE round-12 DEFERRED_PROMOTIONS -- registered in round 12
-#: but never driver-verified; their headship here was pinned
-#: mechanically the moment round 12 committed
-#: (tests/test_entry.py, round-12 edition of
-#: test_deferred_promotions_head_next_round_window);
-#: (2) the 41 r8-green queries round 12 documented as
-#: ROTATION_LEFTOVERS -- they sit exactly AT the round-13 freshness
-#: horizon (r8 green, horizon r13-4 = 9 after this round lands) and
-#: are the MANDATORY refresh cohort;
-#: (3) the 4 promoted staged_r13 queries -- registered this round, so
+#: (1) the 47 r9-green queries round 13 documented as
+#: ROTATION_LEFTOVERS -- they sit exactly AT the round-14 freshness
+#: horizon (r9 green, horizon r14-4 = 10 after this round lands) and
+#: are the MANDATORY refresh cohort (tools/rotation_plan.py derives
+#: the same set mechanically);
+#: (2) the 3 promoted staged_r14 queries -- registered this round, so
 #: never driver-verified; pytest-proven against their DuckDB oracles
-#: at sf0.001 + sf0.01 (tests/test_staged_r13.py) but the driver row
+#: at sf0.001 + sf0.01 (tests/test_staged_r14.py) but the driver row
 #: is the claim that counts -- heavier-first by the pre-promotion
 #: best-of-2 sf0.1 timing run RECORDED IN ROUND13_NOTES
-#: ("Pre-promotion staged-op timing run"); later full-bench runs
-#: reorder neighbors within noise, the recorded run is the contract.
-#: Window math: 5 + 41 + 4 = 50 -- zero pure-refresh slots and ZERO
-#: new deferrals (DEFERRED_PROMOTIONS is empty this round; the whole
-#: registry is now driver-covered once this window lands).
-#: The 47-name r9 cohort legally defers (3 rounds behind at commit
+#: ("Pre-promotion staged-op timing run": outer join 3.49 s, ColBERT
+#: MaxSim 1.96 s, RRF fusion 1.78 s); later full-bench runs reorder
+#: neighbors within noise, the recorded run is the contract.
+#: Window math: 47 + 3 = 50 -- zero pure-refresh slots and ZERO new
+#: deferrals (DEFERRED_PROMOTIONS stays empty; full-catalog driver
+#: coverage, reached in round 13, is preserved).
+#: The 46-name r10 cohort legally defers (3 rounds behind at commit
 #: time, horizon 4) and is pre-ordered immediately after the boundary
-#: as round 14's mandatory head; with 242 registered queries the
-#: refresh cycle stays ceil(242/50) = 5 rounds (tests/test_entry.py
-#: re-derives the constant from the live registry).
+#: as round 15's mandatory head. It contains st_stream_stream_join,
+#: whose CODE changed this round (input-sized streaming state
+#: partitions, output pinned identical by tests/test_streaming.py and
+#: the local sf0.01+sf0.1 oracle gate); its driver re-verification
+#: therefore lands mechanically in round 15's mandatory window
+#: (tests/test_entry.py::CHANGED_AWAITING_REFRESH pins the
+#: obligation). With 245 registered queries the refresh cycle stays
+#: ceil(245/50) = 5 rounds (tests/test_entry.py re-derives the
+#: constant from the live registry).
 PRIORITY = [
-    # (1) the five round-12 deferred promotions -- never verified,
-    # pinned to head this window since round 12 committed
-    "ev_asof_tolerance_join",
-    "ev_interval_union_length",
-    "window_max_drawdown",
-    "join_salted_skew",
-    "pipeline_dataset_card",
-    # (2) the 41 r8 greens AT the freshness horizon -- mandatory
-    "agg_cube_flag_status",
-    "agg_distinct_counts",
-    "agg_exact_median",
-    "agg_grouping_sets",
-    "agg_poisson_bootstrap",
-    "agg_price_histogram",
-    "agg_rollup_priority_status",
-    "ev_anomaly_zscore",
-    "ev_decile_lift",
-    "ev_hourly_rollup",
-    "ev_json_props",
-    "ev_keyset_page",
-    "ev_latest_dense_rank",
-    "ev_latest_no_tombstone",
-    "ev_pivot_user_activity",
-    "ev_predicate_search",
-    "ev_range_join_attribution",
-    "ev_rollup_incremental_merge",
-    "graph_assoc_rules",
-    "join_bloom_pruned_revenue",
-    "join_left_order_counts",
-    "mm_shard_manifest",
-    "pipeline_domain_caps",
-    "pipeline_epoch_shuffle_shards",
-    "pipeline_incremental_corpus_diff",
-    "q10_returned_items",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_orders",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_priority_check",
-    "q5_local_supplier_volume",
-    "q7_nation_volume_shipping",
-    "st_foreach_batch_upsert",
-    "txt_fingerprints",
-    "txt_perplexity_proxy",
-    "txt_regex_token_count",
-    "txt_tfidf_topk_similar",
-    "unpivot_lineitem_measures",
-    "window_rolling_spend",
-    # (3) promoted this round -- never driver-verified; heavier-first
-    # by measured sf0.1 time (best-of-2, quiet box; ROUND13_NOTES)
-    "mm_cdc_store_delta",
-    "sim_filtered_ann",
-    "window_cusum_changepoint",
-    "ev_retention_cohort_matrix",
-    # --- window boundary (50) ----------------------------------------
-    # round-14 head: the 47 r9 greens (the cohort AT the horizon next
-    # round), then the remainder in registration order
+    # (1) the 47 r9 greens AT the freshness horizon -- mandatory
     "agg_exact_moments",
     "agg_exact_quantiles",
     "agg_gini_concentration",
@@ -237,6 +189,61 @@ PRIORITY = [
     "window_lag_reorder_gap",
     "window_ntile_quartiles",
     "window_rank_top_balances",
+    # (2) promoted this round -- never driver-verified; heavier-first
+    # by measured sf0.1 time (best-of-2, quiet box; ROUND13_NOTES)
+    "st_stream_stream_outer_join",
+    "sim_colbert_maxsim",
+    "sim_rrf_fusion",
+    # --- window boundary (50) ----------------------------------------
+    # round-15 head: the 46 r10 greens (the cohort AT the horizon next
+    # round, including the changed-code st_stream_stream_join), then
+    # the remainder in registration order
+    "agg_approx_count_distinct",
+    "agg_chi2_independence",
+    "agg_hll_partial_merge",
+    "agg_ks_two_sample",
+    "agg_mode_exact",
+    "agg_welch_ttest",
+    "ev_asof_last_purchase",
+    "ev_bounce_rate_sessions",
+    "ev_funnel_conversion",
+    "ev_funnel_time_percentiles",
+    "ev_gap_fill_forward",
+    "ev_inter_event_histogram",
+    "ev_lorenz_power_users",
+    "ev_retention_cohorts",
+    "ev_sessionize",
+    "ev_skew_salted_agg",
+    "graph_node_similarity",
+    "join_lateral_top2_per_order",
+    "mm_fixed_shape_features",
+    "mm_frame_sample",
+    "pipeline_ccnet_buckets",
+    "pipeline_dedup_keep_best",
+    "pipeline_doc_chunking",
+    "pipeline_length_filter_curve",
+    "pipeline_token_budget_mix",
+    "pipeline_train_test_split",
+    "profile_lineitem",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "setop_except_all_multiset",
+    "sim_ann_recall_at_k",
+    "sim_ivf_cells",
+    "sim_ivf_kmeans_ann",
+    "sim_kmeans_lloyd",
+    "sim_pq_codes",
+    "sim_residual_norms",
+    "sort_limit_top_orders",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
+    "st_windowed_topk",
+    "subquery_correlated_scalar",
+    "txt_gopher_quality_rules",
+    "txt_quality_classifier_proxy",
+    "window_nth_value_frames",
 ]
 
 

@@ -409,10 +409,14 @@ def _ngram_bits(n_docs: int) -> int:
 
 
 #: per-corpus cache for the bucket-cap domain check below -- the check
-#: computes the full word-set sketch in DuckDB once per sf_dir, which
+#: computes the full word-set sketch in DuckDB once per corpus, which
 #: is cheap at the driver's sf0.01 gate but worth not repeating across
-#: a parity sweep's many guarded queries.
-_NGRAM_CAP_DOMAIN: dict[str, bool] = {}
+#: a parity sweep's many guarded queries. Keyed on the resolved path
+#: PLUS the parquet (mtime_ns, size) fingerprint: 'dir' vs 'dir/' must
+#: not compute twice, and a corpus regenerated in place at the same
+#: path must not return a stale verdict -- a stale True could silently
+#: run a full-fanout oracle against a capped Spark plan (ADVICE r13).
+_NGRAM_CAP_DOMAIN: dict[tuple, bool] = {}
 
 
 def _ngram_bucket_cap_ok(sf_dir: str) -> bool:
@@ -426,22 +430,34 @@ def _ngram_bucket_cap_ok(sf_dir: str) -> bool:
     fan-out (722,274 rows) -- a DOMAIN edge, not an engine defect, and
     exactly the behavior the cap documents. Checked by computing the
     oracle's own sketch in DuckDB and taking the max bucket size."""
-    cached = _NGRAM_CAP_DOMAIN.get(sf_dir)
+    import os
+
+    path = os.path.realpath(f"{sf_dir.rstrip('/')}/documents.parquet")
+    try:
+        stat = os.stat(path)
+        key = (path, stat.st_mtime_ns, stat.st_size)
+    except OSError:
+        key = (path, 0, 0)
+    cached = _NGRAM_CAP_DOMAIN.get(key)
     if cached is not None:
         return cached
     import duckdb
 
     con = duckdb.connect()
-    con.sql(
-        "create or replace view documents as "
-        f"select * from '{sf_dir.rstrip('/')}/documents.parquet'"
-    )
-    biggest = con.sql(
-        f"with {_SIMHASH_SKETCH_SQL} "
-        "select max(c) from (select count(*) as c from sk group by simhash)"
-    ).fetchone()[0]
+    try:
+        con.sql(
+            "create or replace view documents as "
+            f"select * from '{path}'"
+        )
+        biggest = con.sql(
+            f"with {_SIMHASH_SKETCH_SQL} "
+            "select max(c) from "
+            "(select count(*) as c from sk group by simhash)"
+        ).fetchone()[0]
+    finally:
+        con.close()
     ok = (biggest or 0) <= LSH_BUCKET_CAP
-    _NGRAM_CAP_DOMAIN[sf_dir] = ok
+    _NGRAM_CAP_DOMAIN[key] = ok
     return ok
 
 

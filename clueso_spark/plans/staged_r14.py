@@ -1,15 +1,15 @@
-"""Operators STAGED in round 13 for promotion in round 14.
+"""Operators staged in round 13, PROMOTED in round 14.
 
-Same life-cycle as staged_r6 .. staged_r13 (all promoted): ship now as
-library code with full pytest parity coverage (tests/test_staged_r14.py
-runs the exact driver comparison -- row count + schema + order-
-insensitive value hash -- against DuckDB oracles at sf0.001 and
-sf0.01) because the round-13 driver window (50 slots) is fully
-allocated: 5 former deferrals + 41 mandatory r8 leftovers + 4
-promotions. Round 14's window arithmetic (tests/test_entry.py): the
-47-name r9 ROTATION_LEFTOVERS cohort is mandatory, leaving exactly
-THREE free slots -- this tier is sized to that capacity, so every
-staged name can promote without creating new deferral debt.
+Same life-cycle as staged_r6 .. staged_r13 (all promoted): shipped in
+round 13 as library code with full pytest parity coverage
+(tests/test_staged_r14.py runs the exact driver comparison -- row
+count + schema + order-insensitive value hash -- against DuckDB
+oracles at sf0.001 and sf0.01) because the round-13 driver window (50
+slots) was fully allocated. Round 14's window arithmetic
+(tests/test_entry.py, tools/rotation_plan.py): the 47-name r9
+ROTATION_LEFTOVERS cohort is mandatory, leaving exactly THREE free
+slots -- this tier was sized to that capacity, so all three names
+promote without creating new deferral debt (registry 242 -> 245).
 
 The three ops extend the two tiers the catalog is thinnest in relative
 to a modern retrieval/training-data stack:
@@ -75,11 +75,10 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 14 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6..r13 all ran
-    through)."""
+    Executed at module import since round 14: the module is in
+    catalog.QUERY_MODULES and the three names occupy the final window
+    slots of catalog.PRIORITY (heavier-first by the pre-promotion
+    best-of-2 sf0.1 timing run recorded in ROUND13_NOTES)."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -87,30 +86,6 @@ def promote() -> None:
 
 
 _HOUR_US = 3_600_000_000
-
-
-def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
-    """Size the streaming state-partition count to the INPUT, capped by
-    the session's shuffle partitions.
-
-    Spark pins a streaming query's state partitioning to
-    spark.sql.shuffle.partitions at first start. A stream-stream join
-    maintains FOUR state stores per side per partition, so partition
-    count is pure fixed overhead once partitions outnumber state keys:
-    at sf0.1 on local[32], 32 partitions cost 11.5 s where 8 cost 3.6 s
-    for identical output (measured, ROUND13_NOTES). Policy: one state
-    partition per 32 MB of input with a floor of 4 -- small local runs
-    collapse to a handful of stores, while at 100 TB the cap (the
-    session/cluster setting) always wins, which is exactly where the
-    operator should land on a real cluster."""
-    import os
-
-    try:
-        size = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
-    except OSError:
-        size = 0
-    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(4, min(session, (size + (32 << 20) - 1) // (32 << 20)))
 
 # ---------------------------------------------------------------------------
 # Stream-stream LEFT OUTER join. The inner variant
@@ -177,20 +152,22 @@ def _stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     "streaming", "join", "outer", "watermark",
 )
 def st_stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.streaming_queries import events_stream
+    from clueso_spark.plans.streaming_queries import (
+        run_on_state_sized_session,
+    )
 
-    # state partitioning binds at query start; set it input-sized and
-    # restore the session value right after (see _stream_state_partitions)
-    key = "spark.sql.shuffle.partitions"
-    previous = spark.conf.get(key)
-    spark.conf.set(key, str(_stream_state_partitions(spark, sf_dir)))
-    try:
-        return _outer_join_query(spark, sf_dir)
-    finally:
-        spark.conf.set(key, previous)
+    # state partitioning binds at query start; run on a cloned session
+    # with an input-sized count so the override cannot leak to
+    # concurrent queries (see run_on_state_sized_session)
+    return run_on_state_sized_session(
+        spark,
+        sf_dir,
+        lambda s: _outer_join_plan(s, sf_dir),
+        "st_stream_stream_outer_join_sink",
+    )
 
 
-def _outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _outer_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.streaming_queries import events_stream
 
     clicks = (
@@ -213,23 +190,13 @@ def _outer_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("p_ts", "1 hour")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr("interval 1 hour")),
         "left_outer",
     ).select("click_id", "purchase_id", "user_id")
-    sink_name = "st_stream_stream_outer_join_sink"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name)
 
 
 # ---------------------------------------------------------------------------
@@ -520,3 +487,6 @@ def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= _RRF_TOPK)
         .select("probe_id", "id", "rrf_score", "dense_rk", "lex_rk", "rk")
     )
+
+
+promote()

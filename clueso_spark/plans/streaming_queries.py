@@ -82,6 +82,67 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
+    """Size a streaming query's state-partition count to the INPUT,
+    capped by the session's shuffle partitions.
+
+    Spark pins a streaming query's state partitioning to
+    spark.sql.shuffle.partitions at first start. A stream-stream join
+    maintains FOUR state stores per side per partition, so partition
+    count is pure fixed overhead once partitions outnumber state keys:
+    at sf0.1 on local[32], 32 partitions cost 11.5 s where 8 cost 3.6 s
+    for identical output (measured, ROUND13_NOTES). Policy: one state
+    partition per 32 MB of input with a floor of 4 -- small local runs
+    collapse to a handful of stores, while at 100 TB the cap (the
+    session/cluster setting) always wins, which is exactly where the
+    operator should land on a real cluster."""
+    import os
+
+    try:
+        size = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
+    except OSError:
+        size = 0
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(session, (size + (32 << 20) - 1) // (32 << 20)))
+
+
+def run_on_state_sized_session(
+    spark: SparkSession,
+    sf_dir: str,
+    build,
+    sink_name: str,
+) -> DataFrame:
+    """Drain a streaming plan under an input-sized state-partition count
+    without touching the caller's session conf.
+
+    The state partitioning binds to spark.sql.shuffle.partitions at
+    query start (see :func:`stream_state_partitions`), but a
+    set-then-restore of the SESSION-GLOBAL conf would race with any
+    concurrent query on the same SparkSession (a threaded bench or
+    sweep could bind its own shuffles -- or worse, its own streaming
+    state -- to the temporary value). Scope the override to a CLONED
+    session instead: ``spark.newSession()`` shares the SparkContext and
+    table cache but carries separate SQLConf and temp views, so the
+    override cannot leak. ``build(clone)`` must construct the streaming
+    DataFrame against the clone; the memory sink registers in the
+    clone's temp-view namespace and is returned from there."""
+    clone = spark.newSession()
+    clone.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(stream_state_partitions(spark, sf_dir)),
+    )
+    query = (
+        build(clone)
+        .writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return clone.table(sink_name)
+
+
 def _latest_state_fn(key, pdf_iter, state):
     """applyInPandasWithState worker: running last-writer-wins state per
     user (the engine's merge-on-read semantics as TRUE streaming state).
@@ -326,6 +387,18 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "join", "range",
 )
 def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # state partitioning binds at query start; run on a cloned session
+    # with an input-sized count (8.8 s -> ~3.3 s at sf0.1 for identical
+    # output -- pure state-store fixed overhead; ROUND13/14_NOTES)
+    return run_on_state_sized_session(
+        spark,
+        sf_dir,
+        lambda s: _stream_stream_inner_plan(s, sf_dir),
+        "st_stream_stream_join_sink",
+    )
+
+
+def _stream_stream_inner_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def source():
         return events_stream(spark, sf_dir)
 
@@ -349,23 +422,13 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withWatermark("p_ts", "1 hour")
     )
-    joined = clicks.join(
+    return clicks.join(
         purchases,
         (F.col("user_id") == F.col("p_user"))
         & (F.col("p_ts") >= F.col("c_ts"))
         & (F.col("p_ts") < F.col("c_ts") + F.expr("interval 1 hour")),
         "inner",
     ).select("click_id", "purchase_id", "user_id")
-    sink_name = "st_stream_stream_join_sink"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name)
 
 
 @register(

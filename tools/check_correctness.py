@@ -19,7 +19,7 @@ def main() -> int:
         "--staged",
         action="store_true",
         help="also check the current pre-registration tier "
-        "(plans/staged_r13.py; earlier tiers are already live)",
+        "(plans/staged_r15.py; earlier tiers are already live)",
     )
     ap.add_argument("names", nargs="*", help="subset of query names")
     args = ap.parse_args()

@@ -52,10 +52,19 @@ def latest_green_rounds(cap: int | None) -> tuple[dict[str, int], int]:
             # re-schedules it rather than silently marking it fresh.
             # rows-only checks (no oracle) record hash_match=None --
             # those still count when err is empty and rows_match holds.
-            if row.get("err"):
-                continue
-            if row.get("rows_match") is False or row.get("hash_match") is False:
-                continue
+            # Non-dict rows (legacy/malformed artifacts) are treated as
+            # green-by-name, mirroring tests/test_entry.py's
+            # _latest_green_rounds -- the two implementations of the
+            # green-row convention must stay behaviorally identical
+            # (ADVICE r13).
+            if isinstance(row, dict):
+                if row.get("err"):
+                    continue
+                if (
+                    row.get("rows_match") is False
+                    or row.get("hash_match") is False
+                ):
+                    continue
             latest[name] = max(latest.get(name, 0), rnd)
     return latest, max_round
 
