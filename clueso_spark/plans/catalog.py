@@ -131,11 +131,12 @@ QUERY_MODULES = [
 #: coverage, reached in round 13, is preserved).
 #: The 46-name r10 cohort legally defers (3 rounds behind at commit
 #: time, horizon 4) and is pre-ordered immediately after the boundary
-#: as round 15's mandatory head. It contains st_stream_stream_join,
-#: whose CODE changed this round (input-sized streaming state
-#: partitions, output pinned identical by tests/test_streaming.py and
-#: the local sf0.01+sf0.1 oracle gate); its driver re-verification
-#: therefore lands mechanically in round 15's mandatory window
+#: as round 15's mandatory head. It contains the five stateful
+#: streaming queries whose CODE changed this round (input-sized
+#: streaming state partitions via run_on_state_sized_session; output
+#: pinned identical by the streaming pytest suites and the local
+#: sf0.01+sf0.1 oracle gate); their driver re-verification therefore
+#: lands mechanically in round 15's mandatory window
 #: (tests/test_entry.py::CHANGED_AWAITING_REFRESH pins the
 #: obligation). With 245 registered queries the refresh cycle stays
 #: ceil(245/50) = 5 rounds (tests/test_entry.py re-derives the

@@ -1259,22 +1259,28 @@ _TOPK_SALT = 64
     "streaming", "window", "topk",
 )
 def st_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clueso_spark.plans.streaming_queries import events_stream
+    from clueso_spark.plans.streaming_queries import (
+        events_stream,
+        run_on_state_sized_session,
+    )
 
-    stream = events_stream(spark, sf_dir)
-    agg = stream.groupBy(F.window("ts", "1 hour"), "user_id").agg(
-        F.count("*").cast("bigint").alias("n_events")
+    # windowed-count state binds to the shuffle partition count at query
+    # start; input-sized via the cloned session: 3.3 s -> 2.6 s at sf0.1,
+    # identical rows (ROUND14_NOTES). The post-drain two-stage ranking
+    # runs on the state-bounded survivor set, so it inherits the small
+    # conf harmlessly.
+    def plan(s: SparkSession) -> DataFrame:
+        return (
+            events_stream(s, sf_dir)
+            .groupBy(F.window("ts", "1 hour"), "user_id")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+        )
+
+    sunk = run_on_state_sized_session(
+        spark, sf_dir, plan, "st_windowed_topk_sink",
+        output_mode="complete",
     )
-    sink_name = "st_windowed_topk_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    counts = spark.table(sink_name).select(
+    counts = sunk.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),

@@ -111,6 +111,7 @@ def run_on_state_sized_session(
     sf_dir: str,
     build,
     sink_name: str,
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drain a streaming plan under an input-sized state-partition count
     without touching the caller's session conf.
@@ -135,11 +136,14 @@ def run_on_state_sized_session(
         build(clone)
         .writeStream.format("memory")
         .queryName(sink_name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     query.awaitTermination()
+    # post-drain transformations on the returned DataFrame also run
+    # under the clone's input-sized conf -- fine, since anything after
+    # the sink ranks/filters a state-bounded (not corpus-sized) set
     return clone.table(sink_name)
 
 
@@ -241,23 +245,21 @@ def st_stateful_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "dedup",
 )
 def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = events_stream(spark, sf_dir)
-    deduped = (
-        stream.withWatermark("ts", "1 hour")
-        .dropDuplicates(["event_id"])
-        .groupBy("event_type")
-        .agg(F.count("*").cast("bigint").alias("n_unique_events"))
+    # dedup state (one entry per distinct event_id) binds to the shuffle
+    # partition count at query start; input-sized via the cloned
+    # session: 7.8 s -> 2.4 s at sf0.1, identical rows (ROUND14_NOTES)
+    def plan(s: SparkSession) -> DataFrame:
+        return (
+            events_stream(s, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").cast("bigint").alias("n_unique_events"))
+        )
+
+    return run_on_state_sized_session(
+        spark, sf_dir, plan, "st_dedup_replay_sink", output_mode="complete"
     )
-    sink_name = "st_dedup_replay_sink"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name)
 
 
 @register(
@@ -278,25 +280,25 @@ def st_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "window", "aggregate",
 )
 def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the file stream source wants a directory; glob-filter to one table
-    stream = events_stream(spark, sf_dir)
-    agg = (
-        stream.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+    # windowed-agg state (one entry per open window x type) binds to the
+    # shuffle partition count at query start; input-sized via the cloned
+    # session: 2.9 s -> 1.4 s at sf0.1, identical rows (ROUND14_NOTES)
+    def plan(s: SparkSession) -> DataFrame:
+        # the file stream source wants a directory; glob-filter to one table
+        return (
+            events_stream(s, sf_dir)
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("sum_value"),
+            )
         )
+
+    sunk = run_on_state_sized_session(
+        spark, sf_dir, plan, "st_windowed_counts_sink",
+        output_mode="complete",
     )
-    sink_name = "st_windowed_counts_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name).select(
+    return sunk.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "window_start"
         ),
@@ -338,25 +340,25 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming", "window", "sessionize",
 )
 def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stream = events_stream(spark, sf_dir)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_events"),
-            F.sum(dec("value")).cast("double").alias("session_value"),
+    # session-window state (one open session per user) binds to the
+    # shuffle partition count at query start; input-sized via the cloned
+    # session: 3.2 s -> 1.7 s at sf0.1, identical rows (ROUND14_NOTES)
+    def plan(s: SparkSession) -> DataFrame:
+        return (
+            events_stream(s, sf_dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("session_value"),
+            )
         )
+
+    sunk = run_on_state_sized_session(
+        spark, sf_dir, plan, "st_session_windows_sink",
+        output_mode="complete",
     )
-    sink_name = "st_session_windows_sink"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return spark.table(sink_name).select(
+    return sunk.select(
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
             "session_start"
         ),

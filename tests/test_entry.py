@@ -40,10 +40,10 @@ def test_queries_and_oracles_are_consistent(spark):
 
 
 #: round-14 rotation: queries whose CODE changed this round AND occupy
-#: a window slot. None -- the one changed registered query
-#: (st_stream_stream_join, input-sized streaming state partitions)
-#: could not take a slot in a window fully allocated to 47 mandatory
-#: refreshes + 3 promotions; see CHANGED_AWAITING_REFRESH.
+#: a window slot. None -- the changed registered queries (the stateful
+#: streaming tier's input-sized state partitions) could not take slots
+#: in a window fully allocated to 47 mandatory refreshes + 3
+#: promotions; see CHANGED_AWAITING_REFRESH.
 CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
 #: round-14 changed-code obligation: registered queries whose code
@@ -54,10 +54,18 @@ CHANGED_THIS_ROUND: tuple[str, ...] = ()
 #: (test_changed_code_sits_in_next_round_mandatory_head), and the
 #: change is output-preserving: pinned by the full pytest streaming
 #: suite plus this session's local oracle gate at sf0.01 AND sf0.1
-#: (ROUND14_NOTES). st_stream_stream_join's change scopes its
-#: state-partition sizing to a cloned session -- identical rows,
-#: ~2.7x faster at sf0.1 (ROUND13_NOTES measurement, applied here).
-CHANGED_AWAITING_REFRESH = ("st_stream_stream_join",)
+#: (ROUND14_NOTES). All five changes are the SAME one: streaming-state
+#: partition sizing scoped to a cloned session
+#: (run_on_state_sized_session, the ROUND13_NOTES measurement applied
+#: tier-wide) -- identical rows, measured sf0.1 speedups 1.3-3.3x
+#: (ROUND14_NOTES "Stateful-tier state sizing").
+CHANGED_AWAITING_REFRESH = (
+    "st_stream_stream_join",
+    "st_dedup_replay",
+    "st_windowed_counts",
+    "st_session_windows",
+    "st_windowed_topk",
+)
 
 #: round-14 promotions: the former plans/staged_r14.py tier, registered
 #: this round and therefore never driver-verified. The tier was sized
@@ -106,9 +114,9 @@ REFRESH_CYCLE_ROUNDS = 5
 #: stays out. Legal: it is 3 rounds behind at commit time (horizon is
 #: REFRESH_CYCLE_ROUNDS - 1 = 4). These 46 head round 15's window
 #: (its 50 slots leave 4 free; PRIORITY pre-orders them after the
-#: boundary). Includes st_stream_stream_join, whose round-14 code
-#: change re-verifies inside this mandatory cohort
-#: (CHANGED_AWAITING_REFRESH).
+#: boundary). Includes the five stateful streaming queries whose
+#: round-14 code change (input-sized state partitions) re-verifies
+#: inside this mandatory cohort (CHANGED_AWAITING_REFRESH).
 ROTATION_LEFTOVERS = (
     "agg_approx_count_distinct",
     "agg_chi2_independence",
