@@ -90,10 +90,15 @@ HEADLINE = [
     "mm_payload_dedup",
     "mm_resize_fixed",
     "mm_modality_stats",
-    # streaming tier (stateful + windowed)
+    # streaming tier (stateful + windowed). The round-14 additions
+    # (dedup_replay, session_windows, stream_stream_join) perf-track
+    # the input-sized state-partition change from their change round.
     "st_stateful_latest",
     "st_windowed_counts",
     "st_windowed_topk",
+    "st_dedup_replay",
+    "st_session_windows",
+    "st_stream_stream_join",
     # time-series
     "ev_gap_fill_forward",
     "ev_markov_transitions",

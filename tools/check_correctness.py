@@ -34,11 +34,11 @@ def main() -> int:
     if args.staged:
         # promote every still-staged tier (already-registered tiers
         # promote at import and these calls are idempotent no-ops)
-        from clueso_spark.plans.staged_r14 import promote as promote_r14
         from clueso_spark.plans.staged_r15 import promote as promote_r15
+        from clueso_spark.plans.staged_r16 import promote as promote_r16
 
-        promote_r14()
         promote_r15()
+        promote_r16()
 
     def emit(r):
         status = "OK  " if r.ok else "FAIL"
