@@ -141,6 +141,12 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         # bounded; the corpus is touched by broadcast-HASH joins on
         # cell/tenant)
         "sim_filtered_ann",
+        # round-14 promoted tier (formerly test_staged_r14's sanction
+        # list): the similarity tier's standard 5-probe broadcast
+        # against one corpus scan -- K x corpus with a tiny broadcast
+        # side, not an all-pairs square
+        "sim_colbert_maxsim",
+        "sim_rrf_fusion",  # both arms: 5 probes / probe word lists broadcast
     }
     offenders = {}
     for name, cq in registry.items():

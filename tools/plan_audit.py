@@ -99,9 +99,10 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="include the pre-registration tier (plans/staged_r13.py; "
-        "earlier tiers are live); extra budget keys are inert until "
-        "promotion, when the budget gate picks them up automatically",
+        help="include the pre-registration tiers (plans/staged_r15.py, "
+        "staged_r16.py; earlier tiers are live); extra budget keys are "
+        "inert until promotion, when the budget gate picks them up "
+        "automatically",
     )
     args = ap.parse_args()
 
@@ -122,10 +123,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(all_queries())
     if args.staged:
-        from clueso_spark.plans.staged_r13 import STAGED as STAGED_R13
+        from clueso_spark.plans.staged_r15 import STAGED as STAGED_R15
+        from clueso_spark.plans.staged_r16 import STAGED as STAGED_R16
 
-        # earlier tiers (r6/r8/r9/r10/r11/r12) are all live post-promotion
-        registry.update(STAGED_R13)
+        # earlier tiers (r6/r8/../r14) are all live post-promotion
+        registry.update(STAGED_R15)
+        registry.update(STAGED_R16)
     metrics = audit(registry, spark)
 
     hdr = ["query", "scans", "exch", "bhj", "smj", "bnlj", "cart", "wscg", "eager"]

@@ -431,11 +431,10 @@ def main() -> int:
 
     # staged operators are curve-eligible before registration (earlier
     # tiers are no-ops post-promotion, already in all_queries())
-    from clueso_spark.plans.staged_r13 import STAGED as STAGED_R13
-    from clueso_spark.plans.staged_r14 import STAGED as STAGED_R14
     from clueso_spark.plans.staged_r15 import STAGED as STAGED_R15
+    from clueso_spark.plans.staged_r16 import STAGED as STAGED_R16
 
-    registry = {**all_queries(), **STAGED_R13, **STAGED_R14, **STAGED_R15}
+    registry = {**all_queries(), **STAGED_R15, **STAGED_R16}
     results: dict[str, dict[str, float]] = {n: {} for n in names}
     root = tempfile.mkdtemp(prefix="clueso_curve_")
     try:
