@@ -523,7 +523,14 @@ def test_ngram_oracle_domain_guard_tracks_bucket_cap(tmp_path):
     any corpus whose largest sketch bucket exceeds the cap. A planted
     corpus with one 300-doc identical family (one sketch bucket,
     300 > 256) must invalidate the oracle; trimming the family back
-    under the cap must restore it. Checks the per-corpus cache too."""
+    under the cap must restore it. Checks the per-corpus cache too:
+    since the ADVICE r13 fix the cache keys on the parquet's
+    (realpath, mtime_ns, size) fingerprint, so 'dir' and 'dir/' share
+    one entry and an IN-PLACE regeneration at the same path must
+    return the NEW verdict rather than a stale one (a stale True
+    would run a full-fanout oracle against a capped Spark plan)."""
+    import os
+
     import pandas as pd
 
     from clueso_spark.plans.dedup_queries import (
@@ -536,7 +543,7 @@ def test_ngram_oracle_domain_guard_tracks_bucket_cap(tmp_path):
     def corpus(path, family_size):
         texts = ["big family shared words" for _ in range(family_size)]
         texts += [f"unique doc number {i} words" for i in range(5)]
-        path.mkdir()
+        path.mkdir(exist_ok=True)
         pd.DataFrame(
             {
                 "doc_id": list(range(len(texts))),
@@ -548,12 +555,23 @@ def test_ngram_oracle_domain_guard_tracks_bucket_cap(tmp_path):
         ).to_parquet(str(path / "documents.parquet"))
         return str(path)
 
+    def cache_key(sf_dir):
+        p = os.path.realpath(f"{sf_dir}/documents.parquet")
+        stat = os.stat(p)
+        return (p, stat.st_mtime_ns, stat.st_size)
+
     over = corpus(tmp_path / "over", LSH_BUCKET_CAP + 44)
     under = corpus(tmp_path / "under", 10)
     assert not _ngram_bucket_cap_ok(over)
     assert not _ngram_oracle_valid(over)
     assert _ngram_bucket_cap_ok(under)
     assert _ngram_oracle_valid(under)
-    # cached per corpus dir: repeated sweeps pay the sketch once
-    assert _NGRAM_CAP_DOMAIN[over] is False
-    assert _NGRAM_CAP_DOMAIN[under] is True
+    # cached per corpus fingerprint: repeated sweeps pay the sketch
+    # once, and the trailing-slash spelling hits the same entry
+    assert _NGRAM_CAP_DOMAIN[cache_key(over)] is False
+    assert _NGRAM_CAP_DOMAIN[cache_key(under)] is True
+    assert _ngram_bucket_cap_ok(under + "/")
+    # in-place regeneration flips the verdict -- no stale cache read
+    over2 = corpus(tmp_path / "under", LSH_BUCKET_CAP + 44)
+    assert over2 == under
+    assert not _ngram_bucket_cap_ok(under)

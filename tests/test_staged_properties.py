@@ -155,56 +155,3 @@ def test_token_budget_respects_caps(rows):
     budget = sum(r["tok_s"] for r in out) // 2
     assert total_alloc <= budget
 
-
-def test_ngram_oracle_domain_guard_on_planted_corpora(tmp_path):
-    """The ngram-family oracles are valid ONLY while every simhash
-    bucket fits LSH_BUCKET_CAP (above it the Spark side star-expands
-    while the oracle fans out quadratically -- the r13 sf0.1 sweep
-    divergence). Pin the guard's cap logic against planted corpora so
-    a future cap change cannot silently widen the domain: an over-cap
-    corpus (cap+1 identical word sets -> one bucket) must fail the
-    guard, an under-cap one must pass, and regenerating the corpus IN
-    PLACE must invalidate the cached verdict (the ADVICE r13 stale-
-    cache scenario: a stale True would run a full-fanout oracle
-    against a capped plan)."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    from clueso_spark.plans.dedup_queries import (
-        LSH_BUCKET_CAP,
-        _ngram_bucket_cap_ok,
-        _ngram_oracle_valid,
-    )
-
-    def write_docs(d, texts):
-        d.mkdir(exist_ok=True)
-        pq.write_table(
-            pa.table(
-                {
-                    "doc_id": pa.array(
-                        range(len(texts)), type=pa.int64()
-                    ),
-                    "text": pa.array(texts, type=pa.string()),
-                }
-            ),
-            d / "documents.parquet",
-        )
-
-    over = tmp_path / "over"
-    # identical word sets -> identical simhash -> one bucket of cap+1
-    write_docs(over, ["alpha beta gamma"] * (LSH_BUCKET_CAP + 1))
-    assert not _ngram_bucket_cap_ok(str(over))
-    assert not _ngram_oracle_valid(str(over))
-
-    under = tmp_path / "under"
-    # distinct word sets -> singleton buckets, far under the cap
-    write_docs(under, [f"word{k} tail{k}" for k in range(16)])
-    assert _ngram_bucket_cap_ok(str(under))
-    assert _ngram_oracle_valid(str(under))
-    # trailing-slash spelling hits the same normalized cache key
-    assert _ngram_bucket_cap_ok(str(under) + "/")
-
-    # in-place regeneration: the same path flips to over-cap content;
-    # the (path, mtime_ns, size) cache key must return the NEW verdict
-    write_docs(under, ["alpha beta gamma"] * (LSH_BUCKET_CAP + 1))
-    assert not _ngram_bucket_cap_ok(str(under))

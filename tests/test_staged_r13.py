@@ -21,23 +21,18 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 def test_tier_was_sized_to_round13_capacity():
     """The round-12 edition of this test pinned the tier to round
-    13's free window capacity BEFORE promotion; post-promotion, the
-    same arithmetic must reconcile against the committed artifacts:
-    former deferrals + the mandatory r8 refresh cohort + this tier
-    fill the window EXACTLY, so promoting created zero new deferral
-    debt (tests/test_entry.py DEFERRED_PROMOTIONS is empty)."""
-    from tests.test_entry import (
-        DEFERRED_PROMOTIONS,
-        FORMER_DEFERRED,
-        WINDOW,
-        _latest_green_rounds,
-    )
+    13's free window capacity BEFORE promotion; the round-13 edition
+    reconciled the window arithmetic. Round-14 edition (the window
+    has rotated past this tier): the sizing claim is DISCHARGED --
+    every staged name carries a round-13 driver green, which is what
+    correct sizing was for; none was deferred."""
+    from tests.test_entry import _latest_green_rounds
 
     latest, _ = _latest_green_rounds()
-    oldest_round = min(latest.values())
-    oldest = [n for n, r in latest.items() if r == oldest_round]
-    assert len(FORMER_DEFERRED) + len(oldest) + len(STAGED) == WINDOW
-    assert DEFERRED_PROMOTIONS == ()
+    not_green_r13 = sorted(
+        n for n in STAGED if latest.get(n) != 13
+    )
+    assert not_green_r13 == [], not_green_r13
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -78,12 +73,15 @@ def test_staged_plan_shapes(spark):
 def test_promotion_is_live_and_heads_the_window():
     """Round 13 executed the promotion (the inverse of round 12's
     test_staging_is_not_live honesty guard): every formerly-staged
-    name is in the live registry, perf-tracked in bench.py HEADLINE,
-    and holds a round-13 driver window slot (never-driver-verified
-    names may not sit outside the window -- that would strand them).
-    The round-6 lesson: never claim that inclusion before it
-    exists."""
+    name is in the live registry and perf-tracked in bench.py
+    HEADLINE. Round-14 edition (the window has rotated past this
+    tier): no staged name may be STRANDED -- each needs a committed
+    driver green (all four got theirs in round 13) or a current
+    window slot. The round-6 lesson: never claim that inclusion
+    before it exists."""
     import bench
+
+    from tests.test_entry import _latest_green_rounds
 
     from clueso_spark.plans.catalog import all_queries
 
@@ -94,8 +92,9 @@ def test_promotion_is_live_and_heads_the_window():
     assert unbenched == [], unbenched
     names = list(live)
     window = set(names[:50])
-    outside = sorted(set(STAGED) - window)
-    assert outside == [], outside
+    latest, _ = _latest_green_rounds()
+    stranded = sorted(set(STAGED) - window - set(latest))
+    assert stranded == [], stranded
     # promote() stays idempotent after the import-time call
     promote()
     assert len(all_queries()) == len(live)
