@@ -7,12 +7,13 @@ value hash -- against DuckDB oracles at sf0.001 and sf0.01). Round 14
 is already fully planned (47 mandatory r9 refreshes + the 3
 staged_r14 promotions), so this tier targets ROUND 15: its projected
 free capacity is 50 - 46 (the r10 cohort, round 15's mandatory head)
-= 4 slots -- this tier is sized to that projection. The round-14
-session should EXTEND OR TRIM this file against its own rotation
-arithmetic (and the r13 verdict) rather than open a second tier;
-if round-14 ADVICE demands changed-code slots in round 15, defer the
-cheapest names here with a pinned obligation, exactly the round-12
-precedent.
+= 4 slots -- this tier is sized to that projection. Round 14 CONFIRMED
+the arithmetic against its committed window (r10 cohort = 46 names,
+so exactly 4 free slots; tools/rotation_plan.py agrees) and left the
+tier untouched: its round-14 code changes (the stateful-tier state
+sizing) all target r10-cohort names that re-verify inside round 15's
+MANDATORY head, consuming zero free slots
+(tests/test_entry.py::CHANGED_AWAITING_REFRESH).
 
 Four ops, all core training-data-pipeline shapes the catalog does not
 yet carry:
