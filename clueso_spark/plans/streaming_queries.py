@@ -92,10 +92,13 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     count is pure fixed overhead once partitions outnumber state keys:
     at sf0.1 on local[32], 32 partitions cost 11.5 s where 8 cost 3.6 s
     for identical output (measured, ROUND13_NOTES). Policy: one state
-    partition per 32 MB of input with a floor of 4 -- small local runs
-    collapse to a handful of stores, while at 100 TB the cap (the
-    session/cluster setting) always wins, which is exactly where the
-    operator should land on a real cluster."""
+    partition per 32 MB of input, clamped to [4, session setting] with
+    the FLOOR taking precedence when the session setting is below 4
+    (a 1-3-partition session still gets 4 state partitions) -- small
+    local runs collapse to a handful of stores, while at 100 TB the
+    input term exceeds any sane cluster setting, so the cap wins,
+    which is exactly where the operator should land on a real
+    cluster."""
     import os
 
     try:

@@ -307,8 +307,9 @@ def test_changed_code_sits_in_next_round_mandatory_head(spark):
     """A registered query whose code changes must normally take a
     window slot (the driver re-verifies changed code the same round).
     Round 14's window is fully allocated (47 mandatory + 3
-    promotions), so the one changed query is sanctioned OUT of window
-    only under both conditions asserted here: (a) it already sits in
+    promotions), so the five changed queries (the stateful streaming
+    tier) are sanctioned OUT of window only under both conditions
+    asserted here: (a) it already sits in
     the next round's mandatory refresh cohort -- driver
     re-verification lands mechanically in round 15, one round later,
     with no extra slot spent; (b) the change is output-preserving,

@@ -154,4 +154,3 @@ def test_token_budget_respects_caps(rows):
     total_alloc = sum(r["alloc_tokens"] for r in out)
     budget = sum(r["tok_s"] for r in out) // 2
     assert total_alloc <= budget
-

@@ -24,15 +24,15 @@ def test_tier_was_sized_to_round13_capacity():
     13's free window capacity BEFORE promotion; the round-13 edition
     reconciled the window arithmetic. Round-14 edition (the window
     has rotated past this tier): the sizing claim is DISCHARGED --
-    every staged name carries a round-13 driver green, which is what
-    correct sizing was for; none was deferred."""
+    every staged name carries a driver green from round 13 onward,
+    which is what correct sizing was for; none was deferred. (>= 13,
+    not == 13: a later refresh of these names must not fail a
+    terminal claim.)"""
     from tests.test_entry import _latest_green_rounds
 
     latest, _ = _latest_green_rounds()
-    not_green_r13 = sorted(
-        n for n in STAGED if latest.get(n) != 13
-    )
-    assert not_green_r13 == [], not_green_r13
+    not_green = sorted(n for n in STAGED if latest.get(n, 0) < 13)
+    assert not_green == [], not_green
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

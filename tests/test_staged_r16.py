@@ -203,12 +203,40 @@ def test_empty_corpus_returns_not_raises(spark, tmp_path_factory):
     assert STAGED["sim_triplet_mining"].spark(spark, sf).count() == 0
 
 
+def reference_triplets(vecs):
+    """Literal Python model of the DEFINITION: per anchor, positive =
+    (cos desc, vec_id asc) argmax over all other vectors; hard
+    negative = same argmax over candidates with
+    cos <= pos_cos - MARGIN (None when none qualifies). Shares no
+    code with the Spark plan or the DuckDB oracle; the SINGLE copy of
+    the model -- the planted suite here and the hypothesis suite both
+    import it (the r11 duplicate-test lesson)."""
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        na = math.sqrt(sum(x * x for x in vecs[a]))
+        nb = math.sqrt(sum(x * x for x in vecs[b]))
+        return dot / (na * nb)
+
+    out = {}
+    for a in range(_TRIPLET_ANCHORS):
+        scored = [(cos(a, c), c) for c in vecs if c != a]
+        pos_cos, pos_id = max(scored, key=lambda t: (t[0], -t[1]))
+        admissible = [
+            t for t in scored if t[0] <= pos_cos - _TRIPLET_MARGIN
+        ]
+        neg_id = (
+            max(admissible, key=lambda t: (t[0], -t[1]))[1]
+            if admissible
+            else None
+        )
+        out[a] = (pos_id, round(pos_cos, 6), neg_id)
+    return out
+
+
 def test_third_opinion_from_definition(spark):
-    """Literal Python replication of the DEFINITION over the sf0.001
-    corpus: per anchor, positive = (cos desc, vec_id asc) argmax over
-    all other vectors; hard negative = same argmax over candidates
-    with cos <= pos_cos - MARGIN. Written against the raw parquet,
-    sharing no Spark or DuckDB code with the implementations."""
+    """reference_triplets over the raw sf0.001 parquet vs the Spark
+    output, anchor by anchor."""
     import pyarrow.parquet as pq
 
     tab = pq.read_table(
@@ -218,26 +246,7 @@ def test_third_opinion_from_definition(spark):
         int(i): [float(x) for x in v]
         for i, v in zip(tab["vec_id"].to_pylist(), tab["embedding"].to_pylist())
     }
-
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
-        na = math.sqrt(sum(x * x for x in vecs[a]))
-        nb = math.sqrt(sum(x * x for x in vecs[b]))
-        return dot / (na * nb)
-
-    expected = {}
-    for a in range(_TRIPLET_ANCHORS):
-        scored = [(cos(a, c), c) for c in vecs if c != a]
-        pos_cos, pos_id = max(scored, key=lambda t: (t[0], -t[1]))
-        admissible = [
-            t for t in scored if t[0] <= pos_cos - _TRIPLET_MARGIN
-        ]
-        neg_cos, neg_id = (
-            max(admissible, key=lambda t: (t[0], -t[1]))
-            if admissible
-            else (None, None)
-        )
-        expected[a] = (pos_id, round(pos_cos, 6), neg_id)
+    expected = reference_triplets(vecs)
     got = {
         r["anchor_id"]: (r["pos_id"], r["pos_cos"], r["neg_id"])
         for r in STAGED["sim_triplet_mining"].spark(spark, SF_DIRS[0]).collect()

@@ -11,7 +11,6 @@ example writes a parquet corpus and runs two Spark scans.
 
 from __future__ import annotations
 
-import math
 import tempfile
 
 import pyarrow as pa
@@ -19,11 +18,8 @@ import pyarrow.parquet as pq
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from clueso_spark.plans.staged_r16 import (
-    _TRIPLET_ANCHORS,
-    _TRIPLET_MARGIN,
-    STAGED,
-)
+from clueso_spark.plans.staged_r16 import _TRIPLET_ANCHORS, STAGED
+from tests.test_staged_r16 import reference_triplets
 
 #: corpora of >= anchors+2 vectors on a tiny 3-d integer grid
 #: (components 0..2, never all-zero): few distinct directions, so
@@ -36,32 +32,6 @@ _vec_strategy = st.lists(
     min_size=_TRIPLET_ANCHORS + 2,
     max_size=_TRIPLET_ANCHORS + 8,
 )
-
-
-def _reference_triplets(vecs):
-    """Literal Python model of the definition (independent of both the
-    Spark plan and the DuckDB oracle)."""
-
-    def cos(a, b):
-        dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
-        na = math.sqrt(sum(x * x for x in vecs[a]))
-        nb = math.sqrt(sum(x * x for x in vecs[b]))
-        return dot / (na * nb)
-
-    out = {}
-    for a in range(_TRIPLET_ANCHORS):
-        scored = [(cos(a, c), c) for c in range(len(vecs)) if c != a]
-        pos_cos, pos_id = max(scored, key=lambda t: (t[0], -t[1]))
-        admissible = [
-            t for t in scored if t[0] <= pos_cos - _TRIPLET_MARGIN
-        ]
-        neg_id = (
-            max(admissible, key=lambda t: (t[0], -t[1]))[1]
-            if admissible
-            else None
-        )
-        out[a] = (pos_id, neg_id)
-    return out
 
 
 @given(_vec_strategy)
@@ -85,7 +55,10 @@ def test_triplets_match_literal_model(spark, vecs):
         r["anchor_id"]: (r["pos_id"], r["neg_id"])
         for r in STAGED["sim_triplet_mining"].spark(spark, sf_dir).collect()
     }
-    expected = _reference_triplets(
-        {i: list(map(float, v)) for i, v in enumerate(vecs)}
-    )
+    expected = {
+        a: (p, n)
+        for a, (p, _cos, n) in reference_triplets(
+            {i: list(map(float, v)) for i, v in enumerate(vecs)}
+        ).items()
+    }
     assert got == expected

@@ -18,8 +18,9 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="also check the current pre-registration tier "
-        "(plans/staged_r15.py; earlier tiers are already live)",
+        help="also check the pre-registration tiers "
+        "(plans/staged_r15.py + staged_r16.py; earlier tiers are "
+        "already live)",
     )
     ap.add_argument("names", nargs="*", help="subset of query names")
     args = ap.parse_args()
