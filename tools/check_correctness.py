@@ -43,8 +43,11 @@ def main() -> int:
 
     def emit(r):
         status = "OK  " if r.ok else "FAIL"
+        # show EVERY weaker-than-hash detail on green rows too:
+        # "oracle-out-of-domain" (domain-guarded) previously printed as
+        # a plain OK rows=n/n, indistinguishable from a hash match
         extra = f" {r.detail}" if (r.detail and not r.ok) else (
-            " (rows-only)" if r.detail == "rows-only" else ""
+            f" ({r.detail})" if r.detail else ""
         )
         print(
             f"{status} {r.name:35s} rows={r.rows_spark}/{r.rows_oracle}{extra}",
