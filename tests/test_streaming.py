@@ -114,3 +114,29 @@ def test_kafka_source_options_reference_parity():
         "failOnDataLoss": "false",
     }
     assert kafka_source_options("b", "t", "latest")["startingOffsets"] == "latest"
+
+
+def test_state_sized_runs_never_touch_the_callers_session_conf(spark):
+    """The ADVICE r13 race, pinned as an invariant: the input-sized
+    state-partition override must be invisible to the caller's
+    session. Before the cloned-session fix, every stateful catalog
+    query set-then-restored spark.sql.shuffle.partitions on the
+    SHARED session -- a concurrent query could bind its shuffles (or
+    its own streaming state) to the temporary value. Run the whole
+    changed tier and assert the caller's conf never moves."""
+    from clueso_spark.plans.catalog import REGISTRY, all_queries
+
+    all_queries()
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "st_stream_stream_join",
+        "st_stream_stream_outer_join",
+        "st_dedup_replay",
+        "st_windowed_counts",
+        "st_session_windows",
+        "st_windowed_topk",
+    ):
+        assert REGISTRY[name].spark(spark, sf).count() >= 0, name
+        assert spark.conf.get(key) == before, name
