@@ -105,100 +105,51 @@ QUERY_MODULES = [
     # mandatory r9 refreshes), so all 3 sit in the round-14 window --
     # zero new deferral debt.
     "clueso_spark.plans.staged_r14",
+    # round 15: the round-13-staged second tier is promoted the same
+    # way (4 queries; registry 245 -> 249, refresh cycle stays
+    # ceil(249/50) = 5). The tier was sized to round 15's exact free
+    # capacity (50 - 46 mandatory r10 refreshes), so all 4 sit in the
+    # round-15 window -- zero new deferral debt.
+    "clueso_spark.plans.staged_r15",
 ]
 
 #: Explicit verification priority. The driver's CORRECTNESS gate covers a
 #: bounded prefix of the registry (50 queries per round), so ordering is
-#: part of the contract. Round-14 rotation, executing the standing policy
+#: part of the contract. Round-15 rotation, executing the standing policy
 #: ("promote (a) never-driver-verified names, (b) anything whose code
 #: changed, then (c) the entries whose last driver row is OLDEST,
 #: demoting the freshest greens"):
-#: (1) the 47 r9-green queries round 13 documented as
-#: ROTATION_LEFTOVERS -- they sit exactly AT the round-14 freshness
-#: horizon (r9 green, horizon r14-4 = 10 after this round lands) and
+#: (1) the 46 r10-green queries round 14 documented as
+#: ROTATION_LEFTOVERS -- they sit exactly AT the round-15 freshness
+#: horizon (r10 green, horizon r15-4 = 11 after this round lands) and
 #: are the MANDATORY refresh cohort (tools/rotation_plan.py derives
-#: the same set mechanically);
-#: (2) the 3 promoted staged_r14 queries -- registered this round, so
+#: the same set mechanically). This head also discharges the round-14
+#: CHANGED_AWAITING_REFRESH obligation: the five stateful streaming
+#: queries whose code changed in round 14 (input-sized state
+#: partitions) all sit in this cohort, so the driver re-verifies the
+#: changed code here without a promotion slot spent;
+#: (2) the 4 promoted staged_r15 queries -- registered this round, so
 #: never driver-verified; pytest-proven against their DuckDB oracles
-#: at sf0.001 + sf0.01 (tests/test_staged_r14.py) but the driver row
+#: at sf0.001 + sf0.01 (tests/test_staged_r15.py) but the driver row
 #: is the claim that counts -- heavier-first by the pre-promotion
 #: best-of-2 sf0.1 timing run RECORDED IN ROUND13_NOTES
-#: ("Pre-promotion staged-op timing run": outer join 3.49 s, ColBERT
-#: MaxSim 1.96 s, RRF fusion 1.78 s); later full-bench runs reorder
-#: neighbors within noise, the recorded run is the contract.
-#: Window math: 47 + 3 = 50 -- zero pure-refresh slots and ZERO new
+#: ("Pre-promotion staged-op timing run": randomwalk corpus 7.39 s,
+#: BPE merge steps 4.97 s, vocab coverage 0.53 s, lateness audit
+#: 0.49 s); later full-bench runs reorder neighbors within noise, the
+#: recorded run is the contract.
+#: Window math: 46 + 4 = 50 -- zero pure-refresh slots and ZERO new
 #: deferrals (DEFERRED_PROMOTIONS stays empty; full-catalog driver
 #: coverage, reached in round 13, is preserved).
-#: The 46-name r10 cohort legally defers (3 rounds behind at commit
-#: time, horizon 4) and is pre-ordered immediately after the boundary
-#: as round 15's mandatory head. It contains the five stateful
-#: streaming queries whose CODE changed this round (input-sized
-#: streaming state partitions via run_on_state_sized_session; output
-#: pinned identical by the streaming pytest suites and the local
-#: sf0.01+sf0.1 oracle gate); their driver re-verification therefore
-#: lands mechanically in round 15's mandatory window
-#: (tests/test_entry.py::CHANGED_AWAITING_REFRESH pins the
-#: obligation). With 245 registered queries the refresh cycle stays
-#: ceil(245/50) = 5 rounds (tests/test_entry.py re-derives the
-#: constant from the live registry).
+#: The 49-name r11 cohort legally defers (4 rounds behind at commit
+#: time is the horizon; it sits 4 behind AFTER this round lands, i.e.
+#: exactly AT the horizon) and is pre-ordered immediately after the
+#: boundary as round 16's mandatory head. With 249 registered queries
+#: the refresh cycle stays ceil(249/50) = 5 rounds
+#: (tests/test_entry.py re-derives the constant from the live
+#: registry).
 PRIORITY = [
-    # (1) the 47 r9 greens AT the freshness horizon -- mandatory
-    "agg_exact_moments",
-    "agg_exact_quantiles",
-    "agg_gini_concentration",
-    "agg_ols_trend",
-    "agg_weighted_median",
-    "dedup_incremental_minhash",
-    "ev_activity_streaks",
-    "ev_cusum_changepoint",
-    "ev_dau_wau_stickiness",
-    "ev_latest_state",
-    "ev_scd2_intervals",
-    "ev_time_weighted_value",
-    "ev_window_funnel",
-    "graph_khop_reach",
-    "join_anti_no_urgent_orders",
-    "join_full_outer_nation_profile",
-    "join_inner_big_orders",
-    "join_semi_urgent_customers",
-    "mm_payload_dedup",
-    "pipeline_importance_sample",
-    "pipeline_quality_audit",
-    "q12_priority_shipmode",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "scalar_date_functions",
-    "scalar_function_showcase",
-    "scalar_null_semantics",
-    "setop_except_urgent_only",
-    "setop_intersect_all_multiset",
-    "setop_intersect_buyers",
-    "setop_union_schema_aligned",
-    "sim_bruteforce_topk",
-    "sim_ivf_nprobe_curve",
-    "sim_ivfpq_ann",
-    "sim_ivfpq_rerank",
-    "sim_knn_join",
-    "sim_range_search",
-    "sim_source_jaccard_bottomk",
-    "st_static_enrichment",
-    "subquery_above_avg",
-    "subquery_exists_not_exists",
-    "txt_bm25_topk",
-    "window_cume_percent_rank",
-    "window_lag_reorder_gap",
-    "window_ntile_quartiles",
-    "window_rank_top_balances",
-    # (2) promoted this round -- never driver-verified; heavier-first
-    # by measured sf0.1 time (best-of-2, quiet box; ROUND13_NOTES)
-    "st_stream_stream_outer_join",
-    "sim_colbert_maxsim",
-    "sim_rrf_fusion",
-    # --- window boundary (50) ----------------------------------------
-    # round-15 head: the 46 r10 greens (the cohort AT the horizon next
-    # round, including the changed-code st_stream_stream_join), then
-    # the remainder in registration order
+    # (1) the 46 r10 greens AT the freshness horizon -- mandatory
+    # (includes the five round-14 changed-code stateful queries)
     "agg_approx_count_distinct",
     "agg_chi2_independence",
     "agg_hll_partial_merge",
@@ -245,6 +196,64 @@ PRIORITY = [
     "txt_gopher_quality_rules",
     "txt_quality_classifier_proxy",
     "window_nth_value_frames",
+    # (2) promoted this round -- never driver-verified; heavier-first
+    # by measured sf0.1 time (best-of-2, quiet box; ROUND13_NOTES)
+    "graph_randomwalk_corpus",
+    "txt_bpe_merge_steps",
+    "txt_vocab_coverage_oov",
+    "ev_lateness_audit",
+    # --- window boundary (50) ----------------------------------------
+    # round-16 head: the 49 r11 greens (the cohort AT the horizon next
+    # round), then the remainder in registration order
+    "agg_equidepth_histogram",
+    "agg_kmv_distinct",
+    "agg_mann_whitney",
+    "agg_pivot_shipmode",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_semantic",
+    "dedup_threshold_curve",
+    "dedup_winnowing",
+    "ev_cumulative_distinct_users",
+    "ev_ewma_smoothed",
+    "ev_result_projection",
+    "ev_rfm_segmentation",
+    "ev_sweepline_active_intervals",
+    "ev_top_paths",
+    "ev_user_value_anomalies",
+    "graph_katz_centrality",
+    "graph_label_propagation",
+    "graph_pagerank_copurchase",
+    "graph_shortest_paths",
+    "graph_triangle_count",
+    "mm_cdc_chunking",
+    "mm_cdc_dedup",
+    "mm_phash_hamming_dedup",
+    "pipeline_contamination_check",
+    "pipeline_curated_corpus",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_pretraining_funnel",
+    "sim_sq_int8_ann",
+    "st_stateful_latest",
+    "txt_bigram_perplexity",
+    "txt_char_entropy",
+    "txt_cms_heavy_hitters",
+    "txt_cooccurrence_pmi",
+    "txt_lang_stats",
+    "txt_langid_heuristic",
+    "txt_lexical_diversity",
+    "txt_quality_score",
+    "txt_rake_keywords",
+    "txt_tf_df_top_terms",
+    "txt_token_stats",
+    "txt_top_bigrams",
+    "txt_zipf_slope",
+    "window_rolling_median",
 ]
 
 

@@ -1,19 +1,16 @@
-"""Operators STAGED in round 13 for promotion in round 15.
+"""Operators staged in round 13, PROMOTED in round 15.
 
-Same life-cycle as staged_r6 .. staged_r14: ship now as library code
-with full pytest parity coverage (tests/test_staged_r15.py runs the
-exact driver comparison -- row count + schema + order-insensitive
-value hash -- against DuckDB oracles at sf0.001 and sf0.01). Round 14
-is already fully planned (47 mandatory r9 refreshes + the 3
-staged_r14 promotions), so this tier targets ROUND 15: its projected
-free capacity is 50 - 46 (the r10 cohort, round 15's mandatory head)
-= 4 slots -- this tier is sized to that projection. Round 14 CONFIRMED
-the arithmetic against its committed window (r10 cohort = 46 names,
-so exactly 4 free slots; tools/rotation_plan.py agrees) and left the
-tier untouched: its round-14 code changes (the stateful-tier state
-sizing) all target r10-cohort names that re-verify inside round 15's
-MANDATORY head, consuming zero free slots
-(tests/test_entry.py::CHANGED_AWAITING_REFRESH).
+Same life-cycle as staged_r6 .. staged_r14 (all promoted): shipped in
+round 13 as library code with full pytest parity coverage
+(tests/test_staged_r15.py runs the exact driver comparison -- row
+count + schema + order-insensitive value hash -- against DuckDB
+oracles at sf0.001 and sf0.01) because rounds 13 and 14 had fully
+allocated windows. Round 15's window arithmetic (tests/test_entry.py,
+tools/rotation_plan.py): the 46-name r10 ROTATION_LEFTOVERS cohort is
+mandatory, leaving exactly FOUR free slots -- this tier was sized to
+that projection in round 13 and the arithmetic held, so all four
+names promote without creating new deferral debt (registry
+245 -> 249).
 
 Four ops, all core training-data-pipeline shapes the catalog does not
 yet carry:
@@ -82,11 +79,10 @@ def _stage(
 def promote() -> None:
     """Move every staged query into the live registry (idempotent).
 
-    NOT yet executed: this module is deliberately absent from
-    catalog.QUERY_MODULES until round 15 opens its driver window --
-    staging keeps ``__spark_entry__.queries()`` an honest list of
-    driver-verifiable claims (the life-cycle staged_r6..r14 all ran
-    through)."""
+    EXECUTED at import time since round 15 (the module-level call
+    below, mirroring staged_r6..r14): the module is listed in
+    catalog.QUERY_MODULES, so ``__spark_entry__.queries()`` carries
+    all four names and the round-15 driver window verifies them."""
     from clueso_spark.plans.catalog import REGISTRY
 
     for name, cq in STAGED.items():
@@ -593,3 +589,6 @@ def graph_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+promote()

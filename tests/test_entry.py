@@ -39,50 +39,42 @@ def test_queries_and_oracles_are_consistent(spark):
         assert isinstance(sql, str) and "select" in sql.lower(), name
 
 
-#: round-14 rotation: queries whose CODE changed this round AND occupy
-#: a window slot. None -- the changed registered queries (the stateful
-#: streaming tier's input-sized state partitions) could not take slots
-#: in a window fully allocated to 47 mandatory refreshes + 3
-#: promotions; see CHANGED_AWAITING_REFRESH.
+#: round-15 rotation: queries whose CODE changed this round AND occupy
+#: a window slot. None beyond cohort membership -- the round-15 code
+#: changes (the ADVICE fixes to run_on_state_sized_session /
+#: stream_state_partitions) touch only the five stateful streaming
+#: queries, all of which ALREADY sit in this round's mandatory r10
+#: refresh head, so the driver re-verifies the changed code in-window
+#: without extra slots (the clean case the round-14 handoff named).
 CHANGED_THIS_ROUND: tuple[str, ...] = ()
 
-#: round-14 changed-code obligation: registered queries whose code
-#: changed this round WITHOUT an in-window slot. Sanctioned only
-#: because each name already sits in the NEXT round's mandatory
-#: refresh cohort (ROTATION_LEFTOVERS), so driver re-verification
-#: lands mechanically one round later
-#: (test_changed_code_sits_in_next_round_mandatory_head), and the
-#: change is output-preserving: pinned by the full pytest streaming
-#: suite plus this session's local oracle gate at sf0.01 AND sf0.1
-#: (ROUND14_NOTES). All five changes are the SAME one: streaming-state
-#: partition sizing scoped to a cloned session
-#: (run_on_state_sized_session, the ROUND13_NOTES measurement applied
-#: tier-wide) -- identical rows, measured sf0.1 speedups 1.3-3.3x
-#: (ROUND14_NOTES "Stateful-tier state sizing").
-CHANGED_AWAITING_REFRESH = (
-    "st_stream_stream_join",
-    "st_dedup_replay",
-    "st_windowed_counts",
-    "st_session_windows",
-    "st_windowed_topk",
-)
+#: round-15 changed-code obligation: EMPTY -- the round-14 obligation
+#: (the five stateful queries changed without a slot) is DISCHARGED by
+#: this window: all five sit in the mandatory r10 refresh head above,
+#: so CORRECTNESS_r15 carries their post-change driver rows. The
+#: mechanism (a changed-without-slot name must sit in the next round's
+#: mandatory cohort) stays pinned by
+#: test_changed_code_sits_in_next_round_mandatory_head for any future
+#: entry.
+CHANGED_AWAITING_REFRESH: tuple[str, ...] = ()
 
-#: round-14 promotions: the former plans/staged_r14.py tier, registered
+#: round-15 promotions: the former plans/staged_r15.py tier, registered
 #: this round and therefore never driver-verified. The tier was sized
-#: (3 ops) to the round-14 window's free capacity, so ALL of them fit:
+#: (4 ops) to the round-15 window's free capacity, so ALL of them fit:
 #: zero new deferral debt.
 PROMOTED_THIS_ROUND = (
-    "st_stream_stream_outer_join",
-    "sim_colbert_maxsim",
-    "sim_rrf_fusion",
+    "graph_randomwalk_corpus",
+    "txt_bpe_merge_steps",
+    "txt_vocab_coverage_oov",
+    "ev_lateness_audit",
 )
 
-#: round-13 carried no deferrals into round 14 (its window discharged
+#: round-14 carried no deferrals into round 15 (its window discharged
 #: everything), so nothing heads this window by prior obligation.
 FORMER_DEFERRED: tuple[str, ...] = ()
 
-#: round-14 deferral obligation: EMPTY. Window math 47 (r9 leftovers)
-#: + 3 (promotions) = 50 exactly; full-catalog driver coverage
+#: round-15 deferral obligation: EMPTY. Window math 46 (r10 leftovers)
+#: + 4 (promotions) = 50 exactly; full-catalog driver coverage
 #: (reached in round 13) is preserved.
 DEFERRED_PROMOTIONS: tuple[str, ...] = ()
 
@@ -94,76 +86,77 @@ DEFERRED_PROMOTIONS: tuple[str, ...] = ()
 #: tests computed max_round from the live filesystem and therefore
 #: failed by construction the moment the driver ran. Bump this when
 #: flipping the window each round.
-COMMITTED_ROUND = 13
+COMMITTED_ROUND = 14
 
 #: The driver verifies this many queries per round (a prefix of
 #: catalog.PRIORITY order).
 WINDOW = 50
 
-#: Full-registry refresh cycle length in rounds. With 245 registered
+#: Full-registry refresh cycle length in rounds. With 249 registered
 #: queries and a 50-slot window, every query can be re-verified at most
-#: once per ceil(245/50) = 5 rounds, so the freshness invariant below
+#: once per ceil(249/50) = 5 rounds, so the freshness invariant below
 #: allows an out-of-window green to be up to REFRESH_CYCLE_ROUNDS - 1
 #: rounds behind the newest committed artifact.
 #: test_refresh_cycle_matches_registry_size re-derives this from the
 #: live registry size rather than trusting the comment.
 REFRESH_CYCLE_ROUNDS = 5
 
-#: the 46 r10 greens: with 47 mandatory r9 leftovers + 3 promotions,
-#: round 14 has ZERO pure-refresh slots, so the entire r10 cohort
+#: the 49 r11 greens: with 46 mandatory r10 leftovers + 4 promotions,
+#: round 15 has ZERO pure-refresh slots, so the entire r11 cohort
 #: stays out. Legal: it is 3 rounds behind at commit time (horizon is
-#: REFRESH_CYCLE_ROUNDS - 1 = 4). These 46 head round 15's window
-#: (its 50 slots leave 4 free; PRIORITY pre-orders them after the
-#: boundary). Includes the five stateful streaming queries whose
-#: round-14 code change (input-sized state partitions) re-verifies
-#: inside this mandatory cohort (CHANGED_AWAITING_REFRESH).
+#: REFRESH_CYCLE_ROUNDS - 1 = 4). These 49 head round 16's window
+#: (its 50 slots leave 1 free -- exactly the staged_r16 tier's size;
+#: PRIORITY pre-orders them after the boundary).
 ROTATION_LEFTOVERS = (
-    "agg_approx_count_distinct",
-    "agg_chi2_independence",
-    "agg_hll_partial_merge",
-    "agg_ks_two_sample",
-    "agg_mode_exact",
-    "agg_welch_ttest",
-    "ev_asof_last_purchase",
-    "ev_bounce_rate_sessions",
-    "ev_funnel_conversion",
-    "ev_funnel_time_percentiles",
-    "ev_gap_fill_forward",
-    "ev_inter_event_histogram",
-    "ev_lorenz_power_users",
-    "ev_retention_cohorts",
-    "ev_sessionize",
-    "ev_skew_salted_agg",
-    "graph_node_similarity",
-    "join_lateral_top2_per_order",
-    "mm_fixed_shape_features",
-    "mm_frame_sample",
-    "pipeline_ccnet_buckets",
-    "pipeline_dedup_keep_best",
-    "pipeline_doc_chunking",
-    "pipeline_length_filter_curve",
-    "pipeline_token_budget_mix",
-    "pipeline_train_test_split",
-    "profile_lineitem",
-    "q15_top_supplier",
-    "q22_global_sales_opportunity",
-    "setop_except_all_multiset",
-    "sim_ann_recall_at_k",
-    "sim_ivf_cells",
-    "sim_ivf_kmeans_ann",
-    "sim_kmeans_lloyd",
-    "sim_pq_codes",
-    "sim_residual_norms",
-    "sort_limit_top_orders",
-    "st_dedup_replay",
-    "st_session_windows",
-    "st_stream_stream_join",
-    "st_windowed_counts",
-    "st_windowed_topk",
-    "subquery_correlated_scalar",
-    "txt_gopher_quality_rules",
-    "txt_quality_classifier_proxy",
-    "window_nth_value_frames",
+    "agg_equidepth_histogram",
+    "agg_kmv_distinct",
+    "agg_mann_whitney",
+    "agg_pivot_shipmode",
+    "dedup_connected_components",
+    "dedup_containment",
+    "dedup_embedding_cosine",
+    "dedup_exact_substring",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_semantic",
+    "dedup_threshold_curve",
+    "dedup_winnowing",
+    "ev_cumulative_distinct_users",
+    "ev_ewma_smoothed",
+    "ev_result_projection",
+    "ev_rfm_segmentation",
+    "ev_sweepline_active_intervals",
+    "ev_top_paths",
+    "ev_user_value_anomalies",
+    "graph_katz_centrality",
+    "graph_label_propagation",
+    "graph_pagerank_copurchase",
+    "graph_shortest_paths",
+    "graph_triangle_count",
+    "mm_cdc_chunking",
+    "mm_cdc_dedup",
+    "mm_phash_hamming_dedup",
+    "pipeline_contamination_check",
+    "pipeline_curated_corpus",
+    "pipeline_dedup_cluster_stats",
+    "pipeline_pretraining_funnel",
+    "sim_sq_int8_ann",
+    "st_stateful_latest",
+    "txt_bigram_perplexity",
+    "txt_char_entropy",
+    "txt_cms_heavy_hitters",
+    "txt_cooccurrence_pmi",
+    "txt_lang_stats",
+    "txt_langid_heuristic",
+    "txt_lexical_diversity",
+    "txt_quality_score",
+    "txt_rake_keywords",
+    "txt_tf_df_top_terms",
+    "txt_token_stats",
+    "txt_top_bigrams",
+    "txt_zipf_slope",
+    "window_rolling_median",
 )
 
 
@@ -196,6 +189,17 @@ def _latest_green_rounds(
             # silently refresh a query's cohort. The sole non-green
             # row ever committed is r2's `no_oracle` placeholder for
             # agg_approx_count_distinct (green from r3 onward).
+            # Non-dict rows stay green-by-name for behavioral parity
+            # with tools/rotation_plan.py, but warn (ADVICE r14): a
+            # corrupted artifact row must not pass invisibly.
+            if not isinstance(row, dict):
+                import warnings
+
+                warnings.warn(
+                    f"non-dict CORRECTNESS row for {name!r} in "
+                    f"{os.path.basename(path)} counted green-by-name",
+                    stacklevel=2,
+                )
             if isinstance(row, dict):
                 if row.get("err"):
                     continue
@@ -224,20 +228,64 @@ def test_refresh_cycle_matches_registry_size(spark):
     )
 
 
-def test_round14_rotation_window(spark):
+#: Post-250 steady-state policy (decided round 15, lands round 16; see
+#: ROUND15_NOTES "Post-250 steady-state policy"): the catalog is
+#: COMPLETE-BY-POLICY at 250 = REFRESH_CYCLE_ROUNDS x WINDOW -- the
+#: largest registry at which every query still re-verifies within the
+#: documented 5-round freshness horizon. From round 17 onward every
+#: driver window is one full cohort refresh with ZERO promotion
+#: capacity, so any future registration must be a one-out-one-in
+#: EXCHANGE: retire a query (preferred candidates: overlapping
+#: curve/debug variants, e.g. dedup_ngram_jaccard_pairs as
+#: dedup_ngram_jaccard's debug view, sim_ivf_nprobe_curve /
+#: dedup_threshold_curve as parameter sweeps of their parent ops)
+#: in the SAME commit that registers the replacement, keeping the
+#: registry AT the ceiling and the new name inside that round's
+#: window. Growing the ceiling itself requires widening the window or
+#: lengthening the cycle -- a driver-contract change, not a repo-side
+#: decision.
+REGISTRY_CEILING = 250
+
+
+def test_registry_respects_steady_state_ceiling(spark):
+    """The pinned encoding of the post-250 policy: registry size never
+    exceeds the ceiling (249 now; exactly 250 after the staged_r16
+    promotion -- test_tier_is_sized_to_round16_projection pins that
+    endpoint), and the ceiling itself is exactly cycle x window, so
+    every registered query keeps a re-verification slot within the
+    documented horizon. A registration that would cross the ceiling
+    must retire a query in the same commit (the exchange rule above)
+    or fail here loudly."""
+    import math
+
+    n = len(entrymod.queries())
+    assert REGISTRY_CEILING == REFRESH_CYCLE_ROUNDS * WINDOW
+    assert n <= REGISTRY_CEILING, (
+        f"registry {n} exceeds the steady-state ceiling "
+        f"{REGISTRY_CEILING}: retire a query in the same commit "
+        f"(one-out-one-in) or widen the driver window"
+    )
+    # the ceiling is the LARGEST size consistent with the freshness
+    # horizon: one more query would push the cycle past 5 rounds
+    assert math.ceil((REGISTRY_CEILING + 1) / WINDOW) > REFRESH_CYCLE_ROUNDS
+
+
+def test_round15_rotation_window(spark):
     """The driver's CORRECTNESS gate covers a bounded prefix (WINDOW
-    per round). Round-14 contract, asserted mechanically and
-    COMPLETELY: the OLDEST cohort (the 47 r9 greens round 13
+    per round). Round-15 contract, asserted mechanically and
+    COMPLETELY: the OLDEST cohort (the 46 r10 greens round 14
     documented as its leftovers -- this round's MANDATORY head, now
-    exactly AT the freshness horizon) is entirely inside the window;
-    the 3 round-14 promotions fill the rest exactly (47 + 3 = 50,
-    zero changed names in-window); the SECOND-oldest cohort (r10, 46
-    names -- larger than the ZERO remaining refresh slots) is
-    entirely deferred and partitions exactly onto the documented
-    ROTATION_LEFTOVERS. Deferring r10 names is legal only because
-    they sit 3 rounds behind with a 4-round horizon
-    (test_no_query_outside_window_has_stale_green is the mechanical
-    guard); they head round 15's window
+    exactly AT the freshness horizon; it contains the five stateful
+    queries whose round-14 code change re-verifies here, discharging
+    CHANGED_AWAITING_REFRESH) is entirely inside the window; the 4
+    round-15 promotions fill the rest exactly (46 + 4 = 50, zero
+    changed names in-window beyond cohort membership); the
+    SECOND-oldest cohort (r11, 49 names -- larger than the ZERO
+    remaining refresh slots) is entirely deferred and partitions
+    exactly onto the documented ROTATION_LEFTOVERS. Deferring r11
+    names is legal only because they sit 3 rounds behind with a
+    4-round horizon (test_no_query_outside_window_has_stale_green is
+    the mechanical guard); they head round 16's window
     (test_deferred_promotions_head_next_round_window pins the
     pre-order)."""
     names = list(entrymod.queries())[:WINDOW]
@@ -248,19 +296,19 @@ def test_round14_rotation_window(spark):
     latest, _ = _latest_green_rounds()
     rounds = sorted(set(latest.values()))
     oldest = {q for q, r in latest.items() if r == rounds[0]}
-    # round 13's documented leftovers ARE the oldest cohort; every one
+    # round 14's documented leftovers ARE the oldest cohort; every one
     # of them must occupy a window slot this round
     missing_head = sorted(oldest - set(names))
     assert not missing_head, (
         f"r{rounds[0]}-green mandatory head names not in the window: "
         f"{missing_head}"
     )
-    # window arithmetic: 47 oldest + 3 promotions = 50, and the
+    # window arithmetic: 46 oldest + 4 promotions = 50, and the
     # cohorts are disjoint by construction
     assert len(oldest) + len(FORMER_DEFERRED) + len(
         PROMOTED_THIS_ROUND
     ) + len(CHANGED_THIS_ROUND) == WINDOW
-    # the r10 cohort partitions exactly onto the documented leftovers
+    # the r11 cohort partitions exactly onto the documented leftovers
     second = {q for q, r in latest.items() if r == rounds[1]}
     assert second == set(ROTATION_LEFTOVERS), (
         sorted(second ^ set(ROTATION_LEFTOVERS))
@@ -282,11 +330,11 @@ def test_round14_rotation_window(spark):
 
 
 def test_deferred_promotions_head_next_round_window(spark):
-    """Round 14 carries NO deferral debt (DEFERRED_PROMOTIONS is
-    empty -- the 3-op staged tier was sized to the window's free
+    """Round 15 carries NO deferral debt (DEFERRED_PROMOTIONS is
+    empty -- the 4-op staged tier was sized to the window's free
     capacity), so the only next-round obligation is the refresh
-    pre-order: PRIORITY slots WINDOW..WINDOW+45 are exactly the 46
-    r10-green ROTATION_LEFTOVERS, round 15's mandatory head."""
+    pre-order: PRIORITY slots WINDOW..WINDOW+48 are exactly the 49
+    r11-green ROTATION_LEFTOVERS, round 16's mandatory head."""
     names = list(entrymod.queries())
     assert not DEFERRED_PROMOTIONS
     assert not FORMER_DEFERRED
@@ -306,15 +354,16 @@ def test_deferred_promotions_head_next_round_window(spark):
 def test_changed_code_sits_in_next_round_mandatory_head(spark):
     """A registered query whose code changes must normally take a
     window slot (the driver re-verifies changed code the same round).
-    Round 14's window is fully allocated (47 mandatory + 3
-    promotions), so the five changed queries (the stateful streaming
-    tier) are sanctioned OUT of window only under both conditions
-    asserted here: (a) it already sits in
-    the next round's mandatory refresh cohort -- driver
-    re-verification lands mechanically in round 15, one round later,
-    with no extra slot spent; (b) the change is output-preserving,
-    pinned by the streaming pytest suite (same oracle, same rows) and
-    this session's local sf0.01 + sf0.1 oracle runs (ROUND14_NOTES)."""
+    A change WITHOUT a slot is sanctioned only under both conditions
+    asserted here: (a) the name already sits in the next round's
+    mandatory refresh cohort -- driver re-verification lands
+    mechanically one round later with no extra slot spent; (b) the
+    change is output-preserving, pinned by pytest + the local oracle
+    gate. Round 15: the set is EMPTY -- round 14's five-name
+    obligation is discharged by this window's mandatory r10 head
+    (all five stateful queries re-verify in CORRECTNESS_r15), and
+    round 15's own code changes touch only in-window names. The
+    mechanism stays pinned for any future entry."""
     for name in CHANGED_AWAITING_REFRESH:
         assert name in ROTATION_LEFTOVERS, (
             f"{name} changed without a window slot AND without a "

@@ -64,21 +64,30 @@ def test_staged_plan_shapes(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
-def test_staging_is_not_live():
-    """Honesty guard: no staged name is registered until round 15
-    executes the promotion."""
-    from clueso_spark.plans.catalog import REGISTRY, all_queries
+def test_promotion_is_live_and_heads_the_window():
+    """Round 15 executed the promotion (the inverse of rounds 13/14's
+    test_staging_is_not_live honesty guard): every formerly-staged
+    name is in the live registry, perf-tracked in bench.py HEADLINE,
+    and holds a round-15 driver window slot (never-driver-verified
+    names may not sit outside the window -- that would strand them).
+    The round-6 lesson: never claim that inclusion before it
+    exists."""
+    import bench
+
+    from clueso_spark.plans.catalog import all_queries
 
     live = all_queries()
-    overlap = sorted(set(STAGED) & set(live))
-    assert overlap == [], overlap
-    try:
-        promote()
-        assert set(STAGED) <= set(REGISTRY)
-    finally:
-        for name in STAGED:
-            REGISTRY.pop(name, None)
-    assert not set(STAGED) & set(REGISTRY)
+    missing = sorted(set(STAGED) - set(live))
+    assert missing == [], missing
+    unbenched = sorted(set(STAGED) - set(bench.HEADLINE))
+    assert unbenched == [], unbenched
+    names = list(live)
+    window = set(names[:50])
+    outside = sorted(set(STAGED) - window)
+    assert outside == [], outside
+    # promote() stays idempotent after the import-time call
+    promote()
+    assert len(all_queries()) == len(live)
 
 
 # ---------------------------------------------------------------------------

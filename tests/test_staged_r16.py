@@ -22,14 +22,16 @@ SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
 def test_tier_is_sized_to_round16_projection():
-    """Round 16's free capacity projects to 50 - 49 (the r11 cohort,
-    its mandatory head after rounds 14 and 15 land their pinned
-    windows) = 1 slot. The r11 cohort size is already fixed by the
-    committed artifacts -- derive it and assert the tier fits. Also
-    pin the registry ceiling this tier was sized against: after the
-    staged_r15 (4) and staged_r16 (1) promotions the registry is
-    exactly 250 = 5 x WINDOW, the steady-state maximum at which every
-    query still re-verifies within the documented 5-round cycle."""
+    """Round 16's free capacity is 50 - 49 (the r11 cohort, its
+    mandatory head now that rounds 14 and 15 landed their pinned
+    windows) = 1 slot. The r11 cohort size is fixed by the committed
+    artifacts -- derive it and assert the tier fits. Also pin the
+    registry ceiling this tier was sized against: the staged_r15
+    promotion is LIVE (registry 249), so after this tier's single
+    promotion the registry is exactly 250 = 5 x WINDOW, the
+    steady-state maximum at which every query still re-verifies
+    within the documented 5-round cycle (the post-250 policy in
+    ROUND15_NOTES)."""
     import __spark_entry__ as entrymod
 
     from tests.test_entry import WINDOW, _latest_green_rounds
@@ -37,12 +39,7 @@ def test_tier_is_sized_to_round16_projection():
     latest, _ = _latest_green_rounds()
     r11 = [n for n, r in latest.items() if r == 11]
     assert len(STAGED) <= WINDOW - len(r11), (len(STAGED), len(r11))
-    from clueso_spark.plans.staged_r15 import STAGED as R15_STAGED
-
-    assert (
-        len(entrymod.queries()) + len(R15_STAGED) + len(STAGED)
-        == 5 * WINDOW
-    )
+    assert len(entrymod.queries()) + len(STAGED) == 5 * WINDOW
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)

@@ -19,7 +19,7 @@ def main() -> int:
         "--staged",
         action="store_true",
         help="also check the pre-registration tiers "
-        "(plans/staged_r15.py + staged_r16.py; earlier tiers are "
+        "(plans/staged_r16.py; earlier tiers are "
         "already live)",
     )
     ap.add_argument("names", nargs="*", help="subset of query names")
@@ -35,10 +35,8 @@ def main() -> int:
     if args.staged:
         # promote every still-staged tier (already-registered tiers
         # promote at import and these calls are idempotent no-ops)
-        from clueso_spark.plans.staged_r15 import promote as promote_r15
         from clueso_spark.plans.staged_r16 import promote as promote_r16
 
-        promote_r15()
         promote_r16()
 
     def emit(r):
