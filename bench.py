@@ -215,6 +215,11 @@ HEADLINE = [
     "st_stream_stream_outer_join",
     "sim_colbert_maxsim",
     "sim_rrf_fusion",
+    # round 15 promotions (former staged_r15)
+    "graph_randomwalk_corpus",
+    "txt_bpe_merge_steps",
+    "txt_vocab_coverage_oov",
+    "ev_lateness_audit",
 ]
 
 
@@ -275,6 +280,7 @@ def _isolated(
     driver's default path."""
     import subprocess
 
+    load = {"start": _loadavg(), "ncpu": os.cpu_count()}
     timings, spread, noisy, failed, cold = {}, {}, [], [], {}
     for name in names:
         proc = subprocess.run(
@@ -301,15 +307,29 @@ def _isolated(
         if name in child.get("cold", {}):
             cold[name] = child["cold"][name]
         noisy.extend(child.get("noisy", []))
+    load["end"] = _loadavg()
     _emit(timings, spread, noisy, sf, detail, isolated=True,
           canonical=canonical, failed=failed,
-          cold=cold)
+          cold=cold, load=load)
     return 1 if failed else 0
+
+
+def _loadavg() -> float | None:
+    """1-minute system load average, or None where unsupported. Recorded
+    at run start/end so a hot-box driver run is self-explaining: the r14
+    verdict had to re-litigate uniform 10-100% per-query inflation
+    against archived history to conclude 'box noise, not code'. With
+    start/end load next to the total, that read is one artifact away."""
+    try:
+        return round(os.getloadavg()[0], 2)
+    except (OSError, AttributeError):
+        return None
 
 
 def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
           failed: list[str] | None = None, child: bool = False,
-          cold: dict | None = None, canonical: bool = True):
+          cold: dict | None = None, canonical: bool = True,
+          load: dict | None = None):
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_total",
@@ -317,6 +337,9 @@ def _emit(timings, spread, noisy, sf, detail: bool, isolated: bool = False,
         "unit": "sec",
         "queries": timings,
         "stddev": spread,
+        # host load at run start/end (1-min loadavg; ncpu for the
+        # ratio): the driver-run noise provenance (r14 verdict item 5)
+        "load": load or {},
         # first-attempt (cold) time per query, alongside the best-of-N
         # "queries" map: methodology changes (warm-up, persist-slot
         # release, state-store defaults) move cold and best differently,
@@ -447,6 +470,7 @@ def main() -> int:
     # therefore NOT cold -- it is excluded from the cold map below
     # rather than recorded as a lie (round-10 review finding).
     WARMUP_QUERY = "q1_pricing_summary"
+    load = {"start": _loadavg(), "ncpu": os.cpu_count()}
     run(WARMUP_QUERY)
 
     # best-of-3 per query: local[32] scheduler/GC noise is +-30% on
@@ -487,8 +511,9 @@ def main() -> int:
         # this changes nothing about what any single timing measures.
         release_persisted(spark)
 
+    load["end"] = _loadavg()
     _emit(timings, spread, noisy, sf, opts["detail"], child=opts["child"],
-          cold=cold, canonical=not opts["only"])
+          cold=cold, canonical=not opts["only"], load=load)
     return 0
 
 

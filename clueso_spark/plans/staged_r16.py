@@ -42,6 +42,11 @@ from pyspark.sql import functions as F
 
 from clueso_spark.plans.catalog import CatalogQuery
 
+# the similarity tier's left-fold dot product, imported (not copied) so
+# the "bit-identical shared arithmetic" parity claim cannot drift
+# (ADVICE r14)
+from clueso_spark.plans.similarity_queries import _DOT
+
 STAGED: dict[str, CatalogQuery] = {}
 
 
@@ -81,9 +86,6 @@ _TRIPLET_ANCHORS = 8
 #: presumed false negatives (near-duplicates of the positive) and
 #: skipped -- standard semi-hard negative mining.
 _TRIPLET_MARGIN = 0.02
-
-_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, t) -> acc + t)"
-
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(anchor_id, vec_id, cos): every anchor scored against every

@@ -12,6 +12,8 @@ result by construction (no late data in a replayed file source).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -28,6 +30,16 @@ from clueso_spark.plans.catalog import dec, register
 #: nanos -> micros with FLOOR semantics (matches DuckDB/Arrow for
 #: pre-epoch instants; see sources/tables.py:_normalize_ts)
 _NANOS_FLOOR_DIV = "(ts div 1000) - (case when ts % 1000 < 0 then 1 else 0 end)"
+
+#: per-caller-session registry of state-sized clones, keyed by sink
+#: name: run_on_state_sized_session drops the PREVIOUS clone's memory
+#: sink before starting the next run of the same query, so repeated
+#: invocations (bench best-of-N, the parity gate) hold at most one
+#: drained result per query alive (ADVICE r14). WeakKey: a collected
+#: caller session drops its entries.
+_STATE_SINKS: "weakref.WeakKeyDictionary[SparkSession, dict[str, SparkSession]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _events_schema(ts_type) -> StructType:
@@ -101,8 +113,21 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     cluster."""
     import os
 
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
     try:
-        size = os.path.getsize(f"{sf_dir.rstrip('/')}/events.parquet")
+        if os.path.isdir(path):
+            # Spark directory-style parquet (e.g. a scaling-curve
+            # build): the inode's ~4 KB getsize would silently collapse
+            # the input-sized policy to the 4-partition floor (ADVICE
+            # r14). Sum the data files, skipping _SUCCESS/. markers.
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            size = os.path.getsize(path)
     except OSError:
         size = 0
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -129,8 +154,23 @@ def run_on_state_sized_session(
     table cache but carries separate SQLConf and temp views, so the
     override cannot leak. ``build(clone)`` must construct the streaming
     DataFrame against the clone; the memory sink registers in the
-    clone's temp-view namespace and is returned from there."""
+    clone's temp-view namespace and is returned from there.
+
+    Memory hygiene (ADVICE r14): each invocation creates a fresh clone
+    plus a memory-sink temp table holding the full drained result, and
+    a long best-of-N bench sweep would otherwise accumulate one such
+    table per run. The previous invocation's sink for the SAME
+    (caller session, sink_name) is dropped here before the new run
+    starts -- the persist_swap contract: the result of run N is dead
+    once run N+1 of the same query begins, so callers must consume a
+    returned DataFrame before re-invoking the same query (bench, the
+    parity gate, and the driver all do)."""
+    sinks = _STATE_SINKS.setdefault(spark, {})
+    prev = sinks.pop(sink_name, None)
+    if prev is not None:
+        prev.catalog.dropTempView(sink_name)
     clone = spark.newSession()
+    sinks[sink_name] = clone
     clone.conf.set(
         "spark.sql.shuffle.partitions",
         str(stream_state_partitions(spark, sf_dir)),

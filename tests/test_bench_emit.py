@@ -159,6 +159,47 @@ def test_detail_carries_cold_map_and_archives(bench, tmp_path):
     assert "cold" not in line and "stddev" not in line
 
 
+def test_line_and_detail_carry_load_metadata(bench, tmp_path):
+    """r14 verdict item 5: the driver-run bench number inflates under
+    host load and each round's read had to re-litigate that against
+    archived history. The run now records 1-min loadavg at start/end
+    (plus ncpu) in BOTH the detail artifact and the driver stdout line,
+    so a hot run is self-explaining. Omitted load degrades to {} rather
+    than breaking older callers."""
+    timings = {"qa": 1.5, "qb": 0.4}
+    load = {"start": 3.1, "end": 28.4, "ncpu": 32}
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            timings, {k: 0.01 for k in timings}, [], 0.1, detail=True,
+            load=load,
+        )
+    finally:
+        sys.stdout = old
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["load"] == load
+    line = json.loads(buf.getvalue())
+    assert line["load"] == load
+    # load survives the long-map degradation path too (the driver's
+    # capture window is where the provenance matters most)
+    buf2 = io.StringIO()
+    sys.stdout = buf2
+    try:
+        bench._emit(
+            LONG_MAP, {k: 0.01 for k in LONG_MAP}, [], 0.1, detail=False,
+            load=load,
+        )
+    finally:
+        sys.stdout = old
+    long_line = json.loads(buf2.getvalue())
+    assert long_line["load"] == load
+    assert "queries_top" in long_line
+    # no-load callers (old signature) still emit a valid line
+    assert json.loads(_emit_line(bench, timings, detail=False))["load"] == {}
+
+
 def test_child_line_carries_cold_for_isolate_parent(bench, tmp_path):
     """--child stdout is parsed by the --isolate parent, which
     propagates per-query cold times into the aggregated artifact."""

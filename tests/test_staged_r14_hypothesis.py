@@ -230,3 +230,25 @@ def test_state_partition_sizing_properties(spark, tmp_path):
     assert got == expected
     # a missing file degrades to the floor, never raises
     assert stream_state_partitions(spark, str(tmp_path / "nope")) == 4
+
+
+def test_state_partition_sizing_handles_directory_parquet(spark, tmp_path):
+    """ADVICE r14: a Spark directory-style events.parquet (the
+    scaling-curve builds) must size by the SUM of its part files, not
+    the ~4 KB directory inode -- which silently collapsed the
+    input-sized policy to the 4-partition floor. Marker files
+    (_SUCCESS, dotfiles) are excluded from the sum."""
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = tmp_path / "dirstyle"
+    (d / "events.parquet").mkdir(parents=True)
+    part_bytes = 96 << 20  # 3 parts x 96 MB = 288 MB -> 9 partitions
+    for k in range(3):
+        with open(d / "events.parquet" / f"part-{k:05d}.parquet", "wb") as f:
+            f.truncate(part_bytes)
+    # markers must not count toward the size
+    (d / "events.parquet" / "_SUCCESS").write_bytes(b"")
+    with open(d / "events.parquet" / ".part-crc", "wb") as f:
+        f.truncate(1 << 30)
+    want = max(4, min(session, (3 * part_bytes + (32 << 20) - 1) // (32 << 20)))
+    assert stream_state_partitions(spark, str(d)) == want
+    assert want > 4  # the regression this pins: NOT the floor

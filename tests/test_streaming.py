@@ -140,3 +140,34 @@ def test_state_sized_runs_never_touch_the_callers_session_conf(spark):
     ):
         assert REGISTRY[name].spark(spark, sf).count() >= 0, name
         assert spark.conf.get(key) == before, name
+
+
+def test_state_sized_reruns_drop_the_previous_sink(spark):
+    """ADVICE r14 memory hygiene, pinned: each run_on_state_sized_session
+    call drains a full result into a memory-sink temp table on a fresh
+    cloned session; without cleanup a best-of-N bench sweep accumulates
+    one drained table per run. Contract: re-invoking the SAME query
+    drops the previous invocation's sink (persist_swap semantics --
+    consume the result before re-running), so at most one clone per
+    (caller session, sink name) stays registered."""
+    from clueso_spark.plans.catalog import REGISTRY, all_queries
+    from clueso_spark.plans.streaming_queries import _STATE_SINKS
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    name = "st_windowed_counts"
+    first_rows = REGISTRY[name].spark(spark, sf).count()
+    sinks = _STATE_SINKS[spark]
+    assert len(sinks) >= 1
+    sink_name, first_clone = next(
+        (k, v) for k, v in sinks.items() if "windowed_counts" in k
+    )
+    # rerun: the registry must still hold exactly one clone for this
+    # sink name, and it must be a NEW clone with the OLD view dropped
+    second_rows = REGISTRY[name].spark(spark, sf).count()
+    assert second_rows == first_rows > 0
+    second_clone = _STATE_SINKS[spark][sink_name]
+    assert second_clone is not first_clone
+    assert not any(
+        t.name == sink_name for t in first_clone.catalog.listTables()
+    ), "previous invocation's memory sink was not dropped"

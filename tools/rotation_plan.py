@@ -56,7 +56,15 @@ def latest_green_rounds(cap: int | None) -> tuple[dict[str, int], int]:
             # green-by-name, mirroring tests/test_entry.py's
             # _latest_green_rounds -- the two implementations of the
             # green-row convention must stay behaviorally identical
-            # (ADVICE r13).
+            # (ADVICE r13) -- but LOUDLY (ADVICE r14): a corrupted row
+            # marking a query freshly verified should be visible in the
+            # plan output, not silently deferred a full cycle.
+            if not isinstance(row, dict):
+                print(
+                    f"rotation_plan: WARNING non-dict row for {name!r} in "
+                    f"{os.path.basename(path)} counted green-by-name",
+                    file=sys.stderr,
+                )
             if isinstance(row, dict):
                 if row.get("err"):
                     continue
