@@ -147,6 +147,11 @@ def test_no_query_has_unsanctioned_cartesian_product(spark, registry):
         # side, not an all-pairs square
         "sim_colbert_maxsim",
         "sim_rrf_fusion",  # both arms: 5 probes / probe word lists broadcast
+        # round-15 promoted tier (formerly test_staged_r15's sanction
+        # list): per merge round the 1-row top-pair frame crossJoins
+        # (broadcast) onto the corpus -- the catalog's standard 1-row
+        # scalar broadcast shape
+        "txt_bpe_merge_steps",
     }
     offenders = {}
     for name, cq in registry.items():

@@ -16,20 +16,20 @@ from clueso_spark.plans.staged_r14 import STAGED, promote
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def test_tier_is_sized_to_round14_capacity():
-    """47 of round 14's 50 window slots are already spoken for
-    (tests/test_entry.py ROTATION_LEFTOVERS, the mandatory r9 refresh
-    cohort; DEFERRED_PROMOTIONS is empty); a staged tier larger than
-    the remainder would manufacture new deferral debt at promotion
-    time."""
-    from tests.test_entry import (
-        DEFERRED_PROMOTIONS,
-        ROTATION_LEFTOVERS,
-        WINDOW,
-    )
+def test_tier_was_sized_to_round14_capacity():
+    """The round-13 edition of this test pinned the tier to round
+    14's free window capacity BEFORE promotion; the round-14 edition
+    reconciled the window arithmetic. Round-15 edition (the window
+    has rotated past this tier): the sizing claim is DISCHARGED --
+    every staged name carries a driver green from round 14 onward,
+    which is what correct sizing was for; none was deferred. (>= 14,
+    not == 14: a later refresh of these names must not fail a
+    terminal claim.)"""
+    from tests.test_entry import _latest_green_rounds
 
-    free = WINDOW - len(ROTATION_LEFTOVERS) - len(DEFERRED_PROMOTIONS)
-    assert len(STAGED) <= free, (len(STAGED), free)
+    latest, _ = _latest_green_rounds()
+    not_green = sorted(n for n in STAGED if latest.get(n, 0) < 14)
+    assert not_green == [], not_green
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
@@ -76,12 +76,15 @@ def test_staged_plan_shapes(spark):
 def test_promotion_is_live_and_heads_the_window():
     """Round 14 executed the promotion (the inverse of round 13's
     test_staging_is_not_live honesty guard): every formerly-staged
-    name is in the live registry, perf-tracked in bench.py HEADLINE,
-    and holds a round-14 driver window slot (never-driver-verified
-    names may not sit outside the window -- that would strand them).
-    The round-6 lesson: never claim that inclusion before it
-    exists."""
+    name is in the live registry and perf-tracked in bench.py
+    HEADLINE. Round-15 edition (the window has rotated past this
+    tier): no staged name may be STRANDED -- each needs a committed
+    driver green (all three got theirs in round 14) or a current
+    window slot. The round-6 lesson: never claim that inclusion
+    before it exists."""
     import bench
+
+    from tests.test_entry import _latest_green_rounds
 
     from clueso_spark.plans.catalog import all_queries
 
@@ -92,8 +95,9 @@ def test_promotion_is_live_and_heads_the_window():
     assert unbenched == [], unbenched
     names = list(live)
     window = set(names[:50])
-    outside = sorted(set(STAGED) - window)
-    assert outside == [], outside
+    latest, _ = _latest_green_rounds()
+    stranded = sorted(set(STAGED) - window - set(latest))
+    assert stranded == [], stranded
     # promote() stays idempotent after the import-time call
     promote()
     assert len(all_queries()) == len(live)
