@@ -68,6 +68,24 @@ def test_horizon_is_strict():
     assert not r8 & set(plan["mandatory_head"])
 
 
+def test_following_round_head_matches_committed_leftovers():
+    """round 15's addition: the plan emits the cohort sitting exactly
+    AT the next horizon as `following_round_head` -- the block
+    PRIORITY pre-orders after the window boundary. Against the
+    committed round-15 frame (cap 14) it must reproduce the 49-name
+    r11 ROTATION_LEFTOVERS verbatim, and it must equal the at-horizon
+    cohort derived independently from the artifacts."""
+    from tests.test_entry import ROTATION_LEFTOVERS, _latest_green_rounds
+
+    plan = _plan(cap=14)
+    assert plan["following_round_head"] == sorted(ROTATION_LEFTOVERS)
+    latest, _ = _latest_green_rounds(cap=14)
+    at_horizon = sorted(
+        n for n, r in latest.items() if r == plan["next_horizon"]
+    )
+    assert plan["following_round_head"] == at_horizon
+
+
 def _rotation_plan_module():
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import rotation_plan

@@ -149,6 +149,13 @@ def main() -> int:
         "cohort_sizes": {f"r{r}": len(v) for r, v in sorted(cohorts.items())},
         "mandatory_head": mandatory,
         "never_verified": never,
+        # the cohort sitting exactly AT the next horizon: legal to
+        # defer this round, but it becomes the FOLLOWING round's
+        # mandatory head -- i.e. the ROTATION_LEFTOVERS block that
+        # PRIORITY pre-orders immediately after the window boundary.
+        # Emitting it here makes the round-opening edit fully
+        # mechanical (no hand-derivation of the post-boundary list).
+        "following_round_head": sorted(cohorts.get(next_horizon, [])),
     }
     used = len(mandatory) + len(never)
     free = args.window - used
