@@ -3,14 +3,13 @@
 Same life-cycle as staged_r6 .. staged_r15: ship now as library code
 with full pytest parity coverage (tests/test_staged_r16.py runs the
 exact driver comparison -- row count + schema + order-insensitive
-value hash -- against DuckDB oracles at sf0.001 and sf0.01). Rounds 14
-and 15 are already fully planned (47 r9 refreshes + 3 promotions; 46
-r10 refreshes + the 4 staged_r15 promotions), so this tier targets
-ROUND 16: its projected free capacity is 50 - 49 (the r11 cohort,
-round 16's mandatory head) = ONE slot -- this tier is sized to that
-projection. Registry arithmetic after the two pending promotions:
-245 -> 249 (r15) -> 250 (r16), keeping the refresh cycle at
-ceil(250/50) = 5 rounds exactly. 250 is the 50-slot window's
+value hash -- against DuckDB oracles at sf0.001 and sf0.01). Round 15
+executed its planned window (46 r10 refreshes + the 4 staged_r15
+promotions, registry now 249), so this tier targets ROUND 16: its
+free capacity is 50 - 49 (the r11 cohort, round 16's mandatory head)
+= ONE slot -- this tier is sized exactly to that. Registry arithmetic
+after the remaining promotion: 249 -> 250, keeping the refresh cycle
+at ceil(250/50) = 5 rounds exactly. 250 is the 50-slot window's
 steady-state registry ceiling: from round 17 onward every window is a
 full 50-name cohort refresh, so THIS is the catalog's final
 promotion under the current window size -- chosen accordingly.

@@ -99,8 +99,8 @@ def main() -> int:
     ap.add_argument(
         "--staged",
         action="store_true",
-        help="include the pre-registration tiers (plans/staged_r15.py, "
-        "staged_r16.py; earlier tiers are live); extra budget keys are "
+        help="include the pre-registration tiers (plans/staged_r16.py; "
+        "earlier tiers are live); extra budget keys are "
         "inert until promotion, when the budget gate picks them up "
         "automatically",
     )
@@ -123,11 +123,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     registry = dict(all_queries())
     if args.staged:
-        from clueso_spark.plans.staged_r15 import STAGED as STAGED_R15
         from clueso_spark.plans.staged_r16 import STAGED as STAGED_R16
 
-        # earlier tiers (r6/r8/../r14) are all live post-promotion
-        registry.update(STAGED_R15)
+        # earlier tiers (r6/r8/../r15) are all live post-promotion
         registry.update(STAGED_R16)
     metrics = audit(registry, spark)
 
