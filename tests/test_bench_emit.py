@@ -200,6 +200,53 @@ def test_line_and_detail_carry_load_metadata(bench, tmp_path):
     assert json.loads(_emit_line(bench, timings, detail=False))["load"] == {}
 
 
+def test_outlier_selection_flags_spikes_against_history_floor(bench):
+    """r15: the end-of-run re-measure targets exactly the intra-run
+    transients -- a reading > 1.5x the query's committed history floor
+    (its proven achievable cost). Worst-ratio-first, capped at k;
+    fresh promotions (no history) and zero floors are never flagged."""
+    hist = {
+        "spiky": [2.0, 2.5, 8.0],      # floor 2.0; reading 8.5 -> 4.25x
+        "mild": [1.0, 1.2],            # floor 1.0; reading 1.8  -> 1.8x
+        "steady": [1.0, 1.1],          # floor 1.0; reading 1.2  -> in band
+        "zero_floor": [0.0, 0.4],      # degenerate floor: never flagged
+    }
+    timings = {
+        "spiky": 8.5,
+        "mild": 1.8,
+        "steady": 1.2,
+        "zero_floor": 9.9,
+        "fresh_promotion": 50.0,       # no history: its reading IS history
+    }
+    got = bench._outliers(timings, hist)
+    assert got == ["spiky", "mild"]
+    # the cap keeps the re-measure bounded
+    assert bench._outliers(timings, hist, k=1) == ["spiky"]
+    assert bench._outliers(timings, hist, factor=5.0) == []
+
+
+def test_payload_carries_remeasured_names(bench, tmp_path):
+    """The corrected-transient provenance: a reader of the artifact
+    must be able to tell a re-measured value from a first-pass one."""
+    buf = io.StringIO()
+    old = sys.stdout
+    sys.stdout = buf
+    try:
+        bench._emit(
+            {"qa": 1.5, "qb": 0.4}, {"qa": 0.01, "qb": 0.01}, [], 0.1,
+            detail=True, remeasured=["qa"],
+        )
+    finally:
+        sys.stdout = old
+    detail = json.loads((tmp_path / "BENCH_DETAIL.json").read_text())
+    assert detail["remeasured"] == ["qa"]
+    assert json.loads(buf.getvalue())["remeasured"] == ["qa"]
+    # omitted -> [] (older callers)
+    assert json.loads(_emit_line(bench, {"qa": 1.0}, detail=False))[
+        "remeasured"
+    ] == []
+
+
 def test_child_line_carries_cold_for_isolate_parent(bench, tmp_path):
     """--child stdout is parsed by the --isolate parent, which
     propagates per-query cold times into the aggregated artifact."""
