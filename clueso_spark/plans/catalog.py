@@ -40,6 +40,16 @@ class CatalogQuery:
     #: rows-only check when it returns False. The driver's gate runs at
     #: sf0.01, inside every registered oracle's domain.
     oracle_valid: Callable[[str], bool] | None = None
+    #: optional sf-adaptive oracle builder for the LOCAL parity harness
+    #: (round 15): when the registered fixed-floor oracle is out of
+    #: domain at a corpus size, this builds the SAME oracle SQL at the
+    #: parameter the Spark side derives for that sf_dir (e.g. the
+    #: adaptive hyperplane count), so the adaptive branches -- the
+    #: 100 TB-critical code paths -- hash-verify cross-engine instead
+    #: of degrading to rows-only. Returns None when even the adaptive
+    #: replica is out of domain. The driver contract is untouched: the
+    #: driver still reads the registered `oracle` string at sf0.01.
+    oracle_adaptive: Callable[[str], str | None] | None = None
 
 
 REGISTRY: dict[str, CatalogQuery] = {}
@@ -51,12 +61,14 @@ def register(
     oracle: str | None,
     *tags: str,
     oracle_valid: Callable[[str], bool] | None = None,
+    oracle_adaptive: Callable[[str], str | None] | None = None,
 ):
     """Decorator: register a (spark, sf_dir) -> DataFrame callable."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
         REGISTRY[name] = CatalogQuery(
-            name, description, fn, oracle, tuple(tags), oracle_valid
+            name, description, fn, oracle, tuple(tags), oracle_valid,
+            oracle_adaptive,
         )
         return fn
 

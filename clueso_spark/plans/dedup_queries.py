@@ -677,10 +677,67 @@ def _emb_planes(n_vectors: int) -> int:
 def _emb_oracle_valid(sf_dir: str) -> bool:
     """The DuckDB oracle replicates the EMB_PLANES_PER_BAND floor; once
     the corpus pushes the adaptive plane count past it, the oracle is
-    out of domain and the parity harness must fall back to rows-only."""
+    out of domain and the parity harness must fall back to the
+    sf-adaptive builder (:func:`_emb_adaptive_oracle`)."""
     return (
         _emb_planes(table_row_count(sf_dir, "embeddings"))
         == EMB_PLANES_PER_BAND
+    )
+
+
+def _emb_bands_sql(planes: int) -> str:
+    """The banded hyperplane bucket CTE body at a given plane count --
+    the plane-term SQL sim_lsh_ann verifies cross-engine, shared by the
+    fixed-floor oracles and the sf-adaptive builders."""
+    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
+
+    band_selects = []
+    for k in range(EMB_BANDS):
+        terms = ", ".join(
+            _lsh_plane_sql(p, "v")
+            for p in range(k * planes, (k + 1) * planes)
+        )
+        band_selects.append(
+            f"select vec_id, {k} as band, concat({terms}) as bucket from e"
+        )
+    return "\n  union all ".join(band_selects)
+
+
+def _emb_cand_pairs_sql(cap: int) -> str:
+    """DuckDB replica of :func:`_bucket_pairs` INCLUDING the over-cap
+    star expansion: per (band, bucket), ds = sorted distinct ids; over
+    ``cap`` members the expansion degrades to (ds[1], x) stars exactly
+    as the Spark side does, so the adaptive oracle stays in domain at
+    ANY corpus size (the fixed-floor oracle's plain self-join silently
+    diverges the moment a bucket crosses the cap)."""
+    return f"""bkt as (
+  select band, bucket, list_sort(list(distinct vec_id)) as ds
+  from bands group by band, bucket
+  having count(distinct vec_id) > 1
+),
+pr as (
+  select unnest(
+    case when len(ds) > {cap} then
+      list_transform(list_slice(ds, 2, len(ds)),
+                     x -> {{'va': ds[1], 'vb': x}})
+    else
+      flatten(list_transform(range(1, len(ds)),
+        i -> list_transform(list_slice(ds, i + 1, len(ds)),
+               x -> {{'va': ds[i], 'vb': x}})))
+    end) as p
+  from bkt
+),
+cand as (select distinct p.va as vec_a, p.vb as vec_b from pr)"""
+
+
+def _emb_adaptive_oracle(sf_dir: str) -> str | None:
+    """sf-adaptive oracle for dedup_embedding_cosine (round 15): the
+    SAME banded-LSH SQL, built at the plane count the Spark side
+    derives for THIS corpus, with the bucket-cap star expansion
+    replicated -- so the adaptive branch (the 100 TB-critical path the
+    fixed-floor oracle cannot follow) hash-verifies cross-engine."""
+    return _emb_adaptive_sql(
+        _emb_planes(table_row_count(sf_dir, "embeddings"))
     )
 
 
@@ -697,6 +754,7 @@ def _emb_oracle_valid(sf_dir: str) -> bool:
     None,  # bound below -- built from the plane-term SQL builder
     "dedup", "embedding", "lsh",
     oracle_valid=_emb_oracle_valid,
+    oracle_adaptive=_emb_adaptive_oracle,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (
@@ -777,34 +835,29 @@ def _embedding_cosine_oracle() -> str:
     Built on the EMB_PLANES_PER_BAND floor: the Spark side's adaptive
     plane count equals the floor for corpora up to ~2^floor *
     EMB_TARGET_BUCKET vectors, which covers the sf0.01/sf0.001 oracle
-    gates (500 / 50 vectors -> 4 planes)."""
-    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
+    gates (500 / 50 vectors -> 4 planes). Above the floor the parity
+    harness switches to :func:`_emb_adaptive_oracle`. Since round 15
+    the candidate CTE replicates the bucket-cap star expansion too
+    (the earlier plain self-join silently diverged from the Spark side
+    the moment a floor-domain bucket crossed LSH_BUCKET_CAP -- a
+    latent domain hole the adaptive-oracle work surfaced; a planted
+    adversary pins the fix)."""
+    return _emb_adaptive_sql(EMB_PLANES_PER_BAND)
 
-    band_selects = []
-    for k in range(EMB_BANDS):
-        planes = ", ".join(
-            _lsh_plane_sql(p, "v")
-            for p in range(
-                k * EMB_PLANES_PER_BAND, (k + 1) * EMB_PLANES_PER_BAND
-            )
-        )
-        band_selects.append(
-            f"select vec_id, {k} as band, concat({planes}) as bucket from e"
-        )
-    bands_sql = "\n  union all ".join(band_selects)
+
+def _emb_adaptive_sql(planes: int) -> str:
+    """The full dedup_embedding_cosine oracle at a given plane count,
+    with the bucket-cap star expansion replicated -- shared by the
+    registered floor oracle and the sf-adaptive builder."""
     return f"""
     with e as (select vec_id,
                       list_transform(embedding, x -> cast(x as double)) v
                from embeddings),
     n as (select vec_id, v, list_dot_product(v, v) as sq from e),
     bands as (
-      {bands_sql}
+      {_emb_bands_sql(planes)}
     ),
-    cand as (
-      select distinct a.vec_id as vec_a, b.vec_id as vec_b
-      from bands a join bands b
-        on a.band = b.band and a.bucket = b.bucket and a.vec_id < b.vec_id
-    )
+    {_emb_cand_pairs_sql(LSH_BUCKET_CAP)}
     select vec_a, vec_b,
            round(list_dot_product(x.v, y.v) / (sqrt(x.sq) * sqrt(y.sq)), 6)
              as cosine

@@ -142,10 +142,31 @@ def run_catalog(
         ):
             # no oracle, or the registered oracle's fixed-parameter
             # replica is out of its validity domain at this corpus size
-            # (adaptive Spark-side parameter left its floor)
-            n = df.count()
-            detail = "rows-only" if cq.oracle is None else "oracle-out-of-domain"
-            results.append(ParityResult(name, n, n, True, True, detail))
+            # (adaptive Spark-side parameter left its floor). Before
+            # degrading to rows-only, try the sf-adaptive builder
+            # (round 15): it reproduces the oracle SQL at the parameter
+            # the Spark side derives for THIS corpus, so the adaptive
+            # branches hash-verify instead of being merely row-counted.
+            adaptive_sql = (
+                cq.oracle_adaptive(sf_dir)
+                if cq.oracle is not None and cq.oracle_adaptive is not None
+                else None
+            )
+            if adaptive_sql is not None:
+                res = compare(name, df, adaptive_sql, con)
+                res.detail = (
+                    "adaptive-oracle"
+                    if res.ok
+                    else f"adaptive-oracle {res.detail}"
+                )
+                results.append(res)
+            else:
+                n = df.count()
+                detail = (
+                    "rows-only" if cq.oracle is None
+                    else "oracle-out-of-domain"
+                )
+                results.append(ParityResult(name, n, n, True, True, detail))
         else:
             results.append(compare(name, df, cq.oracle, con))
         if on_result is not None:

@@ -44,10 +44,12 @@ def _stage(
     oracle: str | None,
     *tags: str,
     oracle_valid=None,
+    oracle_adaptive=None,
 ):
     def wrap(fn):
         STAGED[name] = CatalogQuery(
-            name, description, fn, oracle, tuple(tags), oracle_valid
+            name, description, fn, oracle, tuple(tags), oracle_valid,
+            oracle_adaptive,
         )
         return fn
 
@@ -327,25 +329,21 @@ def pipeline_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_K = 3
 
 
-def _knn_oracle() -> str:
+def _knn_oracle(planes: int | None = None) -> str:
+    """Banded-LSH k-NN oracle; ``planes`` defaults to the
+    EMB_PLANES_PER_BAND floor (the registered string the driver gate
+    compares at sf0.01). The sf-adaptive builder below calls it at the
+    plane count the Spark side derives for an arbitrary corpus. No
+    bucket-cap branch: the knn/range callers pass no cap by contract
+    (every in-radius pair among candidates), matching the Spark side."""
     from clueso_spark.plans.dedup_queries import (
-        EMB_BANDS,
         EMB_PLANES_PER_BAND,
+        _emb_bands_sql,
     )
-    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
 
-    band_selects = []
-    for k in range(EMB_BANDS):
-        planes = ", ".join(
-            _lsh_plane_sql(p, "v")
-            for p in range(
-                k * EMB_PLANES_PER_BAND, (k + 1) * EMB_PLANES_PER_BAND
-            )
-        )
-        band_selects.append(
-            f"select vec_id, {k} as band, concat({planes}) as bucket from e"
-        )
-    bands_sql = "\n  union all ".join(band_selects)
+    bands_sql = _emb_bands_sql(
+        EMB_PLANES_PER_BAND if planes is None else planes
+    )
     return f"""
     with e as (select vec_id,
                       list_transform(embedding, x -> cast(x as double)) v
@@ -391,6 +389,26 @@ def _knn_oracle_valid(sf_dir: str) -> bool:
     )
 
 
+def _adaptive_planes(sf_dir: str) -> int:
+    from clueso_spark.plans.dedup_queries import (
+        _emb_planes,
+        table_row_count,
+    )
+
+    return _emb_planes(table_row_count(sf_dir, "embeddings"))
+
+
+def _knn_adaptive_oracle(sf_dir: str) -> str | None:
+    """sf-adaptive k-NN oracle (round 15): the same SQL at the plane
+    count the Spark side derives for THIS corpus, so the adaptive LSH
+    branch hash-verifies above the floor instead of rows-only."""
+    return _knn_oracle(planes=_adaptive_planes(sf_dir))
+
+
+def _range_adaptive_oracle(sf_dir: str) -> str | None:
+    return _range_oracle(planes=_adaptive_planes(sf_dir))
+
+
 @_stage(
     "sim_knn_join",
     f"k-NN self-join: every vector's top-{KNN_K} neighbors through the "
@@ -404,6 +422,7 @@ def _knn_oracle_valid(sf_dir: str) -> bool:
     _knn_oracle(),
     "similarity", "ann", "lsh", "join",
     oracle_valid=_knn_oracle_valid,
+    oracle_adaptive=_knn_adaptive_oracle,
 )
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (
@@ -1116,25 +1135,17 @@ def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RANGE_TAU = 0.4  # cosine radius; matches dedup_embedding_cosine's bar
 
 
-def _range_oracle() -> str:
+def _range_oracle(planes: int | None = None) -> str:
+    """Banded-LSH range-search oracle; same parameterization contract
+    as :func:`_knn_oracle`."""
     from clueso_spark.plans.dedup_queries import (
-        EMB_BANDS,
         EMB_PLANES_PER_BAND,
+        _emb_bands_sql,
     )
-    from clueso_spark.plans.similarity_queries import _lsh_plane_sql
 
-    band_selects = []
-    for k in range(EMB_BANDS):
-        planes = ", ".join(
-            _lsh_plane_sql(p, "v")
-            for p in range(
-                k * EMB_PLANES_PER_BAND, (k + 1) * EMB_PLANES_PER_BAND
-            )
-        )
-        band_selects.append(
-            f"select vec_id, {k} as band, concat({planes}) as bucket from e"
-        )
-    bands_sql = "\n  union all ".join(band_selects)
+    bands_sql = _emb_bands_sql(
+        EMB_PLANES_PER_BAND if planes is None else planes
+    )
     return f"""
     with e as (select vec_id,
                       list_transform(embedding, x -> cast(x as double)) v
@@ -1175,6 +1186,7 @@ def _range_oracle() -> str:
     _range_oracle(),
     "similarity", "ann", "lsh", "aggregate",
     oracle_valid=_knn_oracle_valid,
+    oracle_adaptive=_range_adaptive_oracle,
 )
 def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.vectors import (

@@ -1,0 +1,152 @@
+"""Round-15 sf-adaptive oracles: the adaptive-parameter branches of
+the banded-LSH family (dedup_embedding_cosine, sim_knn_join,
+sim_range_search) hash-verify cross-engine ABOVE the plane floor,
+where the registered fixed-floor oracle is out of domain and the
+parity harness previously degraded to rows-only. These branches are
+the 100 TB-critical code paths -- before round 15 they were never
+value-verified anywhere (the driver gate at sf0.01 sits on the
+floor).
+
+Also pins the latent domain hole the work surfaced: the old
+registered oracle's plain self-join diverged from the Spark side's
+bucket-cap star expansion the moment a bucket crossed LSH_BUCKET_CAP;
+both the registered and adaptive oracles now replicate the cap.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from clueso_spark.plans.catalog import CatalogQuery, all_queries
+from clueso_spark.plans.parity import ParityResult, compare
+from tests.test_round4_ops import DIM, _write_embeddings
+
+ADAPTIVE_NAMES = [
+    "dedup_embedding_cosine",
+    "sim_knn_join",
+    "sim_range_search",
+]
+
+
+def _emb_con(sf_dir: str):
+    con = duckdb.connect()
+    con.sql(
+        f"create view embeddings as "
+        f"select * from '{sf_dir.rstrip('/')}/embeddings.parquet'"
+    )
+    return con
+
+
+def _above_floor_corpus(tmp_path, n=600):
+    """n=600 vectors -> _emb_planes = ceil(log2(600/32)) = 5 > the
+    4-plane floor: the registered oracle is out of domain, the
+    adaptive builder must take over."""
+    vecs = [
+        [float(((i * 7 + j * 13) % 23) - 11) for j in range(DIM)]
+        for i in range(n)
+    ]
+    return _write_embeddings(tmp_path, vecs)
+
+
+def test_above_floor_corpus_is_actually_above_floor(tmp_path):
+    from clueso_spark.plans.dedup_queries import (
+        EMB_PLANES_PER_BAND,
+        _emb_planes,
+        table_row_count,
+    )
+
+    sf = _above_floor_corpus(tmp_path)
+    assert _emb_planes(table_row_count(sf, "embeddings")) > EMB_PLANES_PER_BAND
+    # and the registered guard agrees it is out of domain
+    assert not all_queries()["dedup_embedding_cosine"].oracle_valid(sf)
+
+
+@pytest.mark.parametrize("name", ADAPTIVE_NAMES)
+def test_adaptive_oracle_hash_matches_above_floor(spark, name, tmp_path):
+    """The real claim: at a corpus size where the Spark side's
+    adaptive plane count has left the floor, the sf-adaptive oracle
+    reproduces the Spark output exactly (row count + schema +
+    values)."""
+    sf = _above_floor_corpus(tmp_path)
+    cq = all_queries()[name]
+    assert not cq.oracle_valid(sf)
+    sql = cq.oracle_adaptive(sf)
+    assert sql is not None
+    res = compare(name, cq.spark(spark, sf), sql, _emb_con(sf))
+    assert res.ok, (name, res.detail)
+    assert res.rows_spark > 0, name
+
+
+@pytest.mark.parametrize("name", ADAPTIVE_NAMES)
+def test_adaptive_oracle_equals_registered_at_floor(spark, name):
+    """At the driver gate's scale the adaptive builder must reproduce
+    the registered oracle's result exactly -- one construction, two
+    parameterizations, no fork in semantics."""
+    sf = "/root/testdata/sf0.001"
+    cq = all_queries()[name]
+    assert cq.oracle_valid(sf)  # floor domain
+    con = _emb_con(sf)
+    a = con.sql(cq.oracle).df()
+    b = con.sql(cq.oracle_adaptive(sf)).df()
+    from clueso_spark.plans.parity import canonical_rows
+
+    assert sorted(a.columns) == sorted(b.columns)
+    assert canonical_rows(a) == canonical_rows(b), name
+
+
+def test_star_cap_adversary_matches_spark(spark, tmp_path):
+    """The latent-hole pin: 600 IDENTICAL vectors collide into one
+    bucket per band (population 600 > LSH_BUCKET_CAP = 256), so the
+    Spark side star-expands -- pairs (min_id, x) only, NOT all pairs.
+    The oracle must reproduce exactly that: 599 pairs, all anchored at
+    vec 0, cosine 1.0. The pre-round-15 self-join oracle returned
+    C(600,2) = 179,700 pairs here."""
+    vecs = [[1.0] * DIM for _ in range(600)]
+    sf = _write_embeddings(tmp_path, vecs)
+    cq = all_queries()["dedup_embedding_cosine"]
+    rows = cq.spark(spark, sf).collect()
+    assert len(rows) == 599
+    assert all(r["vec_a"] == 0 and r["cosine"] == 1.0 for r in rows)
+    res = compare(
+        "dedup_embedding_cosine", cq.spark(spark, sf),
+        cq.oracle_adaptive(sf), _emb_con(sf),
+    )
+    assert res.ok, res.detail
+
+
+def test_run_catalog_prefers_adaptive_over_rows_only(spark, tmp_path,
+                                                    monkeypatch):
+    """Harness integration: out-of-domain + adaptive builder present ->
+    hash-compared with the 'adaptive-oracle' detail; builder returning
+    None -> the old rows-only fallback with its domain marker."""
+    from clueso_spark.plans import catalog, parity
+
+    sf = _above_floor_corpus(tmp_path)
+    real = all_queries()["dedup_embedding_cosine"]
+    # run_catalog reads all_queries() and duckdb_connect registers every
+    # table; narrow both to this planted single-table corpus
+    fake = CatalogQuery(
+        "emb_probe", "probe", real.spark, real.oracle,
+        ("test",), real.oracle_valid, real.oracle_adaptive,
+    )
+    monkeypatch.setattr(
+        catalog, "REGISTRY", {"emb_probe": fake}, raising=True
+    )
+    monkeypatch.setattr(parity, "TABLE_NAMES", ["embeddings"], raising=True)
+    monkeypatch.setattr(catalog, "PRIORITY", [], raising=True)
+    results = parity.run_catalog(spark, sf, ["emb_probe"])
+    assert len(results) == 1 and results[0].ok
+    assert results[0].detail == "adaptive-oracle"
+    assert results[0].rows_oracle == results[0].rows_spark > 0
+    # builder declining -> rows-only fallback preserved
+    fake2 = CatalogQuery(
+        "emb_probe", "probe", real.spark, real.oracle,
+        ("test",), real.oracle_valid, lambda _sf: None,
+    )
+    monkeypatch.setattr(
+        catalog, "REGISTRY", {"emb_probe": fake2}, raising=True
+    )
+    results = parity.run_catalog(spark, sf, ["emb_probe"])
+    assert results[0].ok
+    assert results[0].detail == "oracle-out-of-domain"
