@@ -537,6 +537,75 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NGRAM_GROUPS_TAIL = """,
+    edges as (
+      select doc_a as u, doc_b as v from pairs
+      union
+      select doc_b as u, doc_a as v from pairs
+    ),
+    verts as (select distinct u from edges),
+    reach as (
+      select u, u as v from verts
+      union
+      select r.u, e.v from reach r join edges e on r.v = e.u
+    ),
+    comp as (select u as doc_id, min(v) as component from reach group by u)
+    select cast(component as bigint) as component,
+           cast(count(*) as bigint) as n_docs,
+           string_agg(cast(doc_id as varchar), ',' order by doc_id) as doc_ids
+    from comp
+    group by component
+    """
+
+
+def _ngram_pair_ctes_capped() -> str:
+    """The _NGRAM_PAIR_CTES candidate path with the bucket-cap star
+    expansion replicated (see :func:`_capped_pairs_sql`): candidate
+    generation matches the Spark side at ANY bucket population, so the
+    only remaining domain condition is the sketch-width floor."""
+    return f"""{_SIMHASH_SKETCH_SQL},
+{_capped_pairs_sql("sk", "simhash", "doc_id", "doc_a", "doc_b", LSH_BUCKET_CAP)},
+s as (select doc_id, list_distinct(string_split(text, ' ')) ws
+      from documents),
+pairs as (
+  select doc_a, doc_b,
+         len(list_intersect(x.ws, y.ws))::double
+           / len(list_distinct(x.ws || y.ws)) as jaccard
+  from cand join s x on doc_a = x.doc_id
+            join s y on doc_b = y.doc_id
+  where len(list_intersect(x.ws, y.ws))::double
+          / len(list_distinct(x.ws || y.ws)) >= 0.8
+)"""
+
+
+def _ngram_bits_at_floor(sf_dir: str) -> bool:
+    return (
+        _ngram_bits(table_row_count(sf_dir, "documents"))
+        == NGRAM_SKETCH_BITS
+    )
+
+
+def _ngram_groups_adaptive_oracle(sf_dir: str) -> str | None:
+    """sf-adaptive oracle for dedup_ngram_jaccard (round 15): the
+    registered oracle's domain excludes over-cap buckets (its full
+    fan-out diverges from the Spark side's star expansion); this
+    builder replicates the cap, so the only remaining condition is the
+    sketch-width floor (~2 M docs -- sketch widening is not replicated
+    yet; return None past it)."""
+    if not _ngram_bits_at_floor(sf_dir):
+        return None
+    return f"with recursive {_ngram_pair_ctes_capped()}{_NGRAM_GROUPS_TAIL}"
+
+
+def _ngram_pairs_adaptive_oracle(sf_dir: str) -> str | None:
+    if not _ngram_bits_at_floor(sf_dir):
+        return None
+    return (
+        f"with {_ngram_pair_ctes_capped()}\n"
+        f"select doc_a, doc_b, jaccard from pairs"
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     "N-gram (word-set) Jaccard near-dedup, GROUP-LEVEL: adaptive-width "
@@ -569,6 +638,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "dedup", "jaccard", "simhash", "groups",
     oracle_valid=_ngram_oracle_valid,
+    oracle_adaptive=_ngram_groups_adaptive_oracle,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _ngram_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -585,6 +655,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"with {_NGRAM_PAIR_CTES}\nselect doc_a, doc_b, jaccard from pairs",
     "dedup", "jaccard", "simhash", "debug",
     oracle_valid=_ngram_oracle_valid,
+    oracle_adaptive=_ngram_pairs_adaptive_oracle,
 )
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ngram_pairs(spark, sf_dir)
@@ -703,31 +774,41 @@ def _emb_bands_sql(planes: int) -> str:
     return "\n  union all ".join(band_selects)
 
 
-def _emb_cand_pairs_sql(cap: int) -> str:
+def _capped_pairs_sql(
+    src: str, keys: str, id_col: str, a: str, b: str, cap: int
+) -> str:
     """DuckDB replica of :func:`_bucket_pairs` INCLUDING the over-cap
-    star expansion: per (band, bucket), ds = sorted distinct ids; over
-    ``cap`` members the expansion degrades to (ds[1], x) stars exactly
-    as the Spark side does, so the adaptive oracle stays in domain at
-    ANY corpus size (the fixed-floor oracle's plain self-join silently
-    diverges the moment a bucket crosses the cap)."""
+    star expansion: per bucket (``keys`` of ``src``), ds = sorted
+    distinct ids; over ``cap`` members the expansion degrades to
+    (ds[1], x) stars exactly as the Spark side does, so an oracle
+    built on this stays in domain at ANY bucket population (a plain
+    self-join silently diverges the moment a bucket crosses the
+    cap). Emits ``bkt``/``pr``/``cand`` CTEs; ``cand`` has columns
+    (``a``, ``b``)."""
     return f"""bkt as (
-  select band, bucket, list_sort(list(distinct vec_id)) as ds
-  from bands group by band, bucket
-  having count(distinct vec_id) > 1
+  select {keys}, list_sort(list(distinct {id_col})) as ds
+  from {src} group by {keys}
+  having count(distinct {id_col}) > 1
 ),
 pr as (
   select unnest(
     case when len(ds) > {cap} then
       list_transform(list_slice(ds, 2, len(ds)),
-                     x -> {{'va': ds[1], 'vb': x}})
+                     x -> {{'pa': ds[1], 'pb': x}})
     else
       flatten(list_transform(range(1, len(ds)),
         i -> list_transform(list_slice(ds, i + 1, len(ds)),
-               x -> {{'va': ds[i], 'vb': x}})))
+               x -> {{'pa': ds[i], 'pb': x}})))
     end) as p
   from bkt
 ),
-cand as (select distinct p.va as vec_a, p.vb as vec_b from pr)"""
+cand as (select distinct p.pa as {a}, p.pb as {b} from pr)"""
+
+
+def _emb_cand_pairs_sql(cap: int) -> str:
+    return _capped_pairs_sql(
+        "bands", "band, bucket", "vec_id", "vec_a", "vec_b", cap
+    )
 
 
 def _emb_adaptive_oracle(sf_dir: str) -> str | None:
@@ -1009,11 +1090,28 @@ def _sem_oracle_valid(sf_dir: str) -> bool:
     return _sem_k(table_row_count(sf_dir, "embeddings")) == SEM_K_FLOOR
 
 
-def _sem_oracle() -> str:
+def _sem_adaptive_oracle(sf_dir: str) -> str | None:
+    """sf-adaptive SemDeDup oracle (round 15): the same SQL with the
+    k-means CTE chain built at the adaptive K the Spark side derives
+    for THIS corpus. Valid through the FLAT-assignment window
+    (K < SEM_HIER_MIN_K, i.e. N < 128 * 64 ~ 8192 vectors -- covers
+    sf0.1's K=16); the hierarchical two-level routing is not
+    replicated, so return None past the threshold."""
+    from clueso_spark.plans.similarity_queries import _kmeans_ctes_for
+
+    k = _sem_k(table_row_count(sf_dir, "embeddings"))
+    if k >= SEM_HIER_MIN_K:
+        return None
+    return _sem_oracle(_kmeans_ctes_for(k))
+
+
+def _sem_oracle(kmeans_ctes: str | None = None) -> str:
     from clueso_spark.plans.similarity_queries import _KMEANS_CTES
 
+    if kmeans_ctes is None:
+        kmeans_ctes = _KMEANS_CTES
     return f"""
-with {_KMEANS_CTES},
+with {kmeans_ctes},
 m as (
   select a2.vec_id, a2.cid, n.v, n.sq
   from a2 join n on a2.vec_id = n.vec_id
@@ -1048,6 +1146,7 @@ from best where rk = 1
     _sem_oracle(),
     "dedup", "semantic", "kmeans", "llm-pipeline",
     oracle_valid=_sem_oracle_valid,
+    oracle_adaptive=_sem_adaptive_oracle,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.similarity_queries import _DOT, _emb, _lloyd_c1

@@ -376,15 +376,28 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_CLUSTERS = 4
 
+
+def _kmeans_ctes_for(k: int) -> str:
+    """The shared one-Lloyd-round CTE chain at an arbitrary FLAT K
+    (init = lowest vec_ids, assign, decimal-exact centroid update,
+    final assignment a2). ``_KMEANS_CTES`` below is this builder at
+    the K_CLUSTERS floor (the registered-oracle string); the round-15
+    sf-adaptive builders call it at the adaptive K while it stays
+    below HIER_MIN_K -- the hierarchical two-level assignment is NOT
+    replicated here, so adaptive builders must return None once K
+    crosses that threshold."""
+    return _KMEANS_CTES_TEMPLATE.format(K=k, DIM=DIM)
+
+
 #: shared CTE prefix: one Lloyd round (init = lowest vec_ids, assign,
 #: decimal-exact centroid update) + final assignment a2. Reused by the
 #: k-means report oracle and the IVF-over-kmeans ANN oracle.
-_KMEANS_CTES = f"""
+_KMEANS_CTES_TEMPLATE = """
 e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
            from embeddings),
 n as (select vec_id, v, list_dot_product(v, v) sq from e),
 c0 as (select vec_id as cid, v as c, sq as csq from n
-       where vec_id < {K_CLUSTERS}),
+       where vec_id < {K}),
 a1 as (
   select vec_id, v, sq, cid, dist from (
     select n.vec_id, n.v, n.sq, c0.cid,
@@ -419,6 +432,10 @@ a2 as (
            ) as rk
     from n cross join c1n) where rk = 1
 )"""
+
+#: the K_CLUSTERS-floor instantiation: the string every registered
+#: oracle embeds (the driver-gate contract)
+_KMEANS_CTES = _KMEANS_CTES_TEMPLATE.format(K=K_CLUSTERS, DIM=DIM)
 
 _KMEANS_ORACLE = f"""
 with {_KMEANS_CTES}
@@ -1515,6 +1532,23 @@ def _np_oracle_valid(sf_dir: str) -> bool:
     return adaptive_k(table_row_count(sf_dir, "embeddings")) == K_CLUSTERS
 
 
+def _np_adaptive_oracle(sf_dir: str) -> str | None:
+    """sf-adaptive nprobe-curve oracle (round 15): the same SQL with
+    the k-means CTE chain built at the adaptive K the Spark side
+    derives for THIS corpus. Valid through the FLAT-assignment window
+    (K < HIER_MIN_K, i.e. N < TARGET_CELL * HIER_MIN_K ~ 8192
+    vectors -- covers sf0.1's K=16); the hierarchical two-level
+    routing is not replicated, so return None past the threshold."""
+    from clueso_spark.sources.tables import table_row_count
+
+    k = adaptive_k(table_row_count(sf_dir, "embeddings"))
+    if k >= HIER_MIN_K:
+        return None
+    return NPROBE_ORACLE.format(
+        KMEANS_CTES=_kmeans_ctes_for(k), BRUTE=BRUTE_ORACLE
+    )
+
+
 @register(
     "sim_ivf_nprobe_curve",
     f"IVF tuning curve: recall@{TOP_K} vs nprobe in {NPROBE_STEPS} "
@@ -1532,6 +1566,7 @@ def _np_oracle_valid(sf_dir: str) -> bool:
     NPROBE_ORACLE.format(KMEANS_CTES=_KMEANS_CTES, BRUTE=BRUTE_ORACLE),
     "similarity", "ann", "ivf", "evaluation",
     oracle_valid=_np_oracle_valid,
+    oracle_adaptive=_np_adaptive_oracle,
 )
 def sim_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.sources.tables import table_row_count

@@ -818,15 +818,30 @@ def txt_quality_classifier_proxy(
 _CONT_TAU = 0.9  #: containment threshold
 
 
-def _containment_oracle() -> str:
-    from clueso_spark.plans.dedup_queries import _SIMHASH_SKETCH_SQL
+def _containment_oracle(capped: bool = False) -> str:
+    """``capped=False`` is the registered fixed-floor string (plain
+    self-join candidates, domain-guarded by the shared ngram guard);
+    ``capped=True`` replicates the Spark side's bucket-cap star
+    expansion so the adaptive builder stays valid at any bucket
+    population (round 15)."""
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _SIMHASH_SKETCH_SQL,
+        _capped_pairs_sql,
+    )
 
-    return f"""
-    with {_SIMHASH_SKETCH_SQL},
-    cand as (
+    if capped:
+        cand = _capped_pairs_sql(
+            "sk", "simhash", "doc_id", "doc_a", "doc_b", LSH_BUCKET_CAP
+        )
+    else:
+        cand = """cand as (
       select a.doc_id as doc_a, b.doc_id as doc_b
       from sk a join sk b on a.simhash = b.simhash and a.doc_id < b.doc_id
-    ),
+    )"""
+    return f"""
+    with {_SIMHASH_SKETCH_SQL},
+    {cand},
     s as (select doc_id, list_distinct(string_split(text, ' ')) as ws
           from documents),
     scored as (
@@ -852,6 +867,17 @@ def _containment_oracle_valid(sf_dir: str) -> bool:
     return _ngram_oracle_valid(sf_dir)
 
 
+def _containment_adaptive_oracle(sf_dir: str) -> str | None:
+    """Cap-replicating containment oracle (round 15): same condition
+    set as the ngram adaptive builders -- only the sketch-width floor
+    remains a domain bound."""
+    from clueso_spark.plans.dedup_queries import _ngram_bits_at_floor
+
+    if not _ngram_bits_at_floor(sf_dir):
+        return None
+    return _containment_oracle(capped=True)
+
+
 @_stage(
     "dedup_containment",
     "Containment near-dup pairs: adaptive-width word-set simhash block "
@@ -865,6 +891,7 @@ def _containment_oracle_valid(sf_dir: str) -> bool:
     _containment_oracle(),
     "dedup", "containment", "simhash",
     oracle_valid=_containment_oracle_valid,
+    oracle_adaptive=_containment_adaptive_oracle,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE (round-6 consolidation): the block construction below

@@ -115,6 +115,148 @@ def test_star_cap_adversary_matches_spark(spark, tmp_path):
     assert res.ok, res.detail
 
 
+def _doc_con(sf_dir: str):
+    con = duckdb.connect()
+    con.sql(
+        f"create view documents as "
+        f"select * from '{sf_dir.rstrip('/')}/documents.parquet'"
+    )
+    return con
+
+
+def _doc_corpus(tmp_path, family_size):
+    """The guard-test corpus shape: one mass-duplicated family (all
+    docs share one sketch bucket) + a few unique docs. Above
+    LSH_BUCKET_CAP the Spark side star-expands the family."""
+    import pandas as pd
+
+    texts = ["big family shared words" for _ in range(family_size)]
+    texts += [f"unique doc number {i} words extra" for i in range(6)]
+    pd.DataFrame(
+        {
+            "doc_id": list(range(len(texts))),
+            "lang": ["en"] * len(texts),
+            "source": ["src0"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+            "text": texts,
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+NGRAM_NAMES = [
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_containment",
+]
+
+
+@pytest.mark.parametrize("name", NGRAM_NAMES)
+def test_ngram_adaptive_oracle_matches_over_cap_family(spark, name,
+                                                       tmp_path):
+    """The ngram family's sf0.1 domain exit is the BUCKET CAP, not the
+    sketch width: a 300-member duplicate family exceeds
+    LSH_BUCKET_CAP = 256, the Spark side star-expands, and the
+    registered full-fanout oracle leaves its domain. The adaptive
+    builder replicates the star, so the over-cap corpus hash-verifies
+    (dedup_ngram_jaccard_pairs: 299 star pairs, not C(300,2))."""
+    from clueso_spark.plans.dedup_queries import LSH_BUCKET_CAP
+
+    sf = _doc_corpus(tmp_path, LSH_BUCKET_CAP + 44)
+    cq = all_queries()[name]
+    assert not cq.oracle_valid(sf)
+    sql = cq.oracle_adaptive(sf)
+    assert sql is not None
+    res = compare(name, cq.spark(spark, sf), sql, _doc_con(sf))
+    assert res.ok, (name, res.detail)
+    assert res.rows_spark > 0, name
+    if name == "dedup_ngram_jaccard_pairs":
+        assert res.rows_spark == LSH_BUCKET_CAP + 43  # star, not square
+
+
+@pytest.mark.parametrize("name", NGRAM_NAMES)
+def test_ngram_adaptive_equals_registered_under_cap(spark, name):
+    """At the driver gate's scale (all buckets under the cap) the
+    adaptive builder must reproduce the registered oracle's result
+    exactly."""
+    from clueso_spark.plans.parity import canonical_rows
+
+    sf = "/root/testdata/sf0.001"
+    cq = all_queries()[name]
+    assert cq.oracle_valid(sf)
+    con = _doc_con(sf)
+    a = con.sql(cq.oracle).df()
+    b = con.sql(cq.oracle_adaptive(sf)).df()
+    assert sorted(a.columns) == sorted(b.columns)
+    assert canonical_rows(a) == canonical_rows(b), name
+
+
+KMEANS_NAMES = ["dedup_semantic", "sim_ivf_nprobe_curve"]
+
+
+@pytest.mark.parametrize("name", KMEANS_NAMES)
+def test_kmeans_adaptive_oracle_above_floor_flat_window(spark, name,
+                                                        tmp_path):
+    """N=600 vectors -> adaptive K = 8 (above the K=4 floor, below the
+    hierarchical threshold 64): the registered fixed-K oracle is out
+    of domain, the K-parameterized flat CTE chain must hash-match the
+    Spark side."""
+    from clueso_spark.plans.similarity_queries import adaptive_k
+
+    vecs = [
+        [float(((i * 11 + j * 5) % 17) - 8) for j in range(DIM)]
+        for i in range(600)
+    ]
+    sf = _write_embeddings(tmp_path, vecs)
+    assert adaptive_k(600) == 8
+    cq = all_queries()[name]
+    assert not cq.oracle_valid(sf)
+    sql = cq.oracle_adaptive(sf)
+    assert sql is not None
+    res = compare(name, cq.spark(spark, sf), sql, _emb_con(sf))
+    assert res.ok, (name, res.detail)
+    assert res.rows_spark > 0, name
+
+
+def test_kmeans_adaptive_declines_in_hierarchical_regime(tmp_path):
+    """Honesty bound: past K >= 64 the Spark side routes through the
+    two-level hierarchical assignment, which the SQL replica does NOT
+    model -- the builders must return None (rows-only fallback), never
+    a silently-diverging oracle. 8192 vectors -> K = 64."""
+    from clueso_spark.plans.dedup_queries import _sem_adaptive_oracle
+    from clueso_spark.plans.similarity_queries import (
+        _np_adaptive_oracle,
+        adaptive_k,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8192
+    assert adaptive_k(n) == 64
+    # a metadata-only corpus is enough: the builders read row counts
+    # from the parquet footer, never the vectors
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"vec_id": i, "embedding": [0.0] * 4, "label": 0}
+                for i in range(n)
+            ],
+            schema=schema,
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    assert _sem_adaptive_oracle(str(tmp_path)) is None
+    assert _np_adaptive_oracle(str(tmp_path)) is None
+
+
 def test_run_catalog_prefers_adaptive_over_rows_only(spark, tmp_path,
                                                     monkeypatch):
     """Harness integration: out-of-domain + adaptive builder present ->
