@@ -1093,16 +1093,15 @@ def _sem_oracle_valid(sf_dir: str) -> bool:
 def _sem_adaptive_oracle(sf_dir: str) -> str | None:
     """sf-adaptive SemDeDup oracle (round 15): the same SQL with the
     k-means CTE chain built at the adaptive K the Spark side derives
-    for THIS corpus. Valid through the FLAT-assignment window
-    (K < SEM_HIER_MIN_K, i.e. N < 128 * 64 ~ 8192 vectors -- covers
-    sf0.1's K=16); the hierarchical two-level routing is not
-    replicated, so return None past the threshold."""
-    from clueso_spark.plans.similarity_queries import _kmeans_ctes_for
+    for THIS corpus -- flat through K < SEM_HIER_MIN_K (sf0.1's
+    K=16), two-level hierarchical at and above it (the same
+    kmeans_ctes_adaptive chain sim_ivf_nprobe_curve uses;
+    SEM_HIER_MIN_K == HIER_MIN_K and assign_nearest is the shared
+    implementation)."""
+    from clueso_spark.plans.similarity_queries import kmeans_ctes_adaptive
 
     k = _sem_k(table_row_count(sf_dir, "embeddings"))
-    if k >= SEM_HIER_MIN_K:
-        return None
-    return _sem_oracle(_kmeans_ctes_for(k))
+    return _sem_oracle(kmeans_ctes_adaptive(k))
 
 
 def _sem_oracle(kmeans_ctes: str | None = None) -> str:

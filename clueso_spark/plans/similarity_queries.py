@@ -437,6 +437,88 @@ a2 as (
 #: oracle embeds (the driver-gate contract)
 _KMEANS_CTES = _KMEANS_CTES_TEMPLATE.format(K=K_CLUSTERS, DIM=DIM)
 
+
+def _hier_assign_ctes(src_cents: str, prefix: str, g: int) -> str:
+    """DuckDB replica of :func:`assign_nearest`'s two-level routing for
+    the centroid relation ``src_cents`` (columns cid, c, csq): route
+    centroids and vectors to their nearest of the first ``g`` seeds,
+    then rank only the centroids of the matched super-cell. Emits
+    ``{prefix}_seeds`` / ``{prefix}_c2s`` / ``{prefix}_v2s`` /
+    ``{prefix}_a`` (vec_id, v, sq, cid, dist); tie-breaks (gid, cid)
+    mirror the Spark windows exactly."""
+    return f"""{prefix}_seeds as (
+  select cid as gid, c as gc, csq as gcsq from {src_cents} where cid < {g}
+),
+{prefix}_c2s as (
+  select gid, cid, c, csq from (
+    select s.gid, c.cid, c.c, c.csq,
+           row_number() over (
+             partition by c.cid
+             order by c.csq - 2 * list_dot_product(c.c, s.gc) + s.gcsq,
+                      s.gid) as grk
+    from {src_cents} c cross join {prefix}_seeds s) where grk = 1
+),
+{prefix}_v2s as (
+  select vec_id, v, sq, gid from (
+    select n.vec_id, n.v, n.sq, s.gid,
+           row_number() over (
+             partition by n.vec_id
+             order by n.sq - 2 * list_dot_product(n.v, s.gc) + s.gcsq,
+                      s.gid) as grk
+    from n cross join {prefix}_seeds s) where grk = 1
+),
+{prefix}_a as (
+  select vec_id, v, sq, cid, dist from (
+    select v.vec_id, v.v, v.sq, c.cid,
+           v.sq - 2 * list_dot_product(v.v, c.c) + c.csq as dist,
+           row_number() over (
+             partition by v.vec_id
+             order by v.sq - 2 * list_dot_product(v.v, c.c) + c.csq,
+                      c.cid) as rk
+    from {prefix}_v2s v join {prefix}_c2s c using (gid)) where rk = 1
+)"""
+
+
+def _kmeans_ctes_hier_for(k: int, g: int) -> str:
+    """The one-Lloyd-round chain with BOTH assignments routed through
+    the two-level hierarchy -- exactly what the Spark side runs once
+    K >= HIER_MIN_K (:func:`assign_nearest`). Same a1/a2 output shape
+    as the flat template, so every downstream oracle body composes
+    unchanged."""
+    return f"""
+e as (select vec_id, list_transform(embedding, x -> cast(x as double)) v
+           from embeddings),
+n as (select vec_id, v, list_dot_product(v, v) sq from e),
+c0 as (select vec_id as cid, v as c, sq as csq from n
+       where vec_id < {k}),
+{_hier_assign_ctes("c0", "h1", g)},
+a1 as (select vec_id, v, sq, cid, dist from h1_a),
+comp1 as (
+  select cid, i as pos, v[i] as x
+  from a1 cross join generate_series(1, {DIM}) as t(i)
+),
+m1 as (
+  select cid, pos,
+         cast(sum(cast(x as decimal(28,14))) as double) / count(*) as m
+  from comp1 group by cid, pos
+),
+c1 as (
+  select cid, list(m order by pos) as c from m1 group by cid
+),
+c1n as (select cid, c, list_dot_product(c, c) as csq from c1),
+{_hier_assign_ctes("c1n", "h2", g)},
+a2 as (select vec_id, cid, dist from h2_a)"""
+
+
+def kmeans_ctes_adaptive(k: int) -> str:
+    """The CTE chain matching what the Spark side runs at this K: flat
+    below HIER_MIN_K, hierarchical (g computed exactly as
+    :func:`assign_nearest` does) at or above it."""
+    if k < HIER_MIN_K:
+        return _kmeans_ctes_for(k)
+    g = 1 << max(1, math.ceil(math.log2(math.sqrt(k))))
+    return _kmeans_ctes_hier_for(k, g)
+
 _KMEANS_ORACLE = f"""
 with {_KMEANS_CTES}
 select cast(cid as bigint) as cluster_id,
@@ -1535,17 +1617,15 @@ def _np_oracle_valid(sf_dir: str) -> bool:
 def _np_adaptive_oracle(sf_dir: str) -> str | None:
     """sf-adaptive nprobe-curve oracle (round 15): the same SQL with
     the k-means CTE chain built at the adaptive K the Spark side
-    derives for THIS corpus. Valid through the FLAT-assignment window
-    (K < HIER_MIN_K, i.e. N < TARGET_CELL * HIER_MIN_K ~ 8192
-    vectors -- covers sf0.1's K=16); the hierarchical two-level
-    routing is not replicated, so return None past the threshold."""
+    derives for THIS corpus -- flat through K < HIER_MIN_K (sf0.1's
+    K=16), two-level hierarchical at and above it (the probe-to-cell
+    ranking in the oracle body stays flat, exactly as the Spark side
+    ranks its handful of probes against all K cells)."""
     from clueso_spark.sources.tables import table_row_count
 
     k = adaptive_k(table_row_count(sf_dir, "embeddings"))
-    if k >= HIER_MIN_K:
-        return None
     return NPROBE_ORACLE.format(
-        KMEANS_CTES=_kmeans_ctes_for(k), BRUTE=BRUTE_ORACLE
+        KMEANS_CTES=kmeans_ctes_adaptive(k), BRUTE=BRUTE_ORACLE
     )
 
 

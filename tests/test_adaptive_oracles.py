@@ -218,43 +218,41 @@ def test_kmeans_adaptive_oracle_above_floor_flat_window(spark, name,
     assert res.rows_spark > 0, name
 
 
-def test_kmeans_adaptive_declines_in_hierarchical_regime(tmp_path):
-    """Honesty bound: past K >= 64 the Spark side routes through the
-    two-level hierarchical assignment, which the SQL replica does NOT
-    model -- the builders must return None (rows-only fallback), never
-    a silently-diverging oracle. 8192 vectors -> K = 64."""
-    from clueso_spark.plans.dedup_queries import _sem_adaptive_oracle
-    from clueso_spark.plans.similarity_queries import (
-        _np_adaptive_oracle,
-        adaptive_k,
-    )
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+@pytest.fixture(scope="module")
+def hier_corpus(tmp_path_factory):
+    """8192 deterministic vectors -> adaptive K = 64 = HIER_MIN_K: the
+    Spark side routes BOTH Lloyd assignments through the two-level
+    hierarchy (g = 8 super seeds). Module-scoped: two queries share
+    the build."""
+    from clueso_spark.plans.similarity_queries import adaptive_k
 
     n = 8192
     assert adaptive_k(n) == 64
-    # a metadata-only corpus is enough: the builders read row counts
-    # from the parquet footer, never the vectors
-    schema = pa.schema(
-        [
-            ("vec_id", pa.int64()),
-            ("embedding", pa.list_(pa.float32())),
-            ("label", pa.int32()),
-        ]
-    )
-    pq.write_table(
-        pa.Table.from_pylist(
-            [
-                {"vec_id": i, "embedding": [0.0] * 4, "label": 0}
-                for i in range(n)
-            ],
-            schema=schema,
-        ),
-        str(tmp_path / "embeddings.parquet"),
-    )
-    assert _sem_adaptive_oracle(str(tmp_path)) is None
-    assert _np_adaptive_oracle(str(tmp_path)) is None
+    vecs = [
+        [float(((i * 13 + j * 7) % 29) - 14) for j in range(DIM)]
+        for i in range(n)
+    ]
+    return _write_embeddings(tmp_path_factory.mktemp("hier"), vecs)
+
+
+@pytest.mark.parametrize("name", KMEANS_NAMES)
+def test_kmeans_adaptive_oracle_hierarchical_regime(spark, name,
+                                                    hier_corpus):
+    """The deepest scale-path claim: at K >= HIER_MIN_K the Spark side
+    switches to the two-level coarse-quantizer routing
+    (assign_nearest), and the adaptive oracle replicates it --
+    seeds/centroid-routing/vector-routing/within-super-cell rank, with
+    the Spark windows' (gid, cid) tie-breaks -- so the hierarchical
+    branch hash-verifies end to end, not just the flat window."""
+    cq = all_queries()[name]
+    assert not cq.oracle_valid(hier_corpus)
+    sql = cq.oracle_adaptive(hier_corpus)
+    assert sql is not None
+    assert "_seeds" in sql  # the hierarchical chain, not the flat one
+    res = compare(name, cq.spark(spark, hier_corpus), sql,
+                  _emb_con(hier_corpus))
+    assert res.ok, (name, res.detail)
+    assert res.rows_spark > 0, name
 
 
 def test_run_catalog_prefers_adaptive_over_rows_only(spark, tmp_path,
