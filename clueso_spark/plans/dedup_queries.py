@@ -558,12 +558,13 @@ _NGRAM_GROUPS_TAIL = """,
     """
 
 
-def _ngram_pair_ctes_capped() -> str:
+def _ngram_pair_ctes_capped(bits: int = NGRAM_SKETCH_BITS) -> str:
     """The _NGRAM_PAIR_CTES candidate path with the bucket-cap star
-    expansion replicated (see :func:`_capped_pairs_sql`): candidate
-    generation matches the Spark side at ANY bucket population, so the
-    only remaining domain condition is the sketch-width floor."""
-    return f"""{_SIMHASH_SKETCH_SQL},
+    expansion replicated (see :func:`_capped_pairs_sql`) and the
+    sketch width parameterized (:func:`_simhash_sketch_sql`):
+    candidate generation matches the Spark side at ANY bucket
+    population and ANY corpus-derived width."""
+    return f"""{_simhash_sketch_sql(bits)},
 {_capped_pairs_sql("sk", "simhash", "doc_id", "doc_a", "doc_b", LSH_BUCKET_CAP)},
 s as (select doc_id, list_distinct(string_split(text, ' ')) ws
       from documents),
@@ -578,6 +579,51 @@ pairs as (
 )"""
 
 
+def _simhash_sketch_sql(bits: int = NGRAM_SKETCH_BITS) -> str:
+    """The ``words``/``sums``/``sk`` sketch CTEs at an ARBITRARY width,
+    mirroring :func:`_simhash_sketches` exactly: bit j's weight is the
+    sign of nibble j of the salted-md5 concatenation (md5(word) ||
+    md5('~'||word) || ...), so the sketch string is bit-for-bit
+    identical to the Spark side at any width the engine can produce.
+    The module-level ``_SIMHASH_SKETCH_SQL`` floor constant stays the
+    registered-oracle string; width parity is pinned at 32 and 48 bits
+    by tests/test_adaptive_oracles.py."""
+    n_md5 = -(-bits // 32)
+    if n_md5 > len(_SKETCH_SALTS):
+        raise ValueError(
+            f"sketch width {bits} > {32 * len(_SKETCH_SALTS)} bits"
+        )
+    digests = [
+        "md5(word)" if s == "" else f"md5('{s}' || word)"
+        for s in _SKETCH_SALTS[:n_md5]
+    ]
+    hx = digests[0] if n_md5 == 1 else " || ".join(digests)
+    sums = ", ".join(
+        f"sum(case when strpos('0123456789abcdef', "
+        f"substr({hx}, {j + 1}, 1)) - 1 >= 8 then 1 else -1 end) as s{j}"
+        for j in range(bits)
+    )
+    bitstr = (
+        "concat("
+        + ", ".join(
+            f"case when s{j} >= 0 then '1' else '0' end"
+            for j in range(bits)
+        )
+        + ")"
+    )
+    return f"""
+words as (
+  select distinct doc_id, unnest(string_split(text, ' ')) as word
+  from documents
+),
+sums as (
+  select doc_id, {sums}
+  from words group by doc_id
+),
+sk as (select doc_id, {bitstr} as simhash from sums)
+"""
+
+
 def _ngram_bits_at_floor(sf_dir: str) -> bool:
     return (
         _ngram_bits(table_row_count(sf_dir, "documents"))
@@ -585,23 +631,27 @@ def _ngram_bits_at_floor(sf_dir: str) -> bool:
     )
 
 
+def _ngram_adaptive_bits(sf_dir: str) -> int:
+    return _ngram_bits(table_row_count(sf_dir, "documents"))
+
+
 def _ngram_groups_adaptive_oracle(sf_dir: str) -> str | None:
     """sf-adaptive oracle for dedup_ngram_jaccard (round 15): the
     registered oracle's domain excludes over-cap buckets (its full
-    fan-out diverges from the Spark side's star expansion); this
-    builder replicates the cap, so the only remaining condition is the
-    sketch-width floor (~2 M docs -- sketch widening is not replicated
-    yet; return None past it)."""
-    if not _ngram_bits_at_floor(sf_dir):
-        return None
-    return f"with recursive {_ngram_pair_ctes_capped()}{_NGRAM_GROUPS_TAIL}"
+    fan-out diverges from the Spark side's star expansion) and the
+    16-bit sketch floor; this builder replicates the cap AND builds
+    the sketch at the adaptive width, so it stays in domain at any
+    corpus size the salted-digest family can sketch (128 bits)."""
+    return (
+        f"with recursive "
+        f"{_ngram_pair_ctes_capped(_ngram_adaptive_bits(sf_dir))}"
+        f"{_NGRAM_GROUPS_TAIL}"
+    )
 
 
 def _ngram_pairs_adaptive_oracle(sf_dir: str) -> str | None:
-    if not _ngram_bits_at_floor(sf_dir):
-        return None
     return (
-        f"with {_ngram_pair_ctes_capped()}\n"
+        f"with {_ngram_pair_ctes_capped(_ngram_adaptive_bits(sf_dir))}\n"
         f"select doc_a, doc_b, jaccard from pairs"
     )
 

@@ -818,16 +818,20 @@ def txt_quality_classifier_proxy(
 _CONT_TAU = 0.9  #: containment threshold
 
 
-def _containment_oracle(capped: bool = False) -> str:
+def _containment_oracle(
+    capped: bool = False, bits: int | None = None
+) -> str:
     """``capped=False`` is the registered fixed-floor string (plain
     self-join candidates, domain-guarded by the shared ngram guard);
     ``capped=True`` replicates the Spark side's bucket-cap star
-    expansion so the adaptive builder stays valid at any bucket
-    population (round 15)."""
+    expansion, and ``bits`` builds the sketch at the adaptive width,
+    so the adaptive builder stays valid at any bucket population and
+    corpus size (round 15)."""
     from clueso_spark.plans.dedup_queries import (
         LSH_BUCKET_CAP,
         _SIMHASH_SKETCH_SQL,
         _capped_pairs_sql,
+        _simhash_sketch_sql,
     )
 
     if capped:
@@ -839,8 +843,11 @@ def _containment_oracle(capped: bool = False) -> str:
       select a.doc_id as doc_a, b.doc_id as doc_b
       from sk a join sk b on a.simhash = b.simhash and a.doc_id < b.doc_id
     )"""
+    sketch = (
+        _SIMHASH_SKETCH_SQL if bits is None else _simhash_sketch_sql(bits)
+    )
     return f"""
-    with {_SIMHASH_SKETCH_SQL},
+    with {sketch},
     {cand},
     s as (select doc_id, list_distinct(string_split(text, ' ')) as ws
           from documents),
@@ -868,14 +875,14 @@ def _containment_oracle_valid(sf_dir: str) -> bool:
 
 
 def _containment_adaptive_oracle(sf_dir: str) -> str | None:
-    """Cap-replicating containment oracle (round 15): same condition
-    set as the ngram adaptive builders -- only the sketch-width floor
-    remains a domain bound."""
-    from clueso_spark.plans.dedup_queries import _ngram_bits_at_floor
+    """Cap-replicating, width-adaptive containment oracle (round 15):
+    same domain as the ngram adaptive builders -- any bucket
+    population, any corpus-derived sketch width."""
+    from clueso_spark.plans.dedup_queries import _ngram_adaptive_bits
 
-    if not _ngram_bits_at_floor(sf_dir):
-        return None
-    return _containment_oracle(capped=True)
+    return _containment_oracle(
+        capped=True, bits=_ngram_adaptive_bits(sf_dir)
+    )
 
 
 @_stage(

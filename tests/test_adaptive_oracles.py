@@ -191,6 +191,91 @@ def test_ngram_adaptive_equals_registered_under_cap(spark, name):
     assert canonical_rows(a) == canonical_rows(b), name
 
 
+@pytest.mark.parametrize("bits", [32, 48])
+def test_simhash_sketch_width_parity(spark, bits, tmp_path):
+    """The widened-sketch construction (salted-md5 concatenation past
+    one digest's 32 nibbles) is what the ngram family runs past ~2 M
+    docs; planting 2 M docs is not testable, but the ONLY thing that
+    changes with width is the sketch string itself -- so pin the
+    sketch bit-for-bit at 32 (one digest's full width) and 48 (two
+    salted digests) on a small corpus, Spark vs the parameterized
+    oracle CTEs. Composition above the sketch is width-independent
+    and covered end-to-end at 16 bits."""
+    from pyspark.sql import functions as F
+
+    from clueso_spark.plans.dedup_queries import (
+        _simhash_sketch_sql,
+        _simhash_sketches,
+    )
+
+    sf = _doc_corpus(tmp_path, 10)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_sketches(docs, bits).collect()
+    }
+    con = _doc_con(sf)
+    want = {
+        int(d): s
+        for d, s in con.sql(
+            f"with {_simhash_sketch_sql(bits)} "
+            f"select doc_id, simhash from sk"
+        ).fetchall()
+    }
+    assert got == want
+    assert all(len(s) == bits for s in got.values())
+
+
+def test_ngram_pairs_adaptive_sql_composes_at_wide_bits(spark, tmp_path):
+    """End-to-end at a WIDE width: compose the exact building blocks
+    dedup_ngram_jaccard_pairs runs (_simhash_sketches -> _bucket_pairs
+    -> word-set Jaccard verify) at bits=32 on Spark, and compare
+    against the adaptive pairs SQL built at bits=32 -- proving the
+    parameterized oracle composes correctly beyond the floor width,
+    not just that the sketch matches."""
+    from pyspark.sql import functions as F
+
+    from clueso_spark.plans.dedup_queries import (
+        LSH_BUCKET_CAP,
+        _NGRAM_GROUPS_TAIL,  # noqa: F401  (import sanity)
+        _bucket_pairs,
+        _ngram_pair_ctes_capped,
+        _simhash_sketches,
+    )
+
+    sf = _doc_corpus(tmp_path, 40)  # one 40-doc family + 6 unique
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    sets = docs.select("doc_id", F.array_distinct("w").alias("ws"))
+    sk = _simhash_sketches(
+        sets.select("doc_id", F.col("ws").alias("w")), bits=32
+    )
+    cand = _bucket_pairs(
+        sk, ["simhash"], "doc_id", "doc_a", "doc_b", cap=LSH_BUCKET_CAP
+    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("ws").alias("ws_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("ws").alias("ws_b"))
+    jac = F.size(F.array_intersect("ws_a", "ws_b")).cast("double") / F.size(
+        F.array_union("ws_a", "ws_b")
+    )
+    spark_pairs = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )
+    sql = (
+        f"with {_ngram_pair_ctes_capped(32)}\n"
+        f"select doc_a, doc_b, jaccard from pairs"
+    )
+    res = compare("pairs_bits32", spark_pairs, sql, _doc_con(sf))
+    assert res.ok, res.detail
+    assert res.rows_spark == 40 * 39 // 2  # the family, under the cap
+
+
 KMEANS_NAMES = ["dedup_semantic", "sim_ivf_nprobe_curve"]
 
 
