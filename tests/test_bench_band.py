@@ -130,6 +130,39 @@ def test_stateful_latest_variance_is_pinned(spark):
     )
 
 
+def test_report_line_carries_subject_provenance(tmp_path):
+    """round 15: the report's JSON line passes through the subject's
+    own load stamp and re-measured names, so a HIGH verdict reads next
+    to the conditions that produced it. Absent fields degrade to
+    {}/[] (older artifacts)."""
+    import subprocess
+
+    subject = tmp_path / "subject.json"
+    _write(
+        subject,
+        {
+            "queries": {"qa": 1.1},
+            "load": {"start": 0.5, "end": 9.0, "ncpu": 32},
+            "remeasured": ["qa"],
+        },
+    )
+    out = subprocess.run(
+        [sys.executable, bench_band.__file__, "--subject", str(subject)],
+        capture_output=True, text=True, check=True,
+    )
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["load"] == {"start": 0.5, "end": 9.0, "ncpu": 32}
+    assert line["remeasured"] == ["qa"]
+    # an artifact without the round-15 fields still grades
+    _write(subject, {"queries": {"qa": 1.1}})
+    out = subprocess.run(
+        [sys.executable, bench_band.__file__, "--subject", str(subject)],
+        capture_output=True, text=True, check=True,
+    )
+    line = json.loads(out.stdout.strip().splitlines()[-1])
+    assert line["load"] == {} and line["remeasured"] == []
+
+
 def test_live_repo_report_runs():
     """Smoke over the real committed artifacts: every canonical-run
     query must grade (the committed canonical run is itself archived

@@ -116,10 +116,18 @@ def main() -> int:
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
-    subject = _readings_from(json.load(open(args.subject)))
+    payload = json.load(open(args.subject))
+    subject = _readings_from(payload)
     if not subject:
         print("bench_band: subject has no per-query readings", file=sys.stderr)
         return 2
+    # provenance passthrough (round 15): the subject's own host-load
+    # stamp and re-measured names, so a HIGH verdict is readable next
+    # to the conditions that produced it without opening the artifact
+    if "parsed" in payload and isinstance(payload["parsed"], dict):
+        payload = payload["parsed"]
+    load = payload.get("load") or {}
+    remeasured = payload.get("remeasured") or []
     hist = collect_history(args.subject)
     graded = grade(subject, hist, args.pad_frac, args.pad_abs)
 
@@ -139,6 +147,8 @@ def main() -> int:
                 "high": sorted(
                     n for n, g in graded.items() if g["verdict"] == "HIGH"
                 ),
+                "load": load,
+                "remeasured": remeasured,
             },
             separators=(",", ":"),
         )
