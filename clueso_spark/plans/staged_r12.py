@@ -2990,46 +2990,51 @@ def _kmv_state_fn(key, pdf_iter, state):
 def st_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from clueso_spark.plans.streaming_queries import events_stream
+    from clueso_spark.plans.streaming_queries import (
+        events_stream,
+        run_on_state_sized_session,
+    )
 
-    stream = (
-        events_stream(spark, sf_dir)
-        .where(F.col("event_type").isin("click", "purchase"))
-        .select(
-            F.when(F.col("event_type") == "click", "a")
-            .otherwise("b")
-            .alias("cohort"),
-            F.concat_ws(":", F.col("user_id"), _day()).alias("item"),
+    # TWO state keys (cohorts a/b) on session-default partitioning paid
+    # for 32 state partitions' worth of Python-worker spin-up -- the
+    # exact per-query reading the r14 verdict flagged as bimodal (4.24 s
+    # driver vs 2.15 s canonical). Input-sized state partitions via the
+    # cloned session; the bottom-k fold is associative, so output is
+    # partitioning-independent.
+    def plan(s: SparkSession) -> DataFrame:
+        stream = (
+            events_stream(s, sf_dir)
+            .where(F.col("event_type").isin("click", "purchase"))
+            .select(
+                F.when(F.col("event_type") == "click", "a")
+                .otherwise("b")
+                .alias("cohort"),
+                F.concat_ws(":", F.col("user_id"), _day()).alias("item"),
+            )
         )
+        out_schema = (
+            "cohort string, n_sketch bigint, h_k bigint, "
+            "est_distinct bigint, n_seen bigint"
+        )
+        state_schema = "entries string, seen bigint"
+        return stream.groupBy("cohort").applyInPandasWithState(
+            _kmv_state_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    sunk = run_on_state_sized_session(
+        spark, sf_dir, plan, "st_kmv_distinct_sketch_sink",
+        output_mode="update",
     )
-    out_schema = (
-        "cohort string, n_sketch bigint, h_k bigint, "
-        "est_distinct bigint, n_seen bigint"
-    )
-    state_schema = "entries string, seen bigint"
-    sketched = stream.groupBy("cohort").applyInPandasWithState(
-        _kmv_state_fn,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    sink_name = "st_kmv_distinct_sketch_sink"
-    query = (
-        sketched.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
     # update-mode sink keeps one row per cohort per micro-batch; the
     # final state is the row with the largest rows-seen counter
     # (monotone across batches by construction)
     w = Window.partitionBy("cohort").orderBy(F.col("n_seen").desc())
     return (
-        spark.table(sink_name)
-        .withColumn("_rn", F.row_number().over(w))
+        sunk.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("cohort", "n_sketch", "h_k", "est_distinct")
     )
