@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import STOPWORDS, tokens, word_shingles
 from clueso_spark.plans.catalog import persist_swap, register
-from clueso_spark.sources.tables import load_table, table_row_count
+from clueso_spark.sources.tables import (
+    load_table,
+    load_table_spread,
+    table_row_count,
+)
 
 N_BANDS = 8
 
@@ -173,13 +177,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure Column algebra (array_distinct / transform / array_min) -- NO
     # shuffle happens until the candidate equi-join itself. At 100 TB this
     # is one narrow scan followed by one keyed shuffle on (band, sig).
-    # single-file local scans get 1 task; spread the (interpreted,
-    # HOF-heavy) shingle+hash projection across all cores. On a real
-    # cluster the scan already has one split per 128 MB and this
-    # repartition coalesces away under AQE.
+    # single-file local scans get 1 task; load_table_spread spreads
+    # the (interpreted, HOF-heavy) shingle+hash projection across all
+    # cores, and skips the shuffle where the scan is already wide.
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     return minhash_pairs(spark, docs)
@@ -498,10 +500,10 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact word-set Jaccard >= 0.8 inside each bucket."""
     bits = _ngram_bits(table_row_count(sf_dir, "documents"))
     # spread the interpreted HOF-heavy sketch + word-set projections
-    # across cores on single-file local scans (cluster: AQE no-ops it)
+    # across cores on single-file local scans (input-adaptive: no
+    # shuffle once the scan itself is wide)
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     # THREE consumers read the distinct word sets (the sketch branch and

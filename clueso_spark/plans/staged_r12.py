@@ -100,7 +100,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from clueso_spark.plans.catalog import CatalogQuery, persist_swap
-from clueso_spark.sources.tables import load_table
+from clueso_spark.sources.tables import load_table, load_table_spread
 
 STAGED: dict[str, CatalogQuery] = {}
 
@@ -660,8 +660,7 @@ def dedup_minhash_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.dedup_queries import minhash_band_sigs
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     sets = docs.where(F.size("w") >= 3).select(
@@ -1056,8 +1055,7 @@ def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.text import tokens
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     adj = docs.select(
@@ -1818,8 +1816,7 @@ def dedup_lsh_relative_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     sets = persist_swap(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from clueso_spark.functions.text import STOPWORDS, stopword_count, tokens
 from clueso_spark.plans.catalog import CatalogQuery
-from clueso_spark.sources.tables import load_table
+from clueso_spark.sources.tables import load_table, load_table_spread
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -919,8 +919,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bits = _ngram_bits(table_row_count(sf_dir, "documents"))
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     # three consumers (sketch branch, both verify sides) read the
@@ -1621,8 +1620,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.text import word_shingles
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     pct = (
@@ -1733,8 +1731,7 @@ def txt_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.catalog import persist_swap
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     bg = (
@@ -1833,8 +1830,7 @@ def pipeline_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     pairs = minhash_pairs(spark, docs, slot="cluster_stats_sets").select(

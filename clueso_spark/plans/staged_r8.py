@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 from clueso_spark.functions.text import STOPWORDS, tokens
 from clueso_spark.plans.catalog import CatalogQuery, persist_swap
 from clueso_spark.plans.staged_r6 import _l2
-from clueso_spark.sources.tables import load_table
+from clueso_spark.sources.tables import load_table, load_table_spread
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -657,8 +657,7 @@ def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.dedup_queries import minhash_pairs
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     pairs = persist_swap(
@@ -1092,8 +1091,7 @@ def txt_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.functions.text import STOPWORDS
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("ws", tokens())
     )
     w = docs.select(

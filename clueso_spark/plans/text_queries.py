@@ -23,7 +23,7 @@ from clueso_spark.functions.text import (
     word_shingles,
 )
 from clueso_spark.plans.catalog import persist_swap as _persist_swap, register
-from clueso_spark.sources.tables import load_table
+from clueso_spark.sources.tables import load_table, load_table_spread
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -447,11 +447,10 @@ from s
 )
 def txt_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file local scans get 1 task; spread the O(len^2/doc)
-    # array-algebra projection across cores (cluster scans arrive
-    # pre-split; AQE coalesces the repartition away there)
+    # array-algebra projection across cores (input-adaptive: a wide
+    # cluster scan skips the shuffle)
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     g = docs.select(
@@ -556,8 +555,7 @@ def pipeline_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc gram+md5 projection; spread single-file local scans across
     # cores so no branch serializes on one task
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     pct = (
@@ -1459,8 +1457,7 @@ def pipeline_pretraining_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clueso_spark.plans.dedup_queries import minhash_pairs
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        load_table_spread(spark, sf_dir, "documents")
         .withColumn("w", tokens())
     )
     pct = (

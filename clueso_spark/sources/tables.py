@@ -39,6 +39,67 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _size_suffix_bytes(conf_val: str) -> int:
+    """Parse a Spark byte-size conf value ("1m", "128MB", "134217728")."""
+    s = conf_val.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    if s and s[-1] in "kmgt":
+        mult = 1 << (10 * ("kmgt".index(s[-1]) + 1))
+        s = s[:-1]
+    return int(s) * mult
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of a testdata table, directory-layout aware (a
+    Spark directory-style parquet's inode getsize is ~4 KB and would
+    otherwise collapse any input-sized policy -- ADVICE r14)."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _dirs, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def load_table_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table``, round-robin repartitioned to the session's core
+    count ONLY when the parquet scan cannot reach that parallelism by
+    itself (estimated splits = ceil(bytes / maxPartitionBytes)).
+
+    The compute-heavy narrow projections over ``documents`` (HOF
+    shingle/token algebra) need every core, but the corpus at small SF
+    is a single ~0.5 MB file: under any maxPartitionBytes it scans as
+    a handful of tasks, so a repartition is the only way to spread the
+    interpreted per-row work. At 100 TB the same scan arrives as
+    bytes/128 MB >> cores splits, and the old unconditional
+    ``repartition(defaultParallelism)`` became a full-corpus extra
+    shuffle of raw text (AQE coalesces an explicit-N round-robin's
+    partition COUNT at best; it never removes the exchange). Deciding
+    from input size keeps the local plan byte-identical and drops the
+    shuffle exactly where it hurts (guide §2.1: remove shuffles
+    outright; §2.5: derive partitioning from input size, not a
+    constant tuned for one deployment)."""
+    df = load_table(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    max_split = _size_suffix_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est_splits = -(-table_bytes(sf_dir, name) // max(1, max_split))
+    if est_splits < par:
+        df = df.repartition(par)
+    return df
+
+
 def _normalize_ts(spark: SparkSession, df: DataFrame, *cols: str) -> DataFrame:
     """Normalize events.ts to TIMESTAMP (instant) across testdata
     generations:
