@@ -149,15 +149,27 @@ def _bpe_top_pair(pairs: DataFrame) -> DataFrame:
 
 
 _BPE_APPLY = """
-aggregate(
-  t,
-  cast(array() as array<string>),
-  (acc, x) -> case
-    when size(acc) > 0 and element_at(acc, -1) = l and x = r
-         then concat(slice(acc, 1, size(acc) - 1),
-                     array(concat(l, '_', r)))
-    else concat(acc, array(x)) end)
+filter(
+  split(
+    replace(concat(' ', replace(array_join(t, ' '), ' ', '  '), ' '),
+            concat(' ', l, '  ', r, ' '),
+            concat(' ', l, '_', r, ' ')),
+    ' '),
+  x -> x <> '')
 """
+# The doubled-space replace IS the greedy left-to-right fold: doubling
+# the delimiters makes consecutive disjoint (l, r) occurrences stop
+# sharing a space, so a standard non-overlapping left-to-right
+# replace() consumes exactly the adjacencies the fold merges ("a a a a"
+# twice, "a a a" once) -- the identical construction (and equivalence
+# argument, exercised on consecutive-pair adversaries by the hypothesis
+# suite) the DuckDB oracle below has used since the op was staged. The
+# previous formulation was a literal aggregate() fold with a
+# last-element guard; semantically the same, but the per-token
+# ``concat(acc, array(x))`` copies the accumulator each step -- an
+# O(len^2) interpreted fold per document per merge round, which
+# profiling showed dominated the query (r15-opt). The replace pipeline
+# is O(len), whole-stage-codegen-friendly string work.
 
 
 def _bpe_oracle() -> str:
