@@ -99,7 +99,7 @@ def promote() -> None:
 # Greedy left-to-right application (standard BPE): scanning tokens in
 # order, a (L, R) adjacency merges iff the L was not itself just
 # consumed by the previous merge -- "a a a a" merges twice, "a a a"
-# once. Spark expresses that as ONE aggregate() fold per document
+# once. Spark expresses that as ONE linear replace per document
 # (the merged token is "L_R", a string no raw token equals, so the
 # fold's last-element guard is exact). The oracle reproduces the same
 # greedy semantics with a doubled-space string replace: doubling
@@ -225,12 +225,12 @@ t{i} as (
     "plan-unrolled merge rounds: per round, count adjacent token "
     "pairs (ONE vocabulary-keyed shuffle), take the most frequent "
     "pair (count desc, pair asc; 1-row broadcast), apply it "
-    "corpus-wide with a greedy left-to-right aggregate() fold "
-    "(map-only), recount. Output per round: the merged pair, its "
-    "pre-merge frequency, and the corpus token count after "
-    "application -- exact integers. Oracle replicates the greedy "
-    "fold with a doubled-space replace (proven equivalent on "
-    "consecutive-pair adversaries).",
+    "corpus-wide with the greedy left-to-right merge as a linear "
+    "doubled-space replace (map-only, proven equivalent to the "
+    "per-token fold on consecutive-pair adversaries), recount. "
+    "Output per round: the merged pair, its pre-merge frequency, and "
+    "the corpus token count after application -- exact integers. "
+    "Oracle uses the identical doubled-space construction.",
     _bpe_oracle(),
     "text", "bpe", "iterative", "tokenizer",
 )
