@@ -494,11 +494,17 @@ def main() -> int:
     def run(name: str) -> float:
         # time construction + materialization: for lazy queries the build
         # is ms of plan assembly, but iterative queries (connected
-        # components) execute their driver loop during construction
-        t0 = time.perf_counter()
-        df = registry[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        # components) execute their driver loop during construction.
+        # Label the jobs (guide §1.2) so a UI/REST scrape of a bench run
+        # attributes every stage to its query.
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        try:
+            t0 = time.perf_counter()
+            df = registry[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     # PINNED warm-up (not names[0], so reordering the headline list never
     # changes what gets warmed): q1 touches the JVM, parquet footers,
