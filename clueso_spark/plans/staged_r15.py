@@ -468,12 +468,13 @@ def ev_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # uniform enough for corpus generation (same discipline as the
 # catalog's other md5-derived pseudo-randomness).
 #
-# 100 TB: the neighbor-array frame is ONE keyed collect per node
-# (degree-bounded by construction: the co-purchase graph caps fanout
-# at the customer/supplier join), persisted once; each of the 3
-# unrolled steps is one equi-join of the walk frontier against it --
-# the same per-round shuffle the iterative graph ops pay. Walks never
-# leave the frame driver-side.
+# 100 TB: the neighbor index is ONE keyed window pass over the edge
+# list (sorted position + degree computed together on the same
+# partition key), persisted once; each of the 3 unrolled steps is one
+# equi-join of the walk frontier against it on u alone, with the
+# md5-pick applied as a residual join condition -- the same per-round
+# shuffle the iterative graph ops pay, with no separate degree-lookup
+# join. Walks never leave the frame driver-side.
 # ---------------------------------------------------------------------------
 
 _WALK_STEPS = 3
@@ -542,24 +543,39 @@ def graph_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(e0.select(F.col("s").alias("u"), F.col("c").alias("v")))
     # indexed-edge layout instead of per-node neighbor ARRAYS: the
     # sorted-neighbor position becomes a row_number, so each walk step
-    # is a scalar (u, idx) equi-join -- no wide array columns ever
-    # cross a shuffle (at 100 TB a hot node's array would not even fit
-    # a row; the indexed layout spreads it across rows).
+    # is a scalar equi-join -- no wide array columns ever cross a
+    # shuffle (at 100 TB a hot node's array would not even fit a row;
+    # the indexed layout spreads it across rows). The node degree rides
+    # ON the edge row (count over the SAME partition key -- one Window
+    # pass, zero extra exchanges), so each step needs no separate
+    # degree lookup: frontier joins the edge list ONCE, on u alone,
+    # and the md5-pick selects the matching neighbor row as a residual
+    # join condition (idx = 1 + hash % deg) evaluated inside the join.
     ew = Window.partitionBy("u").orderBy("v")
+    ed = Window.partitionBy("u")
     eidx = edges.select(
-        "u", "v", F.row_number().over(ew).cast("bigint").alias("idx")
+        "u",
+        "v",
+        F.row_number().over(ew).cast("bigint").alias("idx"),
+        F.count("*").over(ed).cast("bigint").alias("deg"),
     )
     eidx = persist_swap(spark, "walk_eidx", eidx)
-    deg = eidx.groupBy("u").agg(F.max("idx").alias("deg"))
-    deg = persist_swap(spark, "walk_deg", deg)
 
-    frontier = deg.select(
+    # one walk per node: the idx=1 edge row is exactly one row per u
+    # (no aggregate needed to enumerate the node set)
+    frontier = eidx.where(F.col("idx") == 1).select(
         F.col("u").alias("walk_id"),
         F.lit(0).cast("bigint").alias("step"),
         F.col("u").alias("node"),
     )
     out = frontier
     for i in range(1, _WALK_STEPS + 1):
+        step_edges = eidx.select(
+            F.col("u").alias("eu"),
+            F.col("v").alias("ev"),
+            F.col("idx").alias("eidx"),
+            F.col("deg").alias("edeg"),
+        )
         pick = (
             F.lit(1)
             + F.conv(
@@ -577,19 +593,12 @@ def graph_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("bigint")
-            % F.col("deg")
+            % F.col("edeg")
         )
         nxt = (
-            frontier.join(deg, F.col("u") == F.col("node"))
-            .select("walk_id", pick.alias("pick"), "node")
-            .join(
-                eidx.select(
-                    F.col("u").alias("eu"),
-                    F.col("idx").alias("eidx"),
-                    F.col("v").alias("ev"),
-                ),
-                (F.col("eu") == F.col("node"))
-                & (F.col("eidx") == F.col("pick")),
+            frontier.join(
+                step_edges,
+                (F.col("eu") == F.col("node")) & (F.col("eidx") == pick),
             )
             .select(
                 "walk_id",
