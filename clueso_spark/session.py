@@ -47,6 +47,23 @@ def s3a_conf(
     }
 
 
+def env_extra_conf(env: dict[str, str] | None = None) -> dict[str, str]:
+    """Parse ``SPARK_GRAFT_EXTRA_CONF`` (semicolon-separated ``k=v``
+    pairs, e.g. ``spark.a=1;spark.b=2``) into a conf dict. Malformed
+    fragments (no ``=``) are ignored; whitespace around keys/values is
+    stripped."""
+    raw = (env if env is not None else os.environ).get(
+        "SPARK_GRAFT_EXTRA_CONF", ""
+    )
+    out: dict[str, str] = {}
+    for pair in raw.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            if k.strip():
+                out[k.strip()] = v.strip()
+    return out
+
+
 def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -102,6 +119,13 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
     )
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+    # deployment/experiment conf passthrough: lets an operator or an
+    # A/B harness override any session setting without code churn,
+    # keeping scale-dependent tuning parameterised rather than
+    # hard-coded. Applied before programmatic extra_conf, which stays
+    # the last word for in-repo callers.
+    for k, v in env_extra_conf().items():
+        builder = builder.config(k, v)
     for k, v in extra_conf.items():
         builder = builder.config(k.replace("__", "."), v)
     return builder.getOrCreate()

@@ -55,3 +55,27 @@ def test_build_engine_and_metrics(spark, tmp_path):
     assert executor.metrics.graphite_lines()[0].startswith("search_metadata.")
     # explain capture (ref: MetadataQueryExecutor.scala:88-92)
     assert executor.last_explain and "Physical Plan" in executor.last_explain
+
+
+def test_env_extra_conf_parsing():
+    """SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs reach the
+    session builder; malformed fragments and blanks are ignored."""
+    from clueso_spark.session import env_extra_conf
+
+    assert env_extra_conf(env={}) == {}
+    assert env_extra_conf(env={"SPARK_GRAFT_EXTRA_CONF": ""}) == {}
+    assert env_extra_conf(
+        env={
+            "SPARK_GRAFT_EXTRA_CONF": (
+                "spark.sql.join.preferSortMergeJoin=false; "
+                "spark.io.compression.codec = zstd ;junk;=alsojunk"
+            )
+        }
+    ) == {
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.io.compression.codec": "zstd",
+    }
+    # values may themselves contain '=' (split once on the first)
+    assert env_extra_conf(
+        env={"SPARK_GRAFT_EXTRA_CONF": "spark.x=a=b"}
+    ) == {"spark.x": "a=b"}
