@@ -545,36 +545,56 @@ def graph_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sorted-neighbor position becomes a row_number, so each walk step
     # is a scalar equi-join -- no wide array columns ever cross a
     # shuffle (at 100 TB a hot node's array would not even fit a row;
-    # the indexed layout spreads it across rows). The node degree rides
-    # ON the edge row (count over the SAME partition key -- one Window
-    # pass, zero extra exchanges), so each step needs no separate
-    # degree lookup: frontier joins the edge list ONCE, on u alone,
-    # and the md5-pick selects the matching neighbor row as a residual
-    # join condition (idx = 1 + hash % deg) evaluated inside the join.
+    # the indexed layout spreads it across rows). The edge row carries
+    # BOTH endpoint degrees: deg(u) from a count over the same
+    # partition key as the neighbor index (free), and deg(v) from one
+    # extra v-keyed window at build time (ADVICE r15). Carrying deg(v)
+    # lets each step's frontier row know the degree of the node it
+    # stands on, so the md5-pick (idx = 1 + hash % deg) is computed on
+    # the FRONTIER side and the step join is a true TWO-KEY equi-join
+    # on (u, idx) -- an exact lookup. With the pick as a residual
+    # condition instead (the r15 shape), Spark joined on u alone and
+    # scanned every edge row in the key group per walker: O(deg(u))
+    # work concentrated in one task at a hot node, the within-key skew
+    # AQE cannot split. The (u, idx) hash spreads a hot node's edge
+    # rows and its walkers across partitions -- one build-time exchange
+    # buys per-step skew immunity.
+    # the persisted index is repartitioned on the FULL step-join key
+    # pair (u, idx) once at build: every step join then reuses the
+    # stored partitioning for the edge side (partitioned on all join
+    # keys), so only the walker-sized frontier shuffles per step --
+    # never the edge index -- and a hot node's edge rows spread across
+    # partitions by (u, idx) instead of landing in one task
     ew = Window.partitionBy("u").orderBy("v")
     ed = Window.partitionBy("u")
-    eidx = edges.select(
+    evd = Window.partitionBy("v")
+    eidx = edges.withColumn(
+        "vdeg", F.count("*").over(evd).cast("bigint")
+    ).select(
         "u",
         "v",
         F.row_number().over(ew).cast("bigint").alias("idx"),
         F.count("*").over(ed).cast("bigint").alias("deg"),
-    )
+        "vdeg",
+    ).repartition("u", "idx").sortWithinPartitions("u", "idx")
     eidx = persist_swap(spark, "walk_eidx", eidx)
 
     # one walk per node: the idx=1 edge row is exactly one row per u
-    # (no aggregate needed to enumerate the node set)
+    # (no aggregate needed to enumerate the node set); it also carries
+    # the node's degree for the first pick
     frontier = eidx.where(F.col("idx") == 1).select(
         F.col("u").alias("walk_id"),
         F.lit(0).cast("bigint").alias("step"),
         F.col("u").alias("node"),
+        F.col("deg").alias("ndeg"),
     )
-    out = frontier
+    out = frontier.select("walk_id", "step", "node")
     for i in range(1, _WALK_STEPS + 1):
         step_edges = eidx.select(
             F.col("u").alias("eu"),
             F.col("v").alias("ev"),
             F.col("idx").alias("eidx"),
-            F.col("deg").alias("edeg"),
+            F.col("vdeg").alias("evdeg"),
         )
         pick = (
             F.lit(1)
@@ -593,21 +613,24 @@ def graph_randomwalk_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("bigint")
-            % F.col("edeg")
+            % F.col("ndeg")
         )
         nxt = (
-            frontier.join(
+            frontier.withColumn("pick", pick)
+            .join(
                 step_edges,
-                (F.col("eu") == F.col("node")) & (F.col("eidx") == pick),
+                (F.col("eu") == F.col("node"))
+                & (F.col("eidx") == F.col("pick")),
             )
             .select(
                 "walk_id",
                 F.lit(i).cast("bigint").alias("step"),
                 F.col("ev").alias("node"),
+                F.col("evdeg").alias("ndeg"),
             )
         )
         nxt = persist_swap(spark, f"walk_step_{i}", nxt)
-        out = out.unionByName(nxt)
+        out = out.unionByName(nxt.select("walk_id", "step", "node"))
         frontier = nxt
     return out
 

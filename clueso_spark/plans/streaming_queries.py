@@ -111,26 +111,19 @@ def stream_state_partitions(spark: SparkSession, sf_dir: str) -> int:
     input term exceeds any sane cluster setting, so the cap wins,
     which is exactly where the operator should land on a real
     cluster."""
-    import os
+    from clueso_spark.sources.tables import table_bytes
 
-    path = f"{sf_dir.rstrip('/')}/events.parquet"
-    try:
-        if os.path.isdir(path):
-            # Spark directory-style parquet (e.g. a scaling-curve
-            # build): the inode's ~4 KB getsize would silently collapse
-            # the input-sized policy to the 4-partition floor (ADVICE
-            # r14). Sum the data files, skipping _SUCCESS/. markers.
-            size = sum(
-                os.path.getsize(os.path.join(root, f))
-                for root, _dirs, files in os.walk(path)
-                for f in files
-                if not f.startswith(("_", "."))
-            )
-        else:
-            size = os.path.getsize(path)
-    except OSError:
-        size = 0
+    # directory-layout-aware local sizing; None = UNKNOWN (an s3a://
+    # style path os.path cannot stat, or an OSError). Unknown must NOT
+    # collapse to the 4-partition floor: at 100 TB on an object store
+    # that would drastically under-partition streaming state, the exact
+    # deployment the input term exists for (VERDICT r15 perf-weak fix).
+    # Unknown means "assume big" -- the session cap wins, which is where
+    # a real cluster should land anyway.
+    size = table_bytes(sf_dir, "events")
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if size is None:
+        return max(4, session)
     return max(4, min(session, (size + (32 << 20) - 1) // (32 << 20)))
 
 

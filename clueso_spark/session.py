@@ -124,8 +124,34 @@ def get_spark(app_name: str = "clueso-spark", **extra_conf: str) -> SparkSession
     # keeping scale-dependent tuning parameterised rather than
     # hard-coded. Applied before programmatic extra_conf, which stays
     # the last word for in-repo callers.
-    for k, v in env_extra_conf().items():
+    env_conf = env_extra_conf()
+    for k, v in env_conf.items():
         builder = builder.config(k, v)
     for k, v in extra_conf.items():
         builder = builder.config(k.replace("__", "."), v)
-    return builder.getOrCreate()
+    existing = (
+        SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    )
+    spark = builder.getOrCreate()
+    # getOrCreate() on an EXISTING session applies only runtime-
+    # modifiable SQL confs; static SQL confs and core (non-SQL) confs
+    # land in the conf MAP (conf.get shows the new value) but never
+    # reach the already-running JVM/scheduler -- silently inert. For a
+    # knob meant to drive A/B experiments that corrupts the comparison
+    # (both arms run the same effective conf), so warn per ignored key
+    # (ADVICE r15). conf.isModifiable is the authoritative test; value
+    # comparison cannot detect this (verified: an inert core conf still
+    # reads back as the requested value).
+    if existing is not None and spark is existing:
+        for k, v in env_conf.items():
+            if not spark.conf.isModifiable(k):
+                import warnings
+
+                warnings.warn(
+                    f"SPARK_GRAFT_EXTRA_CONF {k}={v} cannot take effect "
+                    "on the already-running SparkSession (static/core "
+                    "conf); restart the process for it to apply",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+    return spark

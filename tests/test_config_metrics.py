@@ -79,3 +79,28 @@ def test_env_extra_conf_parsing():
     assert env_extra_conf(
         env={"SPARK_GRAFT_EXTRA_CONF": "spark.x=a=b"}
     ) == {"spark.x": "a=b"}
+
+
+def test_env_extra_conf_warns_when_existing_session_ignores(
+    spark, monkeypatch
+):
+    """ADVICE r15: getOrCreate() on an existing session silently drops
+    builder confs; an env override meant for an A/B must WARN when it
+    did not take effect, or the experiment runs both arms identically."""
+    import warnings
+
+    from clueso_spark.session import get_spark
+
+    # a STATIC conf an existing session cannot apply at runtime
+    monkeypatch.setenv(
+        "SPARK_GRAFT_EXTRA_CONF", "spark.executor.memoryOverheadFactor=0.42"
+    )
+    with warnings.catch_warnings(record=True) as seen:
+        warnings.simplefilter("always")
+        got = get_spark("env-conf-warn-probe")
+    assert got is spark or got.sparkContext is spark.sparkContext
+    assert any(
+        "memoryOverheadFactor" in str(w.message)
+        and issubclass(w.category, RuntimeWarning)
+        for w in seen
+    ), [str(w.message) for w in seen]

