@@ -2156,8 +2156,19 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = e0.select(F.col("c").alias("u"), F.col("s").alias("v")).unionByName(
-        e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
+    from clueso_spark.plans.catalog import persist_swap
+
+    # pinned PRE-PARTITIONED on u: the degree aggregate and the
+    # edge-degree join run exchange-free on the cached partitioning,
+    # and every rank round's probe join reuses it too -- without the
+    # pin each round re-derived the whole edge subtree from the base
+    # tables (6 parquet scans for 3 rounds)
+    edges = persist_swap(
+        spark,
+        "pr_edges",
+        e0.select(F.col("c").alias("u"), F.col("s").alias("v"))
+        .unionByName(e0.select(F.col("s").alias("u"), F.col("c").alias("v")))
+        .repartition("u"),
     )
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     nn = deg.agg(F.count("*").alias("n"))
@@ -2165,7 +2176,12 @@ def graph_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = deg.crossJoin(base).select(
         "u", F.expr(f"{PR_SCALE} div n").alias("r")
     )
-    ed = edges.join(deg, "u")  # (u, v, d)
+    # (u, v, d): u-partitioned on both sides, so the build join and the
+    # per-round rank joins all reuse one stored partitioning; rebuilt
+    # lazily from the cached edges each round (persisting the join
+    # output itself measured slower -- cache-build cost exceeds the
+    # exchange-free rebuild)
+    ed = edges.join(deg, "u")
     for _ in range(PR_ROUNDS):
         inflow = (
             ed.join(ranks, "u")

@@ -807,8 +807,15 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.select(
         F.col("c").alias("u"), F.col("s").alias("v")
     ).unionByName(e0.select(F.col("s").alias("u"), F.col("c").alias("v")))
-    # edges feed every round plus the vertex set: pin once
-    edges = persist_swap(spark, "lp_edges", edges)
+    # edges feed every round plus the vertex set: pin once, PRE-
+    # PARTITIONED on the per-round probe key u. The cached partitioning
+    # is honored at runtime (canChangeCachedPlanOutputPartitioning
+    # defaults false), so every round's edge-side join reuses it with
+    # ZERO exchange -- the edge list, the one relation that is
+    # corpus-sized at 100 TB, is shuffled exactly once per query
+    # instead of once per round (guide §2.4: bucketed-table semantics
+    # via a pinned partitioned intermediate).
+    edges = persist_swap(spark, "lp_edges", edges.repartition("u"))
     labels = edges.groupBy("u").agg(F.lit(0)).select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
@@ -822,15 +829,28 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frame its successor still reads). DuckDB's oracle CTEs are
         # materialized once by the engine -- this is the Spark-side
         # equivalent of that guarantee.
+        #
+        # Round shape (guide §2.3 "aggregate before you shuffle" +
+        # §2.4 "remove shuffles outright"): attach each edge's SOURCE
+        # label by joining on the cached partitioning key u (zero
+        # edge-side exchange), partially aggregate min-label per
+        # DESTINATION v map-side, and only then shuffle the node-sized
+        # partial aggregates. The old shape joined labels->edges->
+        # labels and shuffled the full edge-sized join output by v
+        # every round. Equivalence: the edge set is symmetric, so
+        # {u : (u,v) in E} is exactly v's neighbor set, and labels has
+        # one row per node, so grouping by v over (edge x source-label)
+        # rows computes the same min-neighbor-label; nodes are never
+        # isolated (the vertex set is derived from edges), so inner
+        # joins lose nothing vs the old left joins.
         labels = persist_swap(spark, f"lp_labels_{k}", labels)
-        nl = labels.select(
-            F.col("node").alias("v_node"), F.col("lbl").alias("nlbl")
+        msg = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("mn"))
         )
         labels = (
-            labels.join(edges, labels.node == edges.u, "left")
-            .join(nl, F.col("v") == F.col("v_node"), "left")
-            .groupBy("node", "lbl")
-            .agg(F.min("nlbl").alias("mn"))
+            labels.join(msg, labels.node == msg.v, "left")
             .select(
                 "node",
                 F.least(
@@ -909,12 +929,16 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # pinned PRE-PARTITIONED on u, the key every walk round probes:
+    # cached partitioning is reused at runtime, so the edge list is
+    # shuffled once per query instead of once per round (the same
+    # discipline as graph_label_propagation)
     edges = persist_swap(
         spark,
         "katz_edges",
-        e0.select(F.col("c").alias("u"), F.col("s").alias("v")).unionByName(
-            e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
-        ),
+        e0.select(F.col("c").alias("u"), F.col("s").alias("v"))
+        .unionByName(e0.select(F.col("s").alias("u"), F.col("c").alias("v")))
+        .repartition("u"),
     )
     # w1 and w2 each feed TWO consumers (the next walk round + the
     # final score join) -- the SCALE.md double-consumption rule: one

@@ -739,12 +739,16 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.min("q").alias("w"))
     )
+    # pinned PRE-PARTITIONED on u, the relax join's probe key: every
+    # Bellman-Ford round reuses the cached partitioning (zero edge-side
+    # exchange per round; the distance frame is already node-partitioned
+    # from its groupBy) -- the edge list shuffles once per query
     e = persist_swap(
         spark,
         "bf_edges",
-        e0.select(F.col("c").alias("u"), F.col("s").alias("v"), "w").unionAll(
-            e0.select(F.col("s").alias("u"), F.col("c").alias("v"), "w")
-        ),
+        e0.select(F.col("c").alias("u"), F.col("s").alias("v"), "w")
+        .unionAll(e0.select(F.col("s").alias("u"), F.col("c").alias("v"), "w"))
+        .repartition("u"),
     )
     d = (
         e.select("u")

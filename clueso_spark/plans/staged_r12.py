@@ -1988,28 +1988,34 @@ def graph_modularity_communities(
         )
         .distinct()
     )
+    # pinned PRE-PARTITIONED on the per-round probe key u (same cached-
+    # partitioning reuse as graph_label_propagation: the corpus-sized
+    # edge list is shuffled once per query, not once per round)
     edges = persist_swap(
         spark,
         "mod_edges",
-        e0.select(F.col("c").alias("u"), F.col("s").alias("v")).unionByName(
-            e0.select(F.col("s").alias("u"), F.col("c").alias("v"))
-        ),
+        e0.select(F.col("c").alias("u"), F.col("s").alias("v"))
+        .unionByName(e0.select(F.col("s").alias("u"), F.col("c").alias("v")))
+        .repartition("u"),
     )
     labels = edges.groupBy("u").agg(F.lit(0)).select(
         F.col("u").alias("node"), F.col("u").alias("lbl")
     )
     for k in range(3):
-        # same per-round pin discipline as graph_label_propagation:
-        # each round reads the previous labels twice
+        # same per-round pin discipline AND round shape as
+        # graph_label_propagation (guide §2.3/§2.4): attach the source
+        # label on the cached key u (zero edge-side exchange), partial-
+        # aggregate min-label per destination map-side, shuffle only
+        # the node-sized partials. Symmetric edges make the destination
+        # grouping equivalent to the old labels->edges->labels chain.
         labels = persist_swap(spark, f"mod_lbl_{k}", labels)
-        nl = labels.select(
-            F.col("node").alias("v_node"), F.col("lbl").alias("nlbl")
+        msg = (
+            edges.join(labels, edges.u == labels.node)
+            .groupBy("v")
+            .agg(F.min("lbl").alias("mn"))
         )
         labels = (
-            labels.join(edges, labels.node == edges.u, "left")
-            .join(nl, F.col("v") == F.col("v_node"), "left")
-            .groupBy("node", "lbl")
-            .agg(F.min("nlbl").alias("mn"))
+            labels.join(msg, labels.node == msg.v, "left")
             .select(
                 "node",
                 F.least(
@@ -2023,12 +2029,20 @@ def graph_modularity_communities(
     )
     la = lab.select(F.col("node").alias("u"), F.col("lbl").alias("la"))
     lb = lab.select(F.col("node").alias("v"), F.col("lbl").alias("lb"))
-    ec = (
+    # same-community edge count: attach la on the cached key u (no edge
+    # exchange), pre-aggregate per (v, la) -- map-side partials shrink
+    # the one remaining shuffle from edge-sized rows to (dest, label)
+    # group counts -- then resolve lb with a node-sized join
+    vl = (
         edges.join(la, "u")
-        .join(lb, "v")
+        .groupBy("v", "la")
+        .agg(F.count("*").alias("n"))
+    )
+    ec = (
+        vl.join(lb, "v")
         .where(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("c"))
-        .agg((F.count("*") / 2).cast("bigint").alias("e_c"))
+        .agg((F.sum("n") / 2).cast("bigint").alias("e_c"))
     )
     # d_c = sum of node degrees per community: aggregate edges to the
     # NODE-sized degree relation first, then one node-keyed join --
@@ -3097,7 +3111,12 @@ def graph_hits_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    e = persist_swap(spark, "hits_edges", e)
+    # pinned PRE-PARTITIONED on p: the auth-side degree aggregate and
+    # the first hub join both key on p and reuse the cached
+    # partitioning with zero exchange; only the alternating c-keyed
+    # round still shuffles edge rows (structural for HITS -- hub and
+    # authority passes key on opposite endpoints)
+    e = persist_swap(spark, "hits_edges", e.repartition("p"))
     auth1 = e.groupBy("p").agg(F.count("*").cast("bigint").alias("a1"))
     hub1 = (
         e.join(auth1, "p")

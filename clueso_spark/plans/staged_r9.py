@@ -1453,13 +1453,16 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("support") >= _KHOP_MIN_SUPPORT)
         .select("pa", "pb")
     )
-    # the undirected edge list feeds all three expansion rounds
+    # the undirected edge list feeds all three expansion rounds: pinned
+    # PRE-PARTITIONED on u so each round's expansion join reuses the
+    # cached partitioning (the frontier's distinct already leaves it
+    # n-partitioned) -- zero edge-side exchange per round
     e = persist_swap(
         spark,
         "khop_edges",
-        e0.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
-            e0.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
-        ),
+        e0.select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .unionAll(e0.select(F.col("pb").alias("u"), F.col("pa").alias("v")))
+        .repartition("u"),
     )
     frontier = (
         e.select(F.col("u").alias("n"))
