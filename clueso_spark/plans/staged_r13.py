@@ -338,21 +338,27 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = truth.groupBy("probe_id").agg(
         F.count("*").cast("bigint").alias("n_truth")
     )
-    n_pre = pre.groupBy("probe_id").agg(
-        F.count("*").cast("bigint").alias("n_pre")
-    )
-    pre_hits = (
-        pre.join(F.broadcast(truth), ["probe_id", "vec_id"])
+    # survivor count + truth hits in ONE pass per arm (the left join
+    # keeps every survivor row; counting the matched subset in the same
+    # aggregate halves the per-arm job fan-out -- guide §1.5/§7: the
+    # sub-2 s tail is driver/AQE round-trip bound, so fewer tiny jobs
+    # IS the optimization)
+    tmark = truth.withColumn("hit", F.lit(1))
+    pre_stats = (
+        pre.join(F.broadcast(tmark), ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
-        .agg(F.count("*").cast("bigint").alias("pre_hits"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pre"),
+            F.count("hit").cast("bigint").alias("pre_hits"),
+        )
     )
-    n_post = post.groupBy("probe_id").agg(
-        F.count("*").cast("bigint").alias("n_post_survivors")
-    )
-    post_hits = (
-        post.join(F.broadcast(truth), ["probe_id", "vec_id"])
+    post_stats = (
+        post.join(F.broadcast(tmark), ["probe_id", "vec_id"], "left")
         .groupBy("probe_id")
-        .agg(F.count("*").cast("bigint").alias("post_hits"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_post_survivors"),
+            F.count("hit").cast("bigint").alias("post_hits"),
+        )
     )
     base = probes.select(
         "probe_id", F.col("target").cast("bigint").alias("target_tenant")
@@ -360,18 +366,18 @@ def sim_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = base
     # every per-probe count frame is <= _FANN_PROBES rows: broadcast
     # the assembly joins so the 5-row report never plans a sort-merge
-    for frame, col in (
-        (n_tenant, "n_tenant_corpus"),
-        (n_cand_pre, "n_candidates_pre"),
-        (n_truth, "n_truth"),
-        (n_pre, "n_pre"),
-        (pre_hits, "pre_hits"),
-        (n_post, "n_post_survivors"),
-        (post_hits, "post_hits"),
+    for frame, cols in (
+        (n_tenant, ["n_tenant_corpus"]),
+        (n_cand_pre, ["n_candidates_pre"]),
+        (n_truth, ["n_truth"]),
+        (pre_stats, ["n_pre", "pre_hits"]),
+        (post_stats, ["n_post_survivors", "post_hits"]),
     ):
-        out = out.join(F.broadcast(frame), "probe_id", "left").withColumn(
-            col, F.coalesce(F.col(col), F.lit(0)).cast("bigint")
-        )
+        out = out.join(F.broadcast(frame), "probe_id", "left")
+        for col in cols:
+            out = out.withColumn(
+                col, F.coalesce(F.col(col), F.lit(0)).cast("bigint")
+            )
     return out
 
 
