@@ -95,12 +95,27 @@ def test_env_extra_conf_warns_when_existing_session_ignores(
     monkeypatch.setenv(
         "SPARK_GRAFT_EXTRA_CONF", "spark.executor.memoryOverheadFactor=0.42"
     )
-    with warnings.catch_warnings(record=True) as seen:
-        warnings.simplefilter("always")
-        got = get_spark("env-conf-warn-probe")
-    assert got is spark or got.sparkContext is spark.sparkContext
-    assert any(
-        "memoryOverheadFactor" in str(w.message)
-        and issubclass(w.category, RuntimeWarning)
-        for w in seen
-    ), [str(w.message) for w in seen]
+    # getOrCreate on the existing session APPLIES every modifiable
+    # builder conf (get_spark's defaults included) to it -- snapshot and
+    # restore the ones the shared test session depends on, or this test
+    # would leak shuffle.partitions=32 into every later test
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        with warnings.catch_warnings(record=True) as seen:
+            warnings.simplefilter("always")
+            got = get_spark("env-conf-warn-probe")
+        assert got is spark or got.sparkContext is spark.sparkContext
+        assert any(
+            "memoryOverheadFactor" in str(w.message)
+            and issubclass(w.category, RuntimeWarning)
+            for w in seen
+        ), [str(w.message) for w in seen]
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)
