@@ -1076,8 +1076,12 @@ def txt_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("w"))
     )
     # edges feed every round (join per round) plus the strength and
-    # vertex aggregates: pin once
-    e = persist_swap(spark, "textrank_edges", e)
+    # vertex aggregates: pin once, PRE-PARTITIONED on the per-round
+    # probe key u (the graph_pagerank_copurchase treatment -- cached
+    # partitioning is reused at runtime, so the strength aggregate, the
+    # edge-strength join, and every rank round run exchange-free on the
+    # edge side; the word-pair graph is corpus-sized at 100 TB)
+    e = persist_swap(spark, "textrank_edges", e.repartition("u"))
     st = e.groupBy("u").agg(F.sum("w").cast("bigint").alias("s"))
     st = persist_swap(spark, "textrank_strength", st)
     nn = F.broadcast(st.agg(F.count("*").alias("n")))
